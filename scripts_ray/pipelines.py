@@ -1,0 +1,138 @@
+"""The flagship quality-filter pipeline as a streaming Ray Data DAG.
+
+    transcripts
+      → scrub        (stateless map_batches, zero-copy Arrow, RE2 kernels)
+      → score        (actor pool: unigram model + stopword sets loaded once
+                      per actor; token signals, langid, ppl — the stateful
+                      analog of the reference's model stages
+                      /root/reference/src/cur-prot/reclassify.py:84-116)
+      → gate         (stateless map_batches; integer decision logic)
+      → ordered pass (groupby(conv_id) + in-group sort(turn_idx):
+                      pre-system demotion, stable emit — the reference's
+                      ordered document scans, split_into_sections.py:96-108)
+
+No stage materializes the dataset; the one all-to-all exchange is the
+final groupby on conv_id (hash partitioning — a conversation never
+straddles groups).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from . import gate as gate_mod
+from .rules import scrub_text
+from .tokens import UnigramScores, token_signals
+
+SIGNAL_COLS = ["n_chars", "n_symbols", "n_tokens", "n_distinct", "n_sv", "n_en"]
+
+
+def scrub_batch(batch: pa.Table) -> pa.Table:
+    return batch.append_column(
+        "scrubbed_text", scrub_text(batch["text"].combine_chunks())
+    )
+
+
+class Scorer:
+    """Actor-pool stage: model state built ONCE per actor in __init__.
+
+    `counts_ref` is a `ray.put` handle to the unigram count dict (broadcast
+    once, not re-shipped per batch)."""
+
+    def __init__(self, counts_ref):
+        import ray
+
+        counts = ray.get(counts_ref) if not isinstance(counts_ref, dict) else counts_ref
+        self.model = UnigramScores(counts)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        sig = token_signals(batch["scrubbed_text"].combine_chunks(), self.model)
+        lang = gate_mod.detect_lang(sig["n_sv"], sig["n_en"])
+        ppl = gate_mod.ppl_score(
+            sig["tok_score_sum"], sig["n_tokens"], self.model.drop_score
+        )
+        for c in SIGNAL_COLS:
+            batch = batch.append_column(c, pa.array(sig[c], type=pa.int64()))
+        batch = batch.append_column("lang", pa.array(lang, type=pa.string()))
+        batch = batch.append_column("ppl_score", pa.array(ppl, type=pa.int64()))
+        return batch
+
+
+def gate_batch(batch: pa.Table) -> pa.Table:
+    cols = {c: batch[c].to_numpy(zero_copy_only=False) for c in SIGNAL_COLS}
+    keep, reason = gate_mod.decide(
+        role=batch["role"].to_numpy(zero_copy_only=False),
+        lang=batch["lang"].to_numpy(zero_copy_only=False),
+        ppl=batch["ppl_score"].to_numpy(zero_copy_only=False),
+        n_chars=cols["n_chars"],
+        n_symbols=cols["n_symbols"],
+        n_tokens=cols["n_tokens"],
+        n_distinct=cols["n_distinct"],
+    )
+    batch = batch.append_column("keep", pa.array(keep, type=pa.bool_()))
+    batch = batch.append_column("drop_reason", pa.array(reason, type=pa.string()))
+    return batch
+
+
+OUT_COLS = [
+    "conv_id",
+    "turn_idx",
+    "role",
+    "scrubbed_text",
+    "lang",
+    "ppl_score",
+    "keep",
+    "drop_reason",
+]
+
+
+def ordered_pass(group: pd.DataFrame) -> pd.DataFrame:
+    group = group.sort_values("turn_idx", kind="mergesort")
+    keep, reason = gate_mod.demote_pre_system(
+        group["turn_idx"].to_numpy(),
+        group["role"].to_numpy(),
+        group["keep"].to_numpy(),
+        group["drop_reason"].to_numpy(dtype=object),
+    )
+    group = group.copy()
+    group["keep"] = keep
+    group["drop_reason"] = reason
+    return group[OUT_COLS]
+
+
+def quality_filter(ds, counts_ref, *, score_concurrency=(1, 4), batch_size=4096):
+    """Compose the flagship DAG over a transcripts Dataset."""
+    return (
+        ds.map_batches(scrub_batch, batch_format="pyarrow", batch_size=batch_size)
+        .map_batches(
+            Scorer,
+            fn_constructor_args=(counts_ref,),
+            batch_format="pyarrow",
+            batch_size=batch_size,
+            concurrency=score_concurrency,
+            num_cpus=1,
+        )
+        .map_batches(gate_batch, batch_format="pyarrow", batch_size=batch_size)
+        .groupby("conv_id")
+        .map_groups(ordered_pass, batch_format="pandas")
+    )
+
+
+def build_model_counts(sf_dir: str) -> dict[str, int]:
+    """Unigram counts from the `documents` table (the 'pretrained' LM corpus,
+    analog of the fastText embedding corpus the reference loads,
+    /root/reference/src/build_classifier.py:116-118). Documents is the small
+    side — read directly; at 100 TB scale this table is still dimension-sized
+    and would be refreshed offline like the reference's wikidata dims."""
+    import pyarrow.parquet as pq
+
+    texts = pq.read_table(f"{sf_dir}/documents.parquet", columns=["text"])[
+        "text"
+    ].combine_chunks()
+    from .tokens import explode
+
+    _, toks = explode(texts)
+    vals, cnts = np.unique(toks, return_counts=True)
+    return dict(zip(vals.tolist(), cnts.tolist()))

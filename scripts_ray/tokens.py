@@ -1,0 +1,118 @@
+"""Token-level signal extraction over Arrow string arrays.
+
+One explode pass produces every token-derived signal (counts, distinct
+counts, stopword hits, unigram log-prob sums), all as integers so the Ray
+pipeline / plain oracle / DuckDB oracle agree exactly.
+
+Tokenization = lowercase then split on runs of non-Latin-letters; identical
+to ``list_filter(string_split_regex(lower(s), sep), x -> x <> '')`` in the
+oracle SQL.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from .rules import EN_STOPWORDS, RE_SYMBOL, RE_TOKEN_SEP, SV_STOPWORDS
+
+
+def tokenize(arr: pa.Array) -> pa.ListArray:
+    """List-of-tokens per row (may contain empty strings at boundaries —
+    callers must ignore those, as the SQL side filters them)."""
+    return pc.split_pattern_regex(pc.utf8_lower(arr), pattern=RE_TOKEN_SEP)
+
+
+def explode(arr: pa.Array) -> tuple[np.ndarray, np.ndarray]:
+    """(row_index, token) pairs for all non-empty tokens, as numpy arrays."""
+    lists = tokenize(arr)
+    parents = pc.list_parent_indices(lists).to_numpy(zero_copy_only=False)
+    flat = lists.flatten().to_numpy(zero_copy_only=False)
+    nonempty = flat != ""
+    return parents[nonempty], flat[nonempty]
+
+
+def token_signals(arr: pa.Array, score_of: "UnigramScores | None" = None) -> dict:
+    """All token-derived per-row signals for a batch of scrubbed texts.
+
+    Returns int64 numpy arrays: n_chars, n_symbols, n_tokens, n_distinct,
+    n_sv, n_en, and (if `score_of`) tok_score_sum.
+    """
+    n = len(arr)
+    n_chars = pc.utf8_length(arr).to_numpy(zero_copy_only=False).astype(np.int64)
+    n_symbols = (
+        pc.count_substring_regex(arr, pattern=RE_SYMBOL)
+        .to_numpy(zero_copy_only=False)
+        .astype(np.int64)
+    )
+
+    rows, toks = explode(arr)
+    n_tokens = np.bincount(rows, minlength=n).astype(np.int64)
+
+    if len(toks):
+        df = pd.DataFrame({"row": rows, "tok": toks})
+        uniq = df.drop_duplicates()
+        n_distinct = np.bincount(uniq["row"].to_numpy(), minlength=n).astype(np.int64)
+        sv_mask = df["tok"].isin(SV_STOPWORDS).to_numpy()
+        en_mask = df["tok"].isin(EN_STOPWORDS).to_numpy()
+        n_sv = np.bincount(rows, weights=sv_mask, minlength=n).astype(np.int64)
+        n_en = np.bincount(rows, weights=en_mask, minlength=n).astype(np.int64)
+    else:
+        n_distinct = np.zeros(n, dtype=np.int64)
+        n_sv = np.zeros(n, dtype=np.int64)
+        n_en = np.zeros(n, dtype=np.int64)
+
+    out = {
+        "n_chars": n_chars,
+        "n_symbols": n_symbols,
+        "n_tokens": n_tokens,
+        "n_distinct": n_distinct,
+        "n_sv": n_sv,
+        "n_en": n_en,
+    }
+    if score_of is not None:
+        if len(toks):
+            scores = score_of.scores_for(toks)
+            out["tok_score_sum"] = np.bincount(
+                rows, weights=scores, minlength=n
+            ).astype(np.int64)
+        else:
+            out["tok_score_sum"] = np.zeros(n, dtype=np.int64)
+    return out
+
+
+class UnigramScores:
+    """Integer (floored milli-nat) unigram log-probs with an OOV fallback.
+
+    The keep/drop scoring core — analog of the reference's word-probability
+    classifier: per-word class log-odds summed over the paragraph plus a
+    log prior (/root/reference/src/cur-prot/reclassify.py:23-57,
+    /root/reference/src/build_classifier.py:100-111). The per-word memo
+    cache there (`prob_dict`) corresponds to `self._memo`, which only
+    affects speed, never values.
+    """
+
+    def __init__(self, counts: dict[str, int]):
+        self.counts = counts
+        self.N = int(sum(counts.values()))
+        self.V = int(len(counts))
+        denom = self.N + self.V
+        self._score = {
+            w: int(np.floor(1000.0 * np.log((c + 1) / denom)))
+            for w, c in counts.items()
+        }
+        self.oov_score = int(np.floor(1000.0 * np.log(1.0 / denom)))
+        self.drop_score = int(np.floor(1000.0 * np.log(1.0 / self.V)))
+        self._memo = self._score  # per-word memo (reference's prob_dict analog)
+
+    @classmethod
+    def from_texts(cls, texts: pa.Array) -> "UnigramScores":
+        rows, toks = explode(texts)
+        vals, cnts = np.unique(toks, return_counts=True)
+        return cls(dict(zip(vals.tolist(), cnts.tolist())))
+
+    def scores_for(self, toks: np.ndarray) -> np.ndarray:
+        s = pd.Series(toks).map(self._memo)
+        return s.fillna(self.oov_score).to_numpy(dtype=np.float64)
