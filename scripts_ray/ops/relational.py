@@ -1,0 +1,121 @@
+"""Relational operators: partial-then-final aggregation, broadcast joins,
+top-k (SURVEY §2.4–§2.6).
+
+Pattern: combine inside `map_batches` (one row per key per batch), then a
+small `groupby().aggregate()` over the partials — the shuffle moves
+pre-aggregated rows, not the raw table.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def event_agg(events_ds):
+    """Per (event_type, day): count, min(value), max(value)."""
+    from ray.data.aggregate import Max, Min, Sum
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.assign(day=batch["ts"].dt.date)
+        out = (
+            batch.groupby(["event_type", "day"], sort=False)
+            .agg(n=("event_id", "size"), min_value=("value", "min"),
+                 max_value=("value", "max"))
+            .reset_index()
+        )
+        out["n"] = out["n"].astype(np.int64)
+        return out
+
+    return (
+        events_ds.map_batches(partial, batch_format="pandas")
+        .groupby(["event_type", "day"])
+        .aggregate(
+            Sum("n", alias_name="n"),
+            Min("min_value", alias_name="min_value"),
+            Max("max_value", alias_name="max_value"),
+        )
+    )
+
+
+def top_users(events_ds, k: int = 10):
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        out = batch.groupby("user_id", sort=False).size().rename("n").reset_index()
+        out["n"] = out["n"].astype(np.int64)
+        out["user_id"] = out["user_id"].astype(np.int64)
+        return out
+
+    return (
+        events_ds.map_batches(partial, batch_format="pandas")
+        .groupby("user_id")
+        .aggregate(Sum("n", alias_name="n"))
+        .sort(["n", "user_id"], descending=[True, False])
+        .limit(k)
+    )
+
+
+def orders_by_segment(orders_ds, sf_dir: str):
+    """Broadcast equi-join (small dimension side shipped once via ray.put)
+    + partial aggregation — the map-side join pattern of SURVEY §2.4 J5/J8."""
+    import pyarrow.parquet as pq
+    import ray
+
+    cust = pq.read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    )
+    lookup_ref = ray.put(
+        dict(
+            zip(
+                cust["c_custkey"].to_pylist(),
+                cust["c_mktsegment"].to_pylist(),
+            )
+        )
+    )
+    from ray.data.aggregate import Max, Min, Sum
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        lookup = ray.get(lookup_ref)
+        batch = batch.assign(segment=batch["o_custkey"].map(lookup))
+        out = (
+            batch.groupby("segment", sort=False)
+            .agg(n_orders=("o_orderkey", "size"),
+                 min_price=("o_totalprice", "min"),
+                 max_price=("o_totalprice", "max"))
+            .reset_index()
+        )
+        out["n_orders"] = out["n_orders"].astype(np.int64)
+        return out
+
+    return (
+        orders_ds.map_batches(partial, batch_format="pandas")
+        .groupby("segment")
+        .aggregate(
+            Sum("n_orders", alias_name="n_orders"),
+            Min("min_price", alias_name="min_price"),
+            Max("max_price", alias_name="max_price"),
+        )
+    )
+
+
+def q1_counts(lineitem_ds):
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.assign(qty=batch["l_quantity"].astype(np.int64))
+        out = (
+            batch.groupby(["l_returnflag", "l_linestatus"], sort=False)
+            .agg(sum_qty=("qty", "sum"), n=("qty", "size"))
+            .reset_index()
+        )
+        out["sum_qty"] = out["sum_qty"].astype(np.int64)
+        out["n"] = out["n"].astype(np.int64)
+        return out
+
+    return (
+        lineitem_ds.map_batches(partial, batch_format="pandas")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(Sum("sum_qty", alias_name="sum_qty"), Sum("n", alias_name="n"))
+    )

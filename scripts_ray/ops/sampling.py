@@ -1,0 +1,64 @@
+"""Deterministic sampling (SURVEY §2.6 O5/O6).
+
+Ray Data has no weighted/stratified sampling primitive; both are
+implemented as seeded hash-threshold filters inside `map_batches`
+(md5 of the stable row key — deterministic, order-independent, identical
+in the DuckDB oracle), mirroring the reference's md5-seeded sampling
+(/root/reference/src/sample_pages_new.py:144-156)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from .dedup import _turn_key
+from .textstats import md5_hex
+
+
+def sample_turns(ds, threshold: str = "0d"):
+    """Bernoulli sample: keep rows whose md5(turn key) sorts below the hex
+    threshold ('0d' ≈ 13/256 ≈ 5.1%)."""
+
+    def pick(batch: pd.DataFrame) -> pd.DataFrame:
+        keys = _turn_key(batch["conv_id"], batch["turn_idx"])
+        h = np.array(md5_hex(keys.tolist()))
+        return batch.loc[h < threshold, ["conv_id", "turn_idx"]]
+
+    return ds.map_batches(pick, batch_format="pandas")
+
+
+def stratified_sample(ds, per_stratum: int = 3, stratum_col: str = "role"):
+    """n-per-stratum sample: within each stratum take the `per_stratum`
+    smallest md5 keys (deterministic rank order)."""
+
+    def add_key(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.copy()
+        batch["h"] = md5_hex(_turn_key(batch["conv_id"], batch["turn_idx"]).tolist())
+        return batch[[stratum_col, "conv_id", "turn_idx", "h"]]
+
+    def take(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["h", "conv_id", "turn_idx"], kind="mergesort").head(
+            per_stratum
+        )
+        return g[[stratum_col, "conv_id", "turn_idx"]]
+
+    return (
+        ds.map_batches(add_key, batch_format="pandas")
+        .groupby(stratum_col)
+        .map_groups(take, batch_format="pandas")
+    )
+
+
+def turn_ids_unique(ds):
+    """Global id-uniqueness census (analog of the reference's uuid census,
+    /root/reference/src/add_uuid.py:80-85): distributed count vs
+    count-distinct, returned as a single row."""
+    import pandas as _pd
+
+    def keys(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"id": _turn_key(batch["conv_id"], batch["turn_idx"])})
+
+    ids = ds.map_batches(keys, batch_format="pandas")
+    n_rows = ids.count()
+    n_ids = ids.groupby("id").count().count()
+    return _pd.DataFrame({"n_rows": [np.int64(n_rows)], "n_ids": [np.int64(n_ids)]})

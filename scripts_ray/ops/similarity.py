@@ -1,0 +1,93 @@
+"""Similarity search over an embedding column (list<float>).
+
+Brute-force cosine top-k as the baseline: the query matrix is broadcast
+once (`ray.put`), each batch computes a numpy matmul against it and emits
+only its local top-k candidates per query, which a tiny groupby merge
+reduces to the global top-k. Scale path: LSH bucketing (random
+hyperplanes) to prune candidates before the exact pass.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def _to_matrix(col) -> np.ndarray:
+    return np.array(col.to_pylist(), dtype=np.float64)
+
+
+def load_queries(sf_dir: str, n_queries: int = 10) -> tuple[np.ndarray, np.ndarray]:
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ids = t["vec_id"].to_numpy(zero_copy_only=False)
+    mask = ids < n_queries
+    q = _to_matrix(t["embedding"].combine_chunks().filter(pa.array(mask)))
+    return ids[mask], q
+
+
+def ann_cosine(emb_ds, query_ids: np.ndarray, queries: np.ndarray, k: int = 5):
+    """Top-k cosine neighbors for each query vector (self excluded)."""
+    import ray
+
+    qnorm = queries / np.linalg.norm(queries, axis=1, keepdims=True)
+    ref = ray.put((query_ids, qnorm))
+
+    def candidates(batch: pa.Table) -> pd.DataFrame:
+        qids, qn = ray.get(ref)
+        vecs = _to_matrix(batch["embedding"].combine_chunks())
+        vids = batch["vec_id"].to_numpy(zero_copy_only=False)
+        vn = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+        sims = vn @ qn.T  # (batch, n_queries)
+        out_q, out_v, out_s = [], [], []
+        for j, qid in enumerate(qids):
+            col = sims[:, j]
+            valid = vids != qid
+            idx = np.nonzero(valid)[0]
+            if len(idx) == 0:
+                continue
+            top = idx[np.argsort(-col[idx], kind="stable")[:k]]
+            out_q.extend([int(qid)] * len(top))
+            out_v.extend(vids[top].astype(np.int64))
+            out_s.extend(col[top])
+        return pd.DataFrame(
+            {"query_id": np.array(out_q, dtype=np.int64),
+             "neighbor_id": np.array(out_v, dtype=np.int64),
+             "sim": np.array(out_s, dtype=np.float64)}
+        )
+
+    def merge_topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["sim", "neighbor_id"], ascending=[False, True], kind="mergesort").head(k)
+        g = g.assign(rank=np.arange(1, len(g) + 1, dtype=np.int64))
+        return g[["query_id", "rank", "neighbor_id"]]
+
+    return (
+        emb_ds.map_batches(candidates, batch_format="pyarrow")
+        .groupby("query_id")
+        .map_groups(merge_topk, batch_format="pandas")
+    )
+
+
+def lsh_buckets(emb_ds, n_planes: int = 8, seed: int = 99):
+    """Random-hyperplane LSH bucketing (the candidate-pruning scale path):
+    emits (bucket, vec_id); vectors sharing a bucket are near-dup/ANN
+    candidates. Deterministic planes from the seed; plane matrix broadcast
+    via closure capture (tiny)."""
+    rng = np.random.default_rng(seed)
+    planes: dict[int, np.ndarray] = {}
+
+    def bucketize(batch: pa.Table) -> pd.DataFrame:
+        vecs = _to_matrix(batch["embedding"].combine_chunks())
+        dim = vecs.shape[1]
+        if dim not in planes:
+            planes[dim] = np.random.default_rng(seed).standard_normal((dim, n_planes))
+        bits = (vecs @ planes[dim]) > 0
+        bucket = (bits * (1 << np.arange(n_planes))).sum(axis=1).astype(np.int64)
+        return pd.DataFrame(
+            {"bucket": bucket,
+             "vec_id": batch["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)}
+        )
+
+    return emb_ds.map_batches(bucketize, batch_format="pyarrow")

@@ -1,0 +1,142 @@
+"""Text-analysis operators over a documents-style table (SURVEY §2.2/§2.5).
+
+All hot paths are vectorized Arrow/pandas kernels inside `map_batches`;
+aggregations use the partial-then-final pattern (per-batch combine before
+the groupby shuffle).
+
+Reference semantics: word-frequency dict (/root/reference/src/mk-wf-dict.py:17-42),
+KWIC search (/root/reference/src/KWIC-iter-search.py:27-109), doc stats
+(/root/reference/src/stats-dashboard/generate-markdown.py:103-156).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..gate import detect_lang
+from ..rules import RE_TOKEN_SEP, RE_WHITESPACE, normalize_whitespace
+from ..tokens import token_signals
+
+RE_WORD = r"[a-zà-öø-ÿ]+"
+RE_NONWS = r"[^ \t\r\n\f\v]+"
+
+
+def md5_hex(values) -> list[str]:
+    return [hashlib.md5(v.encode("utf-8")).hexdigest() for v in values]
+
+
+def word_freq(docs_ds, top_k: int = 100):
+    """Global word frequency, top-k by (count desc, token asc).
+    Partial counts per batch → small groupby → sort+limit."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        from ..tokens import explode
+
+        _, toks = explode(batch["text"].combine_chunks())
+        vals, cnts = np.unique(toks, return_counts=True)
+        return pa.table(
+            {"token": pa.array(vals, type=pa.string()),
+             "cnt": pa.array(cnts, type=pa.int64())}
+        )
+
+    agg = (
+        docs_ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("token")
+        .aggregate(Sum("cnt", alias_name="cnt"))
+    )
+    return agg.sort(["cnt", "token"], descending=[True, False]).limit(top_k)
+
+
+def kwic(docs_ds, pattern: str):
+    """Keyword-in-context: all non-overlapping matches with ±30-char windows,
+    emitted as variable-count rows (flat-map shape)."""
+    rx = re.compile(pattern)
+
+    def find(batch: pd.DataFrame) -> pd.DataFrame:
+        hits = batch["text"].str.findall(rx)
+        out = batch[["doc_id"]].assign(context=hits).explode("context")
+        return out.dropna(subset=["context"]).reset_index(drop=True)
+
+    return docs_ds.map_batches(find, batch_format="pandas")
+
+
+def doc_stats(docs_ds):
+    def stats(batch: pa.Table) -> pa.Table:
+        text = batch["text"].combine_chunks()
+        norm = normalize_whitespace(text)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_chars": pc.cast(pc.utf8_length(text), pa.int64()),
+                "n_ws_tokens": pc.cast(
+                    pc.count_substring_regex(text, pattern=RE_NONWS), pa.int64()
+                ),
+                "n_tokens": pc.cast(
+                    pc.count_substring_regex(pc.utf8_lower(text), pattern=RE_WORD),
+                    pa.int64(),
+                ),
+                "fingerprint": pa.array(md5_hex(norm.to_pylist()), type=pa.string()),
+            }
+        )
+
+    return docs_ds.map_batches(stats, batch_format="pyarrow")
+
+
+def lang_docs(docs_ds):
+    def langs(batch: pa.Table) -> pa.Table:
+        sig = token_signals(batch["text"].combine_chunks())
+        lang = detect_lang(sig["n_sv"], sig["n_en"])
+        return pa.table(
+            {"doc_id": batch["doc_id"], "lang": pa.array(lang, type=pa.string())}
+        )
+
+    return docs_ds.map_batches(langs, batch_format="pyarrow")
+
+
+def quality_docs(docs_ds):
+    def quality(batch: pa.Table) -> pa.Table:
+        sig = token_signals(batch["text"].combine_chunks())
+        nt, nd = sig["n_tokens"], sig["n_distinct"]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            pct = np.floor(100.0 * nd / nt)
+        diversity = pa.array(
+            [None if nt[i] == 0 else int(pct[i]) for i in range(len(nt))],
+            type=pa.int64(),
+        )
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_tokens": pa.array(nt, type=pa.int64()),
+                "n_distinct": pa.array(nd, type=pa.int64()),
+                "n_stop": pa.array(sig["n_en"], type=pa.int64()),
+                "diversity_pct": diversity,
+            }
+        )
+
+    return docs_ds.map_batches(quality, batch_format="pyarrow")
+
+
+def binary_meta(docs_ds, chunk_bytes: int = 256):
+    """Multimodal plumbing: treat the payload as opaque bytes with typed
+    metadata (byte size, chunk count). The decode step itself is stubbed in
+    ops.multimodal — this is the schema/metadata path."""
+
+    def meta(batch: pa.Table) -> pa.Table:
+        data = batch["text"].combine_chunks()
+        nb = pc.cast(pc.binary_length(pc.cast(data, pa.binary())), pa.int64())
+        chunks = pc.cast(
+            pc.ceil(pc.divide(pc.cast(nb, pa.float64()), float(chunk_bytes))),
+            pa.int64(),
+        )
+        return pa.table(
+            {"doc_id": batch["doc_id"], "n_bytes": nb, "n_chunks": chunks}
+        )
+
+    return docs_ds.map_batches(meta, batch_format="pyarrow")

@@ -3,18 +3,20 @@
 Every entry in QUERIES is a callable `sf_dir -> Dataset | DataFrame |
 pyarrow.Table`; ORACLES maps the same names to equivalent DuckDB SQL over
 the driver's pre-registered views. Names of computed columns match between
-both sides exactly.
+both sides exactly. Queries without an oracle (hash-based sketches) are
+listed in ROWS_ONLY semantics — deterministic, checked by row count.
 """
 
 from __future__ import annotations
 
+import pandas as pd
 import pyarrow as pa
 
-from . import sql
+from . import sql, sql_ops
+from .ops import dedup, relational, sampling, similarity, textstats, windows
 from .pipelines import (
     Scorer,
     build_model_counts,
-    gate_batch,
     quality_filter,
     scrub_batch,
 )
@@ -28,8 +30,24 @@ def _put_counts(sf_dir: str):
     return ray.put(build_model_counts(sf_dir))
 
 
+def _read(sf_dir: str, table: str, columns=None):
+    import ray.data as rd
+
+    return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+def _conv_grouped(sf_dir: str, fn):
+    return (
+        derive_transcripts_ds(sf_dir)
+        .groupby("conv_id")
+        .map_groups(fn, batch_format="pandas")
+    )
+
+
+# ---- flagship quality filter ----------------------------------------------
+
+
 def q_qf_pipeline(sf_dir: str):
-    """Flagship end-to-end quality filter."""
     return quality_filter(derive_transcripts_ds(sf_dir), _put_counts(sf_dir))
 
 
@@ -61,8 +79,6 @@ def q_qf_signals(sf_dir: str):
 
 
 def _lang_batch(batch: pa.Table) -> pa.Table:
-    import numpy as np
-
     from .gate import detect_lang
 
     sig = token_signals(batch["scrubbed_text"].combine_chunks())
@@ -95,12 +111,214 @@ def q_qf_ppl(sf_dir: str):
     )
 
 
+# ---- ordered / window ops --------------------------------------------------
+
+
+def q_merge_runs(sf_dir: str):
+    return _conv_grouped(sf_dir, windows.merge_runs_group)
+
+
+def q_next_after_system(sf_dir: str):
+    return _conv_grouped(sf_dir, windows.next_after_system_group)
+
+
+def q_pre_system_flags(sf_dir: str):
+    return _conv_grouped(sf_dir, windows.pre_system_flags_group)
+
+
+def q_tool_ffill(sf_dir: str):
+    return _conv_grouped(sf_dir, windows.tool_ffill_group)
+
+
+def q_conv_stats(sf_dir: str):
+    return _conv_grouped(sf_dir, windows.conv_stats_group)
+
+
+def q_role_valid(sf_dir: str):
+    return _conv_grouped(sf_dir, windows.role_valid_group)
+
+
+def q_sessionize(sf_dir: str):
+    return (
+        _read(sf_dir, "events", columns=["event_id", "user_id", "ts"])
+        .groupby("user_id")
+        .map_groups(windows.sessionize_group, batch_format="pandas")
+    )
+
+
+# ---- dedup / identity / sampling ------------------------------------------
+
+
+def q_turn_ids_unique(sf_dir: str):
+    return sampling.turn_ids_unique(derive_transcripts_ds(sf_dir))
+
+
+def q_dedup_turns(sf_dir: str):
+    ds = derive_transcripts_ds(sf_dir).map_batches(
+        scrub_batch, batch_format="pyarrow"
+    )
+    return dedup.dedup_exact(
+        ds,
+        text_col="scrubbed_text",
+        key_cols=["conv_id"],
+        key_fn=lambda b: dedup._turn_key(b["conv_id"], b["turn_idx"]),
+    )
+
+
+def q_dedup_docs(sf_dir: str):
+    from ray.data.aggregate import Count, Min
+
+    from .rules import normalize_whitespace
+
+    def add_fp(batch: pa.Table) -> pa.Table:
+        norm = normalize_whitespace(batch["text"].combine_chunks())
+        fp = textstats.md5_hex(norm.to_pylist())
+        return pa.table(
+            {"fp": pa.array(fp, type=pa.string()), "doc_id": batch["doc_id"]}
+        )
+
+    return (
+        _read(sf_dir, "documents", columns=["doc_id", "text"])
+        .map_batches(add_fp, batch_format="pyarrow")
+        .groupby("fp")
+        .aggregate(Min("doc_id", alias_name="first_doc"), Count(alias_name="n_dupes"))
+    )
+
+
+def q_sample_turns(sf_dir: str):
+    return sampling.sample_turns(derive_transcripts_ds(sf_dir))
+
+
+def q_stratified_sample(sf_dir: str):
+    return sampling.stratified_sample(derive_transcripts_ds(sf_dir))
+
+
+def q_near_dup_jaccard(sf_dir: str):
+    import pyarrow.parquet as pq
+
+    doc_table = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return dedup.jaccard_pairs(
+        _read(sf_dir, "documents", columns=["doc_id", "text"]), doc_table
+    )
+
+
+def q_near_dup_minhash(sf_dir: str):
+    return dedup.minhash_candidates(_read(sf_dir, "documents", columns=["doc_id", "text"]))
+
+
+def q_simhash_docs(sf_dir: str):
+    return dedup.simhash_docs(_read(sf_dir, "documents", columns=["doc_id", "text"]))
+
+
+# ---- text analysis ---------------------------------------------------------
+
+
+def q_word_freq(sf_dir: str):
+    return textstats.word_freq(_read(sf_dir, "documents", columns=["text"]))
+
+
+def q_kwic(sf_dir: str):
+    return textstats.kwic(
+        _read(sf_dir, "documents", columns=["doc_id", "text"]), sql_ops.KWIC_PATTERN
+    )
+
+
+def q_doc_stats(sf_dir: str):
+    return textstats.doc_stats(_read(sf_dir, "documents", columns=["doc_id", "text"]))
+
+
+def q_lang_docs(sf_dir: str):
+    return textstats.lang_docs(_read(sf_dir, "documents", columns=["doc_id", "text"]))
+
+
+def q_quality_docs(sf_dir: str):
+    return textstats.quality_docs(
+        _read(sf_dir, "documents", columns=["doc_id", "text"])
+    )
+
+
+def q_binary_meta(sf_dir: str):
+    return textstats.binary_meta(
+        _read(sf_dir, "documents", columns=["doc_id", "text"])
+    )
+
+
+# ---- similarity ------------------------------------------------------------
+
+
+def q_ann_cosine(sf_dir: str):
+    qids, qvecs = similarity.load_queries(sf_dir)
+    return similarity.ann_cosine(
+        _read(sf_dir, "embeddings", columns=["vec_id", "embedding"]), qids, qvecs
+    )
+
+
+def q_lsh_buckets(sf_dir: str):
+    return similarity.lsh_buckets(
+        _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    )
+
+
+# ---- relational ------------------------------------------------------------
+
+
+def q_event_agg(sf_dir: str):
+    return relational.event_agg(
+        _read(sf_dir, "events", columns=["event_id", "event_type", "ts", "value"])
+    )
+
+
+def q_top_users(sf_dir: str):
+    return relational.top_users(_read(sf_dir, "events", columns=["user_id"]))
+
+
+def q_orders_by_segment(sf_dir: str):
+    return relational.orders_by_segment(
+        _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_totalprice"]),
+        sf_dir,
+    )
+
+
+def q_q1_counts(sf_dir: str):
+    return relational.q1_counts(
+        _read(sf_dir, "lineitem",
+              columns=["l_returnflag", "l_linestatus", "l_quantity"])
+    )
+
+
 QUERIES = {
     "qf_pipeline": q_qf_pipeline,
     "qf_scrub": q_qf_scrub,
     "qf_signals": q_qf_signals,
     "qf_langid": q_qf_langid,
     "qf_ppl": q_qf_ppl,
+    "merge_runs": q_merge_runs,
+    "next_after_system": q_next_after_system,
+    "pre_system_flags": q_pre_system_flags,
+    "tool_ffill": q_tool_ffill,
+    "conv_stats": q_conv_stats,
+    "role_valid": q_role_valid,
+    "sessionize": q_sessionize,
+    "turn_ids_unique": q_turn_ids_unique,
+    "dedup_turns": q_dedup_turns,
+    "dedup_docs": q_dedup_docs,
+    "sample_turns": q_sample_turns,
+    "stratified_sample": q_stratified_sample,
+    "near_dup_jaccard": q_near_dup_jaccard,
+    "near_dup_minhash": q_near_dup_minhash,
+    "simhash_docs": q_simhash_docs,
+    "word_freq": q_word_freq,
+    "kwic": q_kwic,
+    "doc_stats": q_doc_stats,
+    "lang_docs": q_lang_docs,
+    "quality_docs": q_quality_docs,
+    "binary_meta": q_binary_meta,
+    "ann_cosine": q_ann_cosine,
+    "lsh_buckets": q_lsh_buckets,
+    "event_agg": q_event_agg,
+    "top_users": q_top_users,
+    "orders_by_segment": q_orders_by_segment,
+    "q1_counts": q_q1_counts,
 }
 
 ORACLES = {
@@ -109,4 +327,30 @@ ORACLES = {
     "qf_signals": sql.QF_SIGNALS_SQL,
     "qf_langid": sql.QF_LANGID_SQL,
     "qf_ppl": sql.QF_PPL_SQL,
+    "merge_runs": sql_ops.MERGE_RUNS_SQL,
+    "next_after_system": sql_ops.NEXT_AFTER_SYSTEM_SQL,
+    "pre_system_flags": sql_ops.PRE_SYSTEM_FLAGS_SQL,
+    "tool_ffill": sql_ops.TOOL_FFILL_SQL,
+    "conv_stats": sql_ops.CONV_STATS_SQL,
+    "role_valid": sql_ops.ROLE_VALID_SQL,
+    "sessionize": sql_ops.SESSIONIZE_SQL,
+    "turn_ids_unique": sql_ops.TURN_IDS_UNIQUE_SQL,
+    "dedup_turns": sql_ops.DEDUP_TURNS_SQL,
+    "dedup_docs": sql_ops.DEDUP_DOCS_SQL,
+    "sample_turns": sql_ops.SAMPLE_TURNS_SQL,
+    "stratified_sample": sql_ops.STRATIFIED_SAMPLE_SQL,
+    "near_dup_jaccard": sql_ops.NEAR_DUP_JACCARD_SQL,
+    "word_freq": sql_ops.WORD_FREQ_SQL,
+    "kwic": sql_ops.KWIC_SQL,
+    "doc_stats": sql_ops.DOC_STATS_SQL,
+    "lang_docs": sql_ops.LANG_DOCS_SQL,
+    "quality_docs": sql_ops.QUALITY_DOCS_SQL,
+    "binary_meta": sql_ops.BINARY_META_SQL,
+    "ann_cosine": sql_ops.ANN_COSINE_SQL,
+    "event_agg": sql_ops.EVENT_AGG_SQL,
+    "top_users": sql_ops.TOP_USERS_SQL,
+    "orders_by_segment": sql_ops.ORDERS_BY_SEGMENT_SQL,
+    "q1_counts": sql_ops.Q1_COUNTS_SQL,
+    # rows-only (hash-based sketches, not SQL-expressible):
+    # near_dup_minhash, simhash_docs, lsh_buckets
 }

@@ -1,0 +1,281 @@
+"""Oracle SQL for the extended operator inventory (SURVEY.md §2).
+
+Same contract as `scripts_ray.sql`: each statement is the independent
+DuckDB re-statement of a Ray operator, over the driver's pre-registered
+views, with column names matching the Ray implementation exactly and all
+comparison-sensitive numerics kept integral.
+"""
+
+from __future__ import annotations
+
+from . import rules as R
+from .sql import SCRUBBED_CTE, TRANSCRIPTS_CTE, _with
+
+_TURN_KEY = "conv_id || ':' || lpad(CAST(turn_idx AS VARCHAR), 6, '0')"
+_DOC_TOKS = f"list_filter(string_split_regex(lower(text), '{R.RE_TOKEN_SEP}'), x -> x <> '')"
+_WS_TOKS = f"list_filter(string_split_regex(text, '{R.RE_WHITESPACE}'), x -> x <> '')"
+_NORM = f"trim(regexp_replace(text, '{R.RE_WHITESPACE}', ' ', 'g'), ' ')"
+_SV_LIST = "[" + ", ".join(f"'{w}'" for w in R.SV_STOPWORDS) + "]"
+_EN_LIST = "[" + ", ".join(f"'{w}'" for w in R.EN_STOPWORDS) + "]"
+
+# ---- ordered / window transforms over conversations (SURVEY §2.8) ----------
+
+MERGE_RUNS_SQL = (
+    _with(TRANSCRIPTS_CTE)
+    + """
+, lagged AS (
+  SELECT t.*, lag(role) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS prev_role
+  FROM transcripts t
+),
+runs AS (
+  SELECT l.*,
+    CAST(sum(CASE WHEN prev_role IS NULL OR prev_role <> role THEN 1 ELSE 0 END)
+         OVER (PARTITION BY conv_id ORDER BY turn_idx ROWS UNBOUNDED PRECEDING) - 1
+         AS BIGINT) AS run_idx
+  FROM lagged l
+)
+SELECT conv_id, run_idx, min(role) AS role,
+       CAST(count(*) AS BIGINT) AS n_turns,
+       string_agg(text, ' ' ORDER BY turn_idx) AS text
+FROM runs GROUP BY conv_id, run_idx
+"""
+)
+
+NEXT_AFTER_SYSTEM_SQL = (
+    _with(TRANSCRIPTS_CTE)
+    + """
+SELECT conv_id, turn_idx, role FROM (
+  SELECT conv_id, turn_idx, role,
+         lag(role) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS prev_role
+  FROM transcripts
+) WHERE prev_role = 'system'
+"""
+)
+
+PRE_SYSTEM_FLAGS_SQL = (
+    _with(TRANSCRIPTS_CTE)
+    + """
+SELECT conv_id, turn_idx, COALESCE(turn_idx < first_sys, FALSE) AS pre_system
+FROM (
+  SELECT conv_id, turn_idx,
+         min(CASE WHEN role = 'system' THEN turn_idx END) OVER (PARTITION BY conv_id) AS first_sys
+  FROM transcripts
+)
+"""
+)
+
+TOOL_FFILL_SQL = (
+    _with(TRANSCRIPTS_CTE)
+    + """
+SELECT conv_id, turn_idx,
+  last_value(tool IGNORE NULLS) OVER (
+    PARTITION BY conv_id ORDER BY turn_idx
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS tool_active
+FROM transcripts
+"""
+)
+
+CONV_STATS_SQL = (
+    _with(TRANSCRIPTS_CTE)
+    + """
+SELECT conv_id, CAST(count(*) AS BIGINT) AS n_turns,
+       min(ts) AS ts_min, max(ts) AS ts_max,
+       CAST(count(DISTINCT role) AS BIGINT) AS n_roles
+FROM transcripts GROUP BY conv_id
+"""
+)
+
+SESSIONIZE_SQL = """
+WITH flagged AS (
+  SELECT event_id, user_id, ts,
+    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+              > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk
+  FROM events
+),
+sess AS (
+  SELECT *, CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
+  FROM flagged
+)
+SELECT CAST(user_id AS BIGINT) AS user_id, session_idx,
+       CAST(count(*) AS BIGINT) AS n_events, min(ts) AS ts_min, max(ts) AS ts_max
+FROM sess GROUP BY user_id, session_idx
+"""
+
+ROLE_VALID_SQL = (
+    _with(TRANSCRIPTS_CTE)
+    + """
+, sysw AS (SELECT conv_id, ts AS s_ts FROM transcripts WHERE role = 'system')
+SELECT t.conv_id, t.turn_idx,
+  EXISTS (SELECT 1 FROM sysw w
+          WHERE w.conv_id = t.conv_id
+            AND t.ts >= w.s_ts AND t.ts <= w.s_ts + INTERVAL 7 DAY) AS role_valid
+FROM transcripts t
+"""
+)
+
+# ---- identity / dedup / sampling (SURVEY §2.6, §2.7) -----------------------
+
+TURN_IDS_UNIQUE_SQL = (
+    _with(TRANSCRIPTS_CTE)
+    + f"""
+SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(DISTINCT {_TURN_KEY}) AS BIGINT) AS n_ids
+FROM transcripts
+"""
+)
+
+DEDUP_TURNS_SQL = (
+    _with(TRANSCRIPTS_CTE, SCRUBBED_CTE)
+    + f"""
+SELECT md5(scrubbed_text) AS fp,
+       min({_TURN_KEY}) AS first_key,
+       CAST(count(*) AS BIGINT) AS n_dupes
+FROM scrubbed GROUP BY scrubbed_text
+"""
+)
+
+DEDUP_DOCS_SQL = f"""
+WITH n AS (SELECT doc_id, {_NORM} AS norm FROM documents)
+SELECT md5(norm) AS fp, CAST(min(doc_id) AS BIGINT) AS first_doc,
+       CAST(count(*) AS BIGINT) AS n_dupes
+FROM n GROUP BY norm
+"""
+
+SAMPLE_TURNS_SQL = (
+    _with(TRANSCRIPTS_CTE)
+    + f"""
+SELECT conv_id, turn_idx FROM transcripts
+WHERE md5({_TURN_KEY}) < '0d'
+"""
+)
+
+STRATIFIED_SAMPLE_SQL = (
+    _with(TRANSCRIPTS_CTE)
+    + f"""
+SELECT role, conv_id, turn_idx FROM (
+  SELECT role, conv_id, turn_idx,
+         row_number() OVER (PARTITION BY role ORDER BY md5({_TURN_KEY}), conv_id, turn_idx) AS rn
+  FROM transcripts
+) WHERE rn <= 3
+"""
+)
+
+# ---- text analysis over `documents` (SURVEY §2.2, §2.5) --------------------
+
+WORD_FREQ_SQL = f"""
+SELECT tok AS token, CAST(count(*) AS BIGINT) AS cnt
+FROM (SELECT unnest({_DOC_TOKS}) AS tok FROM documents)
+GROUP BY tok ORDER BY cnt DESC, token LIMIT 100
+"""
+
+KWIC_KEYWORD = "spark"
+KWIC_PATTERN = ".{0,30}" + KWIC_KEYWORD + ".{0,30}"
+
+KWIC_SQL = f"""
+SELECT doc_id, unnest(regexp_extract_all(text, '{KWIC_PATTERN}')) AS context
+FROM documents
+"""
+
+DOC_STATS_SQL = f"""
+SELECT doc_id,
+  CAST(length(text) AS BIGINT) AS n_chars,
+  CAST(length({_WS_TOKS}) AS BIGINT) AS n_ws_tokens,
+  CAST(length({_DOC_TOKS}) AS BIGINT) AS n_tokens,
+  md5({_NORM}) AS fingerprint
+FROM documents
+"""
+
+LANG_DOCS_SQL = f"""
+WITH t AS (SELECT doc_id, {_DOC_TOKS} AS toks FROM documents),
+c AS (
+  SELECT doc_id,
+    CAST(length(list_filter(toks, x -> list_contains({_SV_LIST}, x))) AS BIGINT) AS n_sv,
+    CAST(length(list_filter(toks, x -> list_contains({_EN_LIST}, x))) AS BIGINT) AS n_en
+  FROM t
+)
+SELECT doc_id,
+  CASE WHEN n_sv > n_en THEN 'sv' WHEN n_en > n_sv THEN 'en' ELSE 'und' END AS lang
+FROM c
+"""
+
+QUALITY_DOCS_SQL = f"""
+WITH t AS (SELECT doc_id, {_DOC_TOKS} AS toks FROM documents)
+SELECT doc_id,
+  CAST(length(toks) AS BIGINT) AS n_tokens,
+  CAST(length(list_distinct(toks)) AS BIGINT) AS n_distinct,
+  CAST(length(list_filter(toks, x -> list_contains({_EN_LIST}, x))) AS BIGINT) AS n_stop,
+  CASE WHEN length(toks) = 0 THEN NULL
+       ELSE CAST(floor(100.0 * length(list_distinct(toks)) / length(toks)) AS BIGINT)
+  END AS diversity_pct
+FROM t
+"""
+
+NEAR_DUP_JACCARD_SQL = f"""
+WITH tk AS (
+  SELECT DISTINCT doc_id, tok
+  FROM (SELECT doc_id, unnest({_DOC_TOKS}) AS tok FROM documents)
+),
+counts AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM tk GROUP BY doc_id),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS inter
+  FROM tk a JOIN tk b ON a.tok = b.tok AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT CAST(doc_a AS BIGINT) AS doc_a, CAST(doc_b AS BIGINT) AS doc_b,
+       inter, ca.n + cb.n - inter AS uni
+FROM pairs
+JOIN counts ca ON ca.doc_id = doc_a
+JOIN counts cb ON cb.doc_id = doc_b
+WHERE 2 * inter >= ca.n + cb.n - inter
+"""
+
+BINARY_META_SQL = """
+SELECT doc_id,
+  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+  CAST(ceil(octet_length(encode(text)) / 256.0) AS BIGINT) AS n_chunks
+FROM documents
+"""
+
+# ---- similarity search over `embeddings` -----------------------------------
+
+ANN_COSINE_SQL = """
+WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 10),
+s AS (
+  SELECT q.query_id, e.vec_id,
+         list_cosine_similarity(q.qe, e.embedding) AS sim
+  FROM q, embeddings e WHERE e.vec_id <> q.query_id
+)
+SELECT CAST(query_id AS BIGINT) AS query_id,
+       CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS BIGINT) AS rank,
+       CAST(vec_id AS BIGINT) AS neighbor_id
+FROM s QUALIFY rank <= 5
+"""
+
+# ---- relational aggregates / joins / top-k (SURVEY §2.4-§2.6) --------------
+
+EVENT_AGG_SQL = """
+SELECT event_type, CAST(ts AS DATE) AS day,
+       CAST(count(*) AS BIGINT) AS n,
+       min(value) AS min_value, max(value) AS max_value
+FROM events GROUP BY 1, 2
+"""
+
+TOP_USERS_SQL = """
+SELECT CAST(user_id AS BIGINT) AS user_id, CAST(count(*) AS BIGINT) AS n
+FROM events GROUP BY 1 ORDER BY n DESC, user_id LIMIT 10
+"""
+
+ORDERS_BY_SEGMENT_SQL = """
+SELECT c.c_mktsegment AS segment, CAST(count(*) AS BIGINT) AS n_orders,
+       min(o.o_totalprice) AS min_price, max(o.o_totalprice) AS max_price
+FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+GROUP BY 1
+"""
+
+Q1_COUNTS_SQL = """
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+       CAST(count(*) AS BIGINT) AS n
+FROM lineitem GROUP BY 1, 2
+"""
