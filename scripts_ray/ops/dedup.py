@@ -1,11 +1,11 @@
 """Deduplication family: exact, n-gram Jaccard, MinHash-LSH, SimHash.
 
-Exact dedup = content-hash column + hash groupby (one shuffle of small
-keys, never of full texts). Near-dup at test scale uses a broadcast
-token-set matrix (block-pairwise, the same pattern as brute-force ANN);
-the documented scale path is MinHash-LSH (shingle → minhash → band →
-bucket groupby), implemented below with deterministic md5-seeded
-permutations.
+Exact dedup = content-hash column + two-level hash aggregation (the
+shuffle moves (fingerprint, key) partials, never full texts). Near-dup at
+test scale uses a broadcast token-set matrix (block-pairwise, the same
+pattern as brute-force ANN); the scale path is MinHash-LSH (shingle →
+minhash → band → bucket groupby), fully vectorized below with
+deterministic fixed-seed permutations.
 
 Reference analog: drop_duplicates / duplicate-id detection
 (/root/reference/src/cur-prot/redetect.py:52,
@@ -20,10 +20,8 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-from ..rules import normalize_whitespace
+from .hashagg import hash_aggregate
 from .textstats import md5_hex
-
-MERSENNE_P = (1 << 61) - 1
 
 
 def _turn_key(conv_id: pd.Series, turn_idx: pd.Series) -> pd.Series:
@@ -32,87 +30,105 @@ def _turn_key(conv_id: pd.Series, turn_idx: pd.Series) -> pd.Series:
 
 def dedup_exact(ds, text_col: str, key_cols: list[str], key_fn=None):
     """Group rows by content hash of `text_col`; per group keep the count and
-    the minimum composite key (first-wins dedup)."""
-    from ray.data.aggregate import Count, Min
+    the minimum composite key (first-wins dedup). Key cardinality ≈ row
+    count, so this uses the two-level hash aggregate, not the sort-based
+    native groupby."""
 
     def add_fp(batch: pd.DataFrame) -> pd.DataFrame:
         batch = batch.copy()
         batch["fp"] = md5_hex(batch[text_col].tolist())
-        batch["key"] = (
-            key_fn(batch) if key_fn else batch[key_cols[0]]
-        )
+        batch["key"] = key_fn(batch) if key_fn else batch[key_cols[0]]
         return batch[["fp", "key"]]
 
-    return (
-        ds.map_batches(add_fp, batch_format="pandas")
-        .groupby("fp")
-        .aggregate(Min("key", alias_name="first_key"), Count(alias_name="n_dupes"))
+    return hash_aggregate(
+        ds.map_batches(add_fp, batch_format="pandas"),
+        keys="fp",
+        aggs={"first_key": ("key", "min"), "n_dupes": ("key", "count")},
     )
 
 
 def token_hashes(tokens: np.ndarray) -> np.ndarray:
-    """Deterministic 64-bit hashes (md5 prefix) for an array of tokens."""
-    return np.array(
-        [
-            int.from_bytes(hashlib.md5(t.encode("utf-8")).digest()[:8], "big")
-            for t in tokens
-        ],
-        dtype=np.uint64,
-    )
+    """Deterministic 64-bit token hashes, vectorized (siphash with the fixed
+    pandas hash key — stable across processes and runs)."""
+    if len(tokens) == 0:
+        return np.array([], dtype=np.uint64)
+    return pd.util.hash_array(np.asarray(tokens, dtype=object))
 
 
 class MinHasher:
-    """k permutations h_i(x) = (a_i*x + b_i) mod p over 64-bit token hashes,
-    banded for LSH. Deterministic (fixed seed)."""
+    """k permutations h_i(x) = (a_i*x + b_i) mod 2^64 over 64-bit token
+    hashes, banded for LSH. Deterministic (fixed seed); all arithmetic is
+    wraparound uint64 numpy — no Python bigints in the hot path."""
 
     def __init__(self, k: int = 64, bands: int = 16, seed: int = 12345):
         assert k % bands == 0
         rng = np.random.default_rng(seed)
         self.k, self.bands, self.rows = k, bands, k // bands
-        self.a = rng.integers(1, MERSENNE_P, size=k, dtype=np.uint64)
-        self.b = rng.integers(0, MERSENNE_P, size=k, dtype=np.uint64)
+        self.a = rng.integers(1, 1 << 63, size=k, dtype=np.uint64) | np.uint64(1)
+        self.b = rng.integers(0, 1 << 63, size=k, dtype=np.uint64)
 
     def signature(self, tok_hashes: np.ndarray) -> np.ndarray:
         if len(tok_hashes) == 0:
             return np.full(self.k, np.iinfo(np.uint64).max, dtype=np.uint64)
-        # (k, n): permuted hash values, min over tokens
-        x = tok_hashes.astype(object)[None, :]
-        perms = (self.a.astype(object)[:, None] * x + self.b.astype(object)[:, None]) % MERSENNE_P
-        return np.array([min(row) for row in perms], dtype=np.uint64)
+        with np.errstate(over="ignore"):
+            perms = self.a[:, None] * tok_hashes[None, :] + self.b[:, None]
+        return perms.min(axis=1)
 
-    def band_keys(self, sig: np.ndarray) -> list[str]:
-        return [
-            hashlib.md5(sig[i * self.rows : (i + 1) * self.rows].tobytes()).hexdigest()
-            for i in range(self.bands)
-        ]
+    def signatures(self, rows: np.ndarray, toks: np.ndarray, n: int) -> np.ndarray:
+        """(n, k) signature matrix for a whole batch in one vectorized pass.
+        `rows` must be sorted ascending (explode order); rows with no tokens
+        get the empty signature."""
+        sigs = np.full((n, self.k), np.iinfo(np.uint64).max, dtype=np.uint64)
+        if len(toks) == 0:
+            return sigs
+        th = token_hashes(toks)
+        with np.errstate(over="ignore"):
+            perms = th[:, None] * self.a[None, :] + self.b[None, :]  # (t, k)
+        present, starts = np.unique(rows, return_index=True)
+        sigs[present] = np.minimum.reduceat(perms, starts, axis=0)
+        return sigs
+
+    def band_keys_matrix(self, sigs: np.ndarray) -> np.ndarray:
+        """(n, bands) uint64 band-bucket keys: one siphash per band slice."""
+        n = sigs.shape[0]
+        out = np.empty((n, self.bands), dtype=np.uint64)
+        for b in range(self.bands):
+            sl = np.ascontiguousarray(sigs[:, b * self.rows : (b + 1) * self.rows])
+            out[:, b] = pd.util.hash_array(sl.view(f"V{8 * self.rows}").ravel())
+        return out
 
 
 def minhash_candidates(docs_ds, hasher: MinHasher | None = None):
     """MinHash-LSH near-dup candidates: per-doc signature → (band_id,
-    band_hash, doc_id) rows → bucket groupby → intra-bucket pairs."""
+    band_hash, doc_id) rows → bucket groupby → intra-bucket pairs →
+    two-level hash aggregate to dedup pairs colliding in several bands."""
     hasher = hasher or MinHasher()
 
     def to_bands(batch: pd.DataFrame) -> pd.DataFrame:
         from ..tokens import explode
 
         rows, toks = explode(pa.array(batch["text"].tolist(), type=pa.string()))
-        out_doc, out_band, out_hash = [], [], []
-        doc_ids = batch["doc_id"].to_numpy()
-        for i, doc in enumerate(doc_ids):
-            th = token_hashes(np.unique(toks[rows == i]))
-            sig = hasher.signature(th)
-            for b, key in enumerate(hasher.band_keys(sig)):
-                out_doc.append(int(doc))
-                out_band.append(b)
-                out_hash.append(key)
+        # unique tokens per row (set semantics for minhash)
+        if len(toks):
+            uniq = pd.DataFrame({"r": rows, "t": toks}).drop_duplicates()
+            rows, toks = uniq["r"].to_numpy(), uniq["t"].to_numpy()
+        sigs = hasher.signatures(rows, toks, len(batch))
+        keys = hasher.band_keys_matrix(sigs)  # (n, bands)
+        n, bands = keys.shape
+        doc_ids = np.repeat(batch["doc_id"].to_numpy().astype(np.int64), bands)
+        band_ids = np.tile(np.arange(bands, dtype=np.int64), n)
         return pd.DataFrame(
-            {"band_id": out_band, "band_hash": out_hash, "doc_id": out_doc}
+            {"band_id": band_ids, "band_hash": keys.ravel().astype(np.int64),
+             "doc_id": doc_ids}
         )
 
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
         ids = np.sort(g["doc_id"].unique())
         if len(ids) < 2:
-            return pd.DataFrame({"doc_a": [], "doc_b": []}).astype(np.int64)
+            return pd.DataFrame(
+                {"doc_a": np.array([], dtype=np.int64),
+                 "doc_b": np.array([], dtype=np.int64)}
+            )
         a, b = np.triu_indices(len(ids), k=1)
         return pd.DataFrame({"doc_a": ids[a], "doc_b": ids[b]})
 
@@ -121,37 +137,39 @@ def minhash_candidates(docs_ds, hasher: MinHasher | None = None):
         .groupby(["band_id", "band_hash"])
         .map_groups(bucket_pairs, batch_format="pandas")
     )
-    # distinct pairs (a doc pair may collide in several bands)
-    from ray.data.aggregate import Count
-
-    return pairs.groupby(["doc_a", "doc_b"]).aggregate(Count(alias_name="n_bands"))
+    # distinct pairs (a doc pair may collide in several bands) — pair
+    # cardinality can approach n², so two-level hash aggregate only.
+    return hash_aggregate(
+        pairs, keys=["doc_a", "doc_b"], aggs={"n_bands": ("doc_a", "count")}
+    )
 
 
 def simhash_docs(docs_ds):
-    """64-bit SimHash per document (token md5 bits, count-weighted)."""
+    """64-bit SimHash per document (token siphash bits, count-weighted),
+    vectorized across the whole batch."""
 
     def sim(batch: pd.DataFrame) -> pd.DataFrame:
         from ..tokens import explode
 
+        n = len(batch)
         rows, toks = explode(pa.array(batch["text"].tolist(), type=pa.string()))
-        out = []
-        for i in range(len(batch)):
-            t = toks[rows == i]
-            if len(t) == 0:
-                out.append("0" * 16)
-                continue
-            vals, cnts = np.unique(t, return_counts=True)
-            hs = token_hashes(vals)
+        out = np.zeros(n, dtype=np.uint64)
+        if len(toks):
+            hs = token_hashes(toks)  # (t,)
             bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)) & 1).astype(
                 np.int64
             )
-            acc = ((2 * bits - 1) * cnts[:, None].astype(np.int64)).sum(axis=0)
-            h = np.uint64(0)
-            for j in range(64):
-                if acc[j] > 0:
-                    h |= np.uint64(1) << np.uint64(j)
-            out.append(format(int(h), "016x"))
-        return pd.DataFrame({"doc_id": batch["doc_id"].to_numpy(), "simhash": out})
+            contrib = 2 * bits - 1  # each token occurrence weights ±1
+            present, starts = np.unique(rows, return_index=True)
+            acc = np.add.reduceat(contrib, starts, axis=0)  # (n_present, 64)
+            weights = (acc > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)
+            out[present] = weights.sum(axis=1, dtype=np.uint64)
+        return pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"].to_numpy(),
+                "simhash": [format(int(h), "016x") for h in out],
+            }
+        )
 
     return docs_ds.map_batches(sim, batch_format="pandas")
 

@@ -1,0 +1,116 @@
+"""Two-level hash aggregation — the engine's scalable groupby.
+
+Ray's native ``groupby().aggregate()`` is sort-based with per-group driver
+overhead (~ms/group), which collapses at high key cardinality (dedup
+fingerprints, vocabulary counts, candidate pairs: millions of groups).
+The pattern here is the classic combiner shuffle instead:
+
+1. **partial**: inside ``map_batches``, a vectorized pandas groupby
+   collapses each batch to one row per key — the shuffle then moves
+   pre-aggregated rows, never the raw table;
+2. **partition**: each partial row gets a deterministic partition id
+   ``hash(key) % num_partitions`` (siphash via
+   ``pd.util.hash_pandas_object``, fixed key — stable across processes);
+3. **final**: ``groupby("_part").map_groups`` sees ``num_partitions``
+   groups only (constant, independent of key cardinality) and finishes
+   each partition with one vectorized pandas groupby.
+
+All keys of one group land in exactly one partition, so results are exact.
+``num_partitions`` bounds the per-task working set: at 100 TB scale raise
+it so (distinct keys / num_partitions) × row width fits a worker heap.
+
+Reference analog: the per-batch partial counting the reference does before
+its global tallies (/root/reference/src/mk-wf-dict.py:38-42,
+/root/reference/src/stats-dashboard/generate-markdown.py:103-156).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+DEFAULT_PARTITIONS = 64
+
+# aggregation: how -> (partial pandas agg, final pandas agg)
+_HOWS = {
+    "sum": ("sum", "sum"),
+    "count": ("size", "sum"),
+    "min": ("min", "min"),
+    "max": ("max", "max"),
+}
+
+
+def _part_ids(df: pd.DataFrame, keys: list[str], num_partitions: int) -> np.ndarray:
+    h = pd.util.hash_pandas_object(df[keys], index=False)  # deterministic siphash
+    return (h % np.uint64(num_partitions)).astype(np.int64).to_numpy()
+
+
+def hash_aggregate(
+    ds,
+    keys: str | list[str],
+    aggs: dict[str, tuple[str, str]],
+    num_partitions: int = DEFAULT_PARTITIONS,
+):
+    """Exact distributed groupby-aggregate safe at any key cardinality.
+
+    ``aggs`` maps output column -> (input column, how) with how in
+    {"sum", "count", "min", "max"}. Returns a Dataset with columns
+    ``keys + list(aggs)``.
+    """
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    for how in (h for _, h in aggs.values()):
+        if how not in _HOWS:
+            raise ValueError(f"unsupported agg: {how}")
+
+    partial_spec = {
+        out: (col, _HOWS[how][0]) for out, (col, how) in aggs.items()
+    }
+    final_spec = {out: (out, _HOWS[how][1]) for out, (_, how) in aggs.items()}
+    count_cols = [out for out, (_, how) in aggs.items() if how == "count"]
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        out = (
+            batch.groupby(keys, sort=False, dropna=False)
+            .agg(**partial_spec)
+            .reset_index()
+        )
+        for c in count_cols:
+            out[c] = out[c].astype(np.int64)
+        out["_part"] = _part_ids(out, keys, num_partitions)
+        return out
+
+    def final(part: pd.DataFrame) -> pd.DataFrame:
+        out = (
+            part.groupby(keys, sort=False, dropna=False)
+            .agg(**final_spec)
+            .reset_index()
+        )
+        for c in count_cols:
+            out[c] = out[c].astype(np.int64)
+        return out
+
+    return (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("_part")
+        .map_groups(final, batch_format="pandas")
+    )
+
+
+def distinct(ds, keys: str | list[str], num_partitions: int = DEFAULT_PARTITIONS):
+    """Distributed DISTINCT over `keys` (per-batch dedup, then per-partition
+    dedup — same two-level shape as hash_aggregate)."""
+    keys = [keys] if isinstance(keys, str) else list(keys)
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        out = batch[keys].drop_duplicates()
+        out = out.assign(_part=_part_ids(out, keys, num_partitions))
+        return out
+
+    def final(part: pd.DataFrame) -> pd.DataFrame:
+        return part[keys].drop_duplicates()
+
+    return (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("_part")
+        .map_groups(final, batch_format="pandas")
+    )

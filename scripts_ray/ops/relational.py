@@ -14,44 +14,36 @@ import pyarrow as pa
 
 
 def event_agg(events_ds):
-    """Per (event_type, day): count, min(value), max(value)."""
-    from ray.data.aggregate import Max, Min, Sum
+    """Per (event_type, day): count, min(value), max(value). Day cardinality
+    grows with the stream's time range → two-level hash aggregate."""
+    from .hashagg import hash_aggregate
 
-    def partial(batch: pd.DataFrame) -> pd.DataFrame:
-        batch = batch.assign(day=batch["ts"].dt.date)
-        out = (
-            batch.groupby(["event_type", "day"], sort=False)
-            .agg(n=("event_id", "size"), min_value=("value", "min"),
-                 max_value=("value", "max"))
-            .reset_index()
-        )
-        out["n"] = out["n"].astype(np.int64)
-        return out
+    def add_day(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.assign(day=batch["ts"].dt.date)
 
-    return (
-        events_ds.map_batches(partial, batch_format="pandas")
-        .groupby(["event_type", "day"])
-        .aggregate(
-            Sum("n", alias_name="n"),
-            Min("min_value", alias_name="min_value"),
-            Max("max_value", alias_name="max_value"),
-        )
+    return hash_aggregate(
+        events_ds.map_batches(add_day, batch_format="pandas"),
+        keys=["event_type", "day"],
+        aggs={
+            "n": ("event_id", "count"),
+            "min_value": ("value", "min"),
+            "max_value": ("value", "max"),
+        },
     )
 
 
 def top_users(events_ds, k: int = 10):
-    from ray.data.aggregate import Sum
+    from .hashagg import hash_aggregate
 
-    def partial(batch: pd.DataFrame) -> pd.DataFrame:
-        out = batch.groupby("user_id", sort=False).size().rename("n").reset_index()
-        out["n"] = out["n"].astype(np.int64)
-        out["user_id"] = out["user_id"].astype(np.int64)
-        return out
+    def project(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch[["user_id"]].astype(np.int64)
 
     return (
-        events_ds.map_batches(partial, batch_format="pandas")
-        .groupby("user_id")
-        .aggregate(Sum("n", alias_name="n"))
+        hash_aggregate(
+            events_ds.map_batches(project, batch_format="pandas"),
+            keys="user_id",
+            aggs={"n": ("user_id", "count")},
+        )
         .sort(["n", "user_id"], descending=[True, False])
         .limit(k)
     )

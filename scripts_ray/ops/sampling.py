@@ -52,13 +52,16 @@ def stratified_sample(ds, per_stratum: int = 3, stratum_col: str = "role"):
 def turn_ids_unique(ds):
     """Global id-uniqueness census (analog of the reference's uuid census,
     /root/reference/src/add_uuid.py:80-85): distributed count vs
-    count-distinct, returned as a single row."""
+    count-distinct (two-level hash distinct — id cardinality ≈ row count),
+    returned as a single row."""
     import pandas as _pd
+
+    from .hashagg import distinct
 
     def keys(batch: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame({"id": _turn_key(batch["conv_id"], batch["turn_idx"])})
 
     ids = ds.map_batches(keys, batch_format="pandas")
     n_rows = ids.count()
-    n_ids = ids.groupby("id").count().count()
+    n_ids = distinct(ids, "id").count()
     return _pd.DataFrame({"n_rows": [np.int64(n_rows)], "n_ids": [np.int64(n_ids)]})

@@ -33,8 +33,9 @@ def md5_hex(values) -> list[str]:
 
 def word_freq(docs_ds, top_k: int = 100):
     """Global word frequency, top-k by (count desc, token asc).
-    Partial counts per batch → small groupby → sort+limit."""
-    from ray.data.aggregate import Sum
+    Partial counts per batch → two-level hash aggregate (vocabulary
+    cardinality scales with the corpus) → sort+limit."""
+    from .hashagg import hash_aggregate
 
     def partial(batch: pa.Table) -> pa.Table:
         from ..tokens import explode
@@ -46,10 +47,10 @@ def word_freq(docs_ds, top_k: int = 100):
              "cnt": pa.array(cnts, type=pa.int64())}
         )
 
-    agg = (
-        docs_ds.map_batches(partial, batch_format="pyarrow")
-        .groupby("token")
-        .aggregate(Sum("cnt", alias_name="cnt"))
+    agg = hash_aggregate(
+        docs_ds.map_batches(partial, batch_format="pyarrow"),
+        keys="token",
+        aggs={"cnt": ("cnt", "sum")},
     )
     return agg.sort(["cnt", "token"], descending=[True, False]).limit(top_k)
 

@@ -166,8 +166,7 @@ def q_dedup_turns(sf_dir: str):
 
 
 def q_dedup_docs(sf_dir: str):
-    from ray.data.aggregate import Count, Min
-
+    from .ops.hashagg import hash_aggregate
     from .rules import normalize_whitespace
 
     def add_fp(batch: pa.Table) -> pa.Table:
@@ -177,11 +176,12 @@ def q_dedup_docs(sf_dir: str):
             {"fp": pa.array(fp, type=pa.string()), "doc_id": batch["doc_id"]}
         )
 
-    return (
-        _read(sf_dir, "documents", columns=["doc_id", "text"])
-        .map_batches(add_fp, batch_format="pyarrow")
-        .groupby("fp")
-        .aggregate(Min("doc_id", alias_name="first_doc"), Count(alias_name="n_dupes"))
+    return hash_aggregate(
+        _read(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
+            add_fp, batch_format="pyarrow"
+        ),
+        keys="fp",
+        aggs={"first_doc": ("doc_id", "min"), "n_dupes": ("doc_id", "count")},
     )
 
 
