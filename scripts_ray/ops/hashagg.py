@@ -96,6 +96,44 @@ def hash_aggregate(
     )
 
 
+def map_partitions_by_key(
+    ds,
+    keys: str | list[str],
+    fn,
+    num_partitions: int = DEFAULT_PARTITIONS,
+):
+    """Hash-partition rows by `keys` and apply `fn` once per partition.
+
+    `fn` receives a pandas DataFrame holding COMPLETE key-groups (all rows
+    of a key land in exactly one partition) and is expected to do its
+    per-group work vectorized (`df.groupby(keys)` + transform/agg). This
+    replaces ``groupby(key).map_groups(per_group_fn)`` — one Python call
+    per *partition* (constant count) instead of per *group* (unbounded
+    cardinality), and the all-to-all exchange sorts by a small int64
+    partition id instead of the raw key.
+
+    Skew note: a partition must fit in a worker heap. Groups are spread
+    uniformly by siphash; raise `num_partitions` with data size. A single
+    giant key-group still lands in one partition — per the north rule, a
+    conversation is the atomic unit of ordering and must fit.
+    """
+    keys = [keys] if isinstance(keys, str) else list(keys)
+
+    def tag(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.assign(_part=_part_ids(batch, keys, num_partitions))
+
+    def run(part: pd.DataFrame) -> pd.DataFrame:
+        # reset_index: concatenated batches carry duplicate index labels,
+        # which would corrupt index-aligned assign/transform inside fn
+        return fn(part.drop(columns=["_part"]).reset_index(drop=True))
+
+    return (
+        ds.map_batches(tag, batch_format="pandas")
+        .groupby("_part")
+        .map_groups(run, batch_format="pandas")
+    )
+
+
 def distinct(ds, keys: str | list[str], num_partitions: int = DEFAULT_PARTITIONS):
     """Distributed DISTINCT over `keys` (per-batch dedup, then per-partition
     dedup — same two-level shape as hash_aggregate)."""

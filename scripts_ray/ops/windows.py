@@ -1,9 +1,14 @@
 """Ordered / window transforms over conversations (the shuffle-heavy core).
 
-All operators here require per-conversation ordering: one
-`groupby(conv_id)` hash shuffle, then an in-group sort on `turn_idx` —
-the engine's single ordering guarantee (SURVEY.md §2.8). Each grouped
-function is pandas-vectorized; a conversation never straddles groups.
+All operators here require per-conversation ordering. Execution shape:
+ONE hash-partition exchange on `conv_id` (`hashagg.map_partitions_by_key`),
+then each partition — holding complete conversations — is processed by a
+single vectorized pandas pass (groupby transform / shift / cumsum /
+ffill, all C kernels). No per-conversation Python calls, no per-group
+scheduling overhead; a conversation never straddles partitions
+(SURVEY.md §2.8).
+
+Every function below takes a whole PARTITION DataFrame, not one group.
 
 Reference semantics:
 - merge_runs        — fold runs of consecutive same-role turns
@@ -17,6 +22,8 @@ Reference semantics:
 - conv_stats        — per-document min/max date + counts
                       (/root/reference/src/date_accuracy_estimate.py:25-34)
 - sessionize        — gap-based session windows over the events stream
+- role_valid        — interval-validity probe against dated role windows
+                      (/root/reference/src/fuzzy_matching.py:84-89)
 """
 
 from __future__ import annotations
@@ -25,100 +32,104 @@ import numpy as np
 import pandas as pd
 
 SESSION_GAP_MINUTES = 30
+ROLE_VALID_DAYS = 7
 
 
-def _sorted(g: pd.DataFrame) -> pd.DataFrame:
-    return g.sort_values("turn_idx", kind="mergesort")
+def _conv_sorted(df: pd.DataFrame) -> pd.DataFrame:
+    return df.sort_values(["conv_id", "turn_idx"], kind="mergesort")
 
 
-def merge_runs_group(g: pd.DataFrame) -> pd.DataFrame:
-    g = _sorted(g)
-    boundary = g["role"].ne(g["role"].shift()).to_numpy()
-    run_idx = np.cumsum(boundary) - 1
-    g = g.assign(run_idx=run_idx.astype(np.int64))
+def merge_runs_part(df: pd.DataFrame) -> pd.DataFrame:
+    df = _conv_sorted(df)
+    new_run = df["conv_id"].ne(df["conv_id"].shift()) | df["role"].ne(
+        df["role"].shift()
+    )
+    rid = new_run.cumsum()
     out = (
-        g.groupby("run_idx", sort=True)
+        df.groupby(rid, sort=False)
         .agg(
             conv_id=("conv_id", "first"),
             role=("role", "first"),
             n_turns=("turn_idx", "size"),
             text=("text", " ".join),
         )
-        .reset_index()
+        .reset_index(drop=True)
     )
+    out["run_idx"] = out.groupby("conv_id", sort=False).cumcount().astype(np.int64)
     out["n_turns"] = out["n_turns"].astype(np.int64)
     return out[["conv_id", "run_idx", "role", "n_turns", "text"]]
 
 
-def next_after_system_group(g: pd.DataFrame) -> pd.DataFrame:
-    g = _sorted(g)
-    prev_sys = g["role"].shift().eq("system")
-    return g.loc[prev_sys, ["conv_id", "turn_idx", "role"]]
-
-
-def pre_system_flags_group(g: pd.DataFrame) -> pd.DataFrame:
-    g = _sorted(g)
-    sys_turns = g.loc[g["role"] == "system", "turn_idx"]
-    if len(sys_turns):
-        flag = g["turn_idx"].to_numpy() < sys_turns.min()
-    else:
-        flag = np.zeros(len(g), dtype=bool)
-    return g.assign(pre_system=flag)[["conv_id", "turn_idx", "pre_system"]]
-
-
-def tool_ffill_group(g: pd.DataFrame) -> pd.DataFrame:
-    g = _sorted(g)
-    g = g.assign(tool_active=g["tool"].ffill())
-    return g[["conv_id", "turn_idx", "tool_active"]]
-
-
-def conv_stats_group(g: pd.DataFrame) -> pd.DataFrame:
-    return pd.DataFrame(
-        {
-            "conv_id": [g["conv_id"].iloc[0]],
-            "n_turns": np.array([len(g)], dtype=np.int64),
-            "ts_min": [g["ts"].min()],
-            "ts_max": [g["ts"].max()],
-            "n_roles": np.array([g["role"].nunique()], dtype=np.int64),
-        }
+def next_after_system_part(df: pd.DataFrame) -> pd.DataFrame:
+    df = _conv_sorted(df)
+    prev_sys = df["role"].shift().eq("system") & df["conv_id"].eq(
+        df["conv_id"].shift()
     )
+    return df.loc[prev_sys, ["conv_id", "turn_idx", "role"]]
 
 
-def sessionize_group(g: pd.DataFrame) -> pd.DataFrame:
+def pre_system_flags_part(df: pd.DataFrame) -> pd.DataFrame:
+    sys_turn = df["turn_idx"].where(df["role"].eq("system"))
+    first_sys = sys_turn.groupby(df["conv_id"]).transform("min")
+    flag = df["turn_idx"] < first_sys  # NaN (no system turn) compares False
+    return df.assign(pre_system=flag)[["conv_id", "turn_idx", "pre_system"]]
+
+
+def tool_ffill_part(df: pd.DataFrame) -> pd.DataFrame:
+    df = _conv_sorted(df)
+    filled = df.groupby("conv_id", sort=False)["tool"].ffill()
+    df = df.assign(tool_active=filled.where(filled.notna(), None))
+    return df[["conv_id", "turn_idx", "tool_active"]]
+
+
+def conv_stats_part(df: pd.DataFrame) -> pd.DataFrame:
+    out = (
+        df.groupby("conv_id", sort=False)
+        .agg(
+            n_turns=("turn_idx", "size"),
+            ts_min=("ts", "min"),
+            ts_max=("ts", "max"),
+            n_roles=("role", "nunique"),
+        )
+        .reset_index()
+    )
+    out["n_turns"] = out["n_turns"].astype(np.int64)
+    out["n_roles"] = out["n_roles"].astype(np.int64)
+    return out[["conv_id", "n_turns", "ts_min", "ts_max", "n_roles"]]
+
+
+def sessionize_part(df: pd.DataFrame) -> pd.DataFrame:
     """Session windows per user over the raw events stream: a gap of more
     than SESSION_GAP_MINUTES starts a new session."""
-    g = g.sort_values(["ts", "event_id"], kind="mergesort")
-    gap = g["ts"].diff() > pd.Timedelta(minutes=SESSION_GAP_MINUTES)
-    sess = gap.cumsum().astype(np.int64)
-    g = g.assign(session_idx=sess)
+    df = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+    new_user = df["user_id"].ne(df["user_id"].shift())
+    gap = df["ts"].diff() > pd.Timedelta(minutes=SESSION_GAP_MINUTES)
+    sid = (new_user | gap).cumsum()
     out = (
-        g.groupby("session_idx", sort=True)
+        df.groupby(sid, sort=False)
         .agg(
             user_id=("user_id", "first"),
             n_events=("event_id", "size"),
             ts_min=("ts", "min"),
             ts_max=("ts", "max"),
         )
-        .reset_index()
+        .reset_index(drop=True)
+    )
+    out["session_idx"] = out.groupby("user_id", sort=False).cumcount().astype(
+        np.int64
     )
     out["n_events"] = out["n_events"].astype(np.int64)
     return out[["user_id", "session_idx", "n_events", "ts_min", "ts_max"]]
 
 
-def role_valid_group(g: pd.DataFrame, valid_days: int = 7) -> pd.DataFrame:
-    """Interval-validity probe (broadcast-join analog of the reference's
-    dated person tables, /root/reference/src/fuzzy_matching.py:84-89):
-    a turn is 'valid' if some `system` turn of the same conversation
+def role_valid_part(df: pd.DataFrame, valid_days: int = ROLE_VALID_DAYS) -> pd.DataFrame:
+    """A turn is 'valid' if some `system` turn of the same conversation
     opened a validity window [s_ts, s_ts + valid_days] covering its ts.
-    Sorted-array + searchsorted interval probe."""
-    starts = np.sort(g.loc[g["role"] == "system", "ts"].to_numpy())
-    ts = g["ts"].to_numpy()
-    if len(starts) == 0:
-        valid = np.zeros(len(g), dtype=bool)
-    else:
-        # most recent window start at or before ts
-        idx = np.searchsorted(starts, ts, side="right") - 1
-        prev_start = starts[np.clip(idx, 0, None)]
-        window = np.timedelta64(valid_days, "D")
-        valid = (idx >= 0) & (ts - prev_start <= window)
-    return g.assign(role_valid=valid)[["conv_id", "turn_idx", "role_valid"]]
+    Vectorized as: sort by (conv, ts) with system turns first among ties,
+    forward-fill the latest system ts, compare the gap."""
+    df = df.assign(_nonsys=df["role"].ne("system"))
+    df = df.sort_values(["conv_id", "ts", "_nonsys"], kind="mergesort")
+    sys_ts = df["ts"].where(df["role"].eq("system"))
+    last_sys = sys_ts.groupby(df["conv_id"]).ffill()
+    valid = (df["ts"] - last_sys) <= pd.Timedelta(days=valid_days)  # NaT → False
+    return df.assign(role_valid=valid)[["conv_id", "turn_idx", "role_valid"]]

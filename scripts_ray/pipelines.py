@@ -88,23 +88,31 @@ OUT_COLS = [
 ]
 
 
-def ordered_pass(group: pd.DataFrame) -> pd.DataFrame:
-    group = group.sort_values("turn_idx", kind="mergesort")
-    keep, reason = gate_mod.demote_pre_system(
-        group["turn_idx"].to_numpy(),
-        group["role"].to_numpy(),
-        group["keep"].to_numpy(),
-        group["drop_reason"].to_numpy(dtype=object),
+def ordered_pass(part: pd.DataFrame) -> pd.DataFrame:
+    """Conversation-ordered finalize over a whole hash partition: demote
+    assistant turns preceding the first `system` turn of their conversation
+    (vectorized across all conversations in the partition — the same
+    semantics as gate.demote_pre_system per group)."""
+    part = part.sort_values(["conv_id", "turn_idx"], kind="mergesort")
+    sys_turn = part["turn_idx"].where(part["role"].eq("system"))
+    first_sys = sys_turn.groupby(part["conv_id"]).transform("min")
+    demote = (
+        part["turn_idx"].lt(first_sys)  # NaN (no system turn) compares False
+        & part["role"].eq("assistant")
+        & part["keep"]
     )
-    group = group.copy()
-    group["keep"] = keep
-    group["drop_reason"] = reason
-    return group[OUT_COLS]
+    part.loc[demote, "keep"] = False
+    part.loc[demote, "drop_reason"] = "pre_system"
+    return part[OUT_COLS]
 
 
 def quality_filter(ds, counts_ref, *, score_concurrency=(1, 4), batch_size=4096):
-    """Compose the flagship DAG over a transcripts Dataset."""
-    return (
+    """Compose the flagship DAG over a transcripts Dataset. The one
+    all-to-all exchange is the hash partition on conv_id feeding the
+    ordered finalize."""
+    from .ops.hashagg import map_partitions_by_key
+
+    scored = (
         ds.map_batches(scrub_batch, batch_format="pyarrow", batch_size=batch_size)
         .map_batches(
             Scorer,
@@ -115,9 +123,8 @@ def quality_filter(ds, counts_ref, *, score_concurrency=(1, 4), batch_size=4096)
             num_cpus=1,
         )
         .map_batches(gate_batch, batch_format="pyarrow", batch_size=batch_size)
-        .groupby("conv_id")
-        .map_groups(ordered_pass, batch_format="pandas")
     )
+    return map_partitions_by_key(scored, "conv_id", ordered_pass)
 
 
 def build_model_counts(sf_dir: str) -> dict[str, int]:

@@ -37,11 +37,9 @@ def _read(sf_dir: str, table: str, columns=None):
 
 
 def _conv_grouped(sf_dir: str, fn):
-    return (
-        derive_transcripts_ds(sf_dir)
-        .groupby("conv_id")
-        .map_groups(fn, batch_format="pandas")
-    )
+    from .ops.hashagg import map_partitions_by_key
+
+    return map_partitions_by_key(derive_transcripts_ds(sf_dir), "conv_id", fn)
 
 
 # ---- flagship quality filter ----------------------------------------------
@@ -115,34 +113,36 @@ def q_qf_ppl(sf_dir: str):
 
 
 def q_merge_runs(sf_dir: str):
-    return _conv_grouped(sf_dir, windows.merge_runs_group)
+    return _conv_grouped(sf_dir, windows.merge_runs_part)
 
 
 def q_next_after_system(sf_dir: str):
-    return _conv_grouped(sf_dir, windows.next_after_system_group)
+    return _conv_grouped(sf_dir, windows.next_after_system_part)
 
 
 def q_pre_system_flags(sf_dir: str):
-    return _conv_grouped(sf_dir, windows.pre_system_flags_group)
+    return _conv_grouped(sf_dir, windows.pre_system_flags_part)
 
 
 def q_tool_ffill(sf_dir: str):
-    return _conv_grouped(sf_dir, windows.tool_ffill_group)
+    return _conv_grouped(sf_dir, windows.tool_ffill_part)
 
 
 def q_conv_stats(sf_dir: str):
-    return _conv_grouped(sf_dir, windows.conv_stats_group)
+    return _conv_grouped(sf_dir, windows.conv_stats_part)
 
 
 def q_role_valid(sf_dir: str):
-    return _conv_grouped(sf_dir, windows.role_valid_group)
+    return _conv_grouped(sf_dir, windows.role_valid_part)
 
 
 def q_sessionize(sf_dir: str):
-    return (
-        _read(sf_dir, "events", columns=["event_id", "user_id", "ts"])
-        .groupby("user_id")
-        .map_groups(windows.sessionize_group, batch_format="pandas")
+    from .ops.hashagg import map_partitions_by_key
+
+    return map_partitions_by_key(
+        _read(sf_dir, "events", columns=["event_id", "user_id", "ts"]),
+        "user_id",
+        windows.sessionize_part,
     )
 
 

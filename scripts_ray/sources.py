@@ -165,32 +165,36 @@ def derive_transcripts_table(sf_dir: str) -> pa.Table:
 
 def derive_transcripts_ds(sf_dir: str):
     """Ray Data derivation: streaming read of `events`, documents broadcast
-    once via ``ray.put``, per-batch column attach, then one shuffle
-    (`groupby(conv_id)`) to assign `turn_idx` by (ts, event_id) rank.
+    once via ``ray.put``, per-batch column attach, then one hash-partition
+    exchange on conv_id to assign `turn_idx` by (ts, event_id) rank —
+    vectorized per partition, not per conversation.
 
     This is the engine's analog of the reference's corpus reader + sorted
     processing order (/root/reference/src/cur-prot/redetect.py:35-37)."""
     import ray
     import ray.data as rd
 
+    from .ops.hashagg import map_partitions_by_key
+
     doc_ref = ray.put(load_doc_texts(sf_dir))
 
     def attach(batch: pa.Table) -> pa.Table:
         return _event_columns(batch, ray.get(doc_ref))
 
-    def rank(group: pd.DataFrame) -> pd.DataFrame:
-        group = group.sort_values(["ts", "event_id"], kind="mergesort")
-        group["turn_idx"] = np.arange(len(group), dtype=np.int32)
-        return group[["conv_id", "turn_idx", "role", "text", "tool", "ts"]]
+    def rank(part: pd.DataFrame) -> pd.DataFrame:
+        part = part.sort_values(["conv_id", "ts", "event_id"], kind="mergesort")
+        part["turn_idx"] = (
+            part.groupby("conv_id", sort=False).cumcount().astype(np.int32)
+        )
+        return part[["conv_id", "turn_idx", "role", "text", "tool", "ts"]]
 
-    return (
+    return map_partitions_by_key(
         rd.read_parquet(
             f"{sf_dir}/events.parquet",
             columns=["event_id", "ts", "user_id", "event_type"],
-        )
-        .map_batches(attach, batch_format="pyarrow")
-        .groupby("conv_id")
-        .map_groups(rank, batch_format="pandas")
+        ).map_batches(attach, batch_format="pyarrow"),
+        "conv_id",
+        rank,
     )
 
 
