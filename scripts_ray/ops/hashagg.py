@@ -117,21 +117,44 @@ def map_partitions_by_key(
     giant key-group still lands in one partition — per the north rule, a
     conversation is the atomic unit of ordering and must fit.
     """
+    import pyarrow as pa
+
     keys = [keys] if isinstance(keys, str) else list(keys)
 
-    def tag(batch: pd.DataFrame) -> pd.DataFrame:
-        return batch.assign(_part=_part_ids(batch, keys, num_partitions))
+    def tag(batch: pa.Table) -> pa.Table:
+        # arrow-native: hash only the key column(s), never convert the
+        # full batch to pandas before the exchange
+        if len(keys) == 1:
+            arr = batch[keys[0]].combine_chunks().to_numpy(zero_copy_only=False)
+            h = pd.util.hash_array(arr)
+        else:
+            h = pd.util.hash_pandas_object(
+                batch.select(keys).to_pandas(), index=False
+            ).to_numpy()
+        part = (h % np.uint64(num_partitions)).astype(np.int64)
+        return batch.append_column("_part", pa.array(part))
+
+    return finalize_partitions(
+        ds.map_batches(tag, batch_format="pyarrow"), fn
+    )
+
+
+def part_column(key_arr: np.ndarray, num_partitions: int = DEFAULT_PARTITIONS):
+    """Deterministic partition ids for a key array (siphash, fixed key) —
+    for producers that tag inside an existing stage to save a map pass."""
+    h = pd.util.hash_array(key_arr)
+    return (h % np.uint64(num_partitions)).astype(np.int64)
+
+
+def finalize_partitions(tagged_ds, fn):
+    """Exchange a `_part`-tagged Dataset and run `fn` once per partition."""
 
     def run(part: pd.DataFrame) -> pd.DataFrame:
         # reset_index: concatenated batches carry duplicate index labels,
         # which would corrupt index-aligned assign/transform inside fn
         return fn(part.drop(columns=["_part"]).reset_index(drop=True))
 
-    return (
-        ds.map_batches(tag, batch_format="pandas")
-        .groupby("_part")
-        .map_groups(run, batch_format="pandas")
-    )
+    return tagged_ds.groupby("_part").map_groups(run, batch_format="pandas")
 
 
 def distinct(ds, keys: str | list[str], num_partitions: int = DEFAULT_PARTITIONS):

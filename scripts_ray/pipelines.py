@@ -106,25 +106,51 @@ def ordered_pass(part: pd.DataFrame) -> pd.DataFrame:
     return part[OUT_COLS]
 
 
-def quality_filter(ds, counts_ref, *, score_concurrency=(1, 4), batch_size=4096):
+class ScrubScoreGate(Scorer):
+    """Fused per-turn stage for the flagship DAG: scrub → score → gate →
+    partition-tag in one actor call. Model state loads once per actor
+    (inherited __init__); fusing the stateless neighbours into the same
+    call avoids shipping intermediate columns through the object store, and
+    the output is projected so the exchange never moves the raw text or
+    signal columns."""
+
+    def __init__(self, counts_ref, num_partitions: int = 64):
+        super().__init__(counts_ref)
+        self.num_partitions = num_partitions
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from .ops.hashagg import part_column
+
+        out = gate_batch(super().__call__(scrub_batch(batch))).select(OUT_COLS)
+        part = part_column(
+            out["conv_id"].combine_chunks().to_numpy(zero_copy_only=False),
+            self.num_partitions,
+        )
+        return out.append_column("_part", pa.array(part))
+
+
+def quality_filter(
+    ds,
+    counts_ref,
+    *,
+    score_concurrency=(1, 4),
+    batch_size=4096,
+    num_partitions=64,
+):
     """Compose the flagship DAG over a transcripts Dataset. The one
     all-to-all exchange is the hash partition on conv_id feeding the
     ordered finalize."""
-    from .ops.hashagg import map_partitions_by_key
+    from .ops.hashagg import finalize_partitions
 
-    scored = (
-        ds.map_batches(scrub_batch, batch_format="pyarrow", batch_size=batch_size)
-        .map_batches(
-            Scorer,
-            fn_constructor_args=(counts_ref,),
-            batch_format="pyarrow",
-            batch_size=batch_size,
-            concurrency=score_concurrency,
-            num_cpus=1,
-        )
-        .map_batches(gate_batch, batch_format="pyarrow", batch_size=batch_size)
+    scored = ds.map_batches(
+        ScrubScoreGate,
+        fn_constructor_args=(counts_ref, num_partitions),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=score_concurrency,
+        num_cpus=1,
     )
-    return map_partitions_by_key(scored, "conv_id", ordered_pass)
+    return finalize_partitions(scored, ordered_pass)
 
 
 def build_model_counts(sf_dir: str) -> dict[str, int]:

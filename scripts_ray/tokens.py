@@ -34,11 +34,20 @@ def explode(arr: pa.Array) -> tuple[np.ndarray, np.ndarray]:
     return parents[nonempty], flat[nonempty]
 
 
+_SV_ARR = np.array(SV_STOPWORDS, dtype=object)
+_EN_ARR = np.array(EN_STOPWORDS, dtype=object)
+
+
 def token_signals(arr: pa.Array, score_of: "UnigramScores | None" = None) -> dict:
     """All token-derived per-row signals for a batch of scrubbed texts.
 
     Returns int64 numpy arrays: n_chars, n_symbols, n_tokens, n_distinct,
     n_sv, n_en, and (if `score_of`) tok_score_sum.
+
+    Hot path never materializes tokens as Python objects: the flattened
+    token array is dictionary-encoded in C (`pc.dictionary_encode`), so
+    per-token work shrinks to the batch vocabulary (stopword membership,
+    model score per unique token) scattered back through int32 indices.
     """
     n = len(arr)
     n_chars = pc.utf8_length(arr).to_numpy(zero_copy_only=False).astype(np.int64)
@@ -48,17 +57,32 @@ def token_signals(arr: pa.Array, score_of: "UnigramScores | None" = None) -> dic
         .astype(np.int64)
     )
 
-    rows, toks = explode(arr)
+    lists = tokenize(arr)
+    rows_all = pc.list_parent_indices(lists).to_numpy(zero_copy_only=False)
+    denc = pc.dictionary_encode(lists.flatten())
+    inv_all = denc.indices.to_numpy(zero_copy_only=False)
+    vocab = denc.dictionary.to_numpy(zero_copy_only=False)  # small object array
+
+    # drop empty boundary tokens by vocabulary id
+    empty_id = np.nonzero(vocab == "")[0]
+    if len(empty_id):
+        keep = inv_all != empty_id[0]
+        rows, inv = rows_all[keep], inv_all[keep]
+    else:
+        rows, inv = rows_all, inv_all
+
     n_tokens = np.bincount(rows, minlength=n).astype(np.int64)
 
-    if len(toks):
-        df = pd.DataFrame({"row": rows, "tok": toks})
-        uniq = df.drop_duplicates()
-        n_distinct = np.bincount(uniq["row"].to_numpy(), minlength=n).astype(np.int64)
-        sv_mask = df["tok"].isin(SV_STOPWORDS).to_numpy()
-        en_mask = df["tok"].isin(EN_STOPWORDS).to_numpy()
-        n_sv = np.bincount(rows, weights=sv_mask, minlength=n).astype(np.int64)
-        n_en = np.bincount(rows, weights=en_mask, minlength=n).astype(np.int64)
+    if len(rows):
+        V = len(vocab)
+        # distinct tokens per row: unique (row, vocab-id) pairs
+        pair = rows.astype(np.int64) * V + inv
+        upair = np.unique(pair)
+        n_distinct = np.bincount(upair // V, minlength=n).astype(np.int64)
+        sv_vocab = np.isin(vocab, _SV_ARR)
+        en_vocab = np.isin(vocab, _EN_ARR)
+        n_sv = np.bincount(rows, weights=sv_vocab[inv], minlength=n).astype(np.int64)
+        n_en = np.bincount(rows, weights=en_vocab[inv], minlength=n).astype(np.int64)
     else:
         n_distinct = np.zeros(n, dtype=np.int64)
         n_sv = np.zeros(n, dtype=np.int64)
@@ -73,10 +97,10 @@ def token_signals(arr: pa.Array, score_of: "UnigramScores | None" = None) -> dic
         "n_en": n_en,
     }
     if score_of is not None:
-        if len(toks):
-            scores = score_of.scores_for(toks)
+        if len(rows):
+            score_vocab = score_of.scores_for(vocab)
             out["tok_score_sum"] = np.bincount(
-                rows, weights=scores, minlength=n
+                rows, weights=score_vocab[inv], minlength=n
             ).astype(np.int64)
         else:
             out["tok_score_sum"] = np.zeros(n, dtype=np.int64)
