@@ -49,6 +49,45 @@ def stratified_sample(ds, per_stratum: int = 3, stratum_col: str = "role"):
     )
 
 
+def weighted_sample(ds, long_threshold: int = 200,
+                    long_hex: str = "40", short_hex: str = "08"):
+    """Weighted Bernoulli sample (reference: page-count-weighted sampling,
+    /root/reference/src/sample_pages_new.py:41-48): long turns are kept at
+    ~25% ('40'/256), short ones at ~3% ('08'/256) — the per-row md5 key
+    against a weight-dependent hex threshold, deterministic and
+    order-independent."""
+
+    def pick(batch: pd.DataFrame) -> pd.DataFrame:
+        keys = _turn_key(batch["conv_id"], batch["turn_idx"])
+        h = np.array(md5_hex(keys.tolist()))
+        thr = np.where(
+            batch["text"].str.len().to_numpy() >= long_threshold,
+            long_hex,
+            short_hex,
+        )
+        return batch.loc[h < thr, ["conv_id", "turn_idx"]]
+
+    return ds.map_batches(pick, batch_format="pandas")
+
+
+def turn_uids(ds):
+    """Deterministic stable turn ids (reference: seeded content-derived
+    uuids, /root/reference/src/cur-prot/add_uuid.py:33-36): md5 of the
+    composite (conv_id, turn_idx) key."""
+
+    def uid(batch: pd.DataFrame) -> pd.DataFrame:
+        keys = _turn_key(batch["conv_id"], batch["turn_idx"])
+        return pd.DataFrame(
+            {
+                "conv_id": batch["conv_id"],
+                "turn_idx": batch["turn_idx"],
+                "uid": md5_hex(keys.tolist()),
+            }
+        )
+
+    return ds.map_batches(uid, batch_format="pandas")
+
+
 def turn_ids_unique(ds):
     """Global id-uniqueness census (analog of the reference's uuid census,
     /root/reference/src/add_uuid.py:80-85): distributed count vs

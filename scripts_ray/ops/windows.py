@@ -122,6 +122,33 @@ def sessionize_part(df: pd.DataFrame) -> pd.DataFrame:
     return out[["user_id", "session_idx", "n_events", "ts_min", "ts_max"]]
 
 
+def sectionize_part(df: pd.DataFrame) -> pd.DataFrame:
+    """Section splitting on the `§` marker (reference: an element starting
+    with § in its first 4 chars opens a new div,
+    /root/reference/src/cur-prot/split_into_sections.py:49-93): running
+    count of marker turns per conversation, vectorized cumsum."""
+    df = _conv_sorted(df)
+    marker = df["scrubbed_text"].str[:4].str.contains("§", regex=False)
+    sec = marker.groupby(df["conv_id"], sort=False).cumsum()
+    return df.assign(section_idx=sec.astype(np.int64))[
+        ["conv_id", "turn_idx", "section_idx"]
+    ]
+
+
+def system_pairs_part(df: pd.DataFrame) -> pd.DataFrame:
+    """Consecutive-pair extraction: every `system` turn paired with the
+    immediately following turn of the same conversation (reference: intro +
+    next-element pairs for NSP scoring,
+    /root/reference/src/classify_join_intros.py:32-57)."""
+    df = _conv_sorted(df)
+    same_conv = df["conv_id"].eq(df["conv_id"].shift(-1))
+    out = df.assign(
+        next_role=df["role"].shift(-1),
+        next_text=df["text"].shift(-1),
+    ).loc[df["role"].eq("system") & same_conv]
+    return out[["conv_id", "turn_idx", "next_role", "next_text"]]
+
+
 def role_valid_part(df: pd.DataFrame, valid_days: int = ROLE_VALID_DAYS) -> pd.DataFrame:
     """A turn is 'valid' if some `system` turn of the same conversation
     opened a validity window [s_ts, s_ts + valid_days] covering its ts.

@@ -9,6 +9,7 @@ listed in ROWS_ONLY semantics — deterministic, checked by row count.
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 
@@ -136,6 +137,19 @@ def q_role_valid(sf_dir: str):
     return _conv_grouped(sf_dir, windows.role_valid_part)
 
 
+def q_sectionize(sf_dir: str):
+    from .ops.hashagg import map_partitions_by_key
+
+    scrubbed = derive_transcripts_ds(sf_dir).map_batches(
+        scrub_batch, batch_format="pyarrow"
+    )
+    return map_partitions_by_key(scrubbed, "conv_id", windows.sectionize_part)
+
+
+def q_system_pairs(sf_dir: str):
+    return _conv_grouped(sf_dir, windows.system_pairs_part)
+
+
 def q_sessionize(sf_dir: str):
     from .ops.hashagg import map_partitions_by_key
 
@@ -191,6 +205,63 @@ def q_sample_turns(sf_dir: str):
 
 def q_stratified_sample(sf_dir: str):
     return sampling.stratified_sample(derive_transcripts_ds(sf_dir))
+
+
+def q_weighted_sample(sf_dir: str):
+    return sampling.weighted_sample(derive_transcripts_ds(sf_dir))
+
+
+def q_turn_uids(sf_dir: str):
+    return sampling.turn_uids(derive_transcripts_ds(sf_dir))
+
+
+def q_turn_attribution(sf_dir: str):
+    import ray
+
+    from .ops import attribution
+
+    index_ref = ray.put(attribution.build_order_index(sf_dir))
+    return attribution.attribute_turns(derive_transcripts_ds(sf_dir), index_ref)
+
+
+def q_unknown_turns(sf_dir: str):
+    import ray
+
+    from .ops import attribution
+
+    index_ref = ray.put(attribution.build_order_index(sf_dir))
+    return attribution.unknown_turns(
+        attribution.attribute_turns(derive_transcripts_ds(sf_dir), index_ref)
+    )
+
+
+def q_qc_keep_by_role(sf_dir: str):
+    from .ops.hashagg import hash_aggregate
+
+    qf = quality_filter(derive_transcripts_ds(sf_dir), _put_counts(sf_dir))
+
+    def project(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"role": batch["role"], "kept": batch["keep"].astype(np.int64)}
+        )
+
+    agg = hash_aggregate(
+        qf.map_batches(project, batch_format="pandas"),
+        keys="role",
+        aggs={"n_total": ("kept", "count"), "n_keep": ("kept", "sum")},
+    )
+
+    def rates(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.copy()
+        batch["keep_permille"] = np.floor(
+            1000.0 * batch["n_keep"] / batch["n_total"]
+        ).astype(np.int64)
+        batch["post_mean_permille"] = np.floor(
+            1000.0 * (batch["n_keep"] + 1) / (batch["n_total"] + 2)
+        ).astype(np.int64)
+        return batch
+
+    return agg.map_batches(rates, batch_format="pandas")
 
 
 def q_near_dup_jaccard(sf_dir: str):
@@ -298,7 +369,14 @@ QUERIES = {
     "tool_ffill": q_tool_ffill,
     "conv_stats": q_conv_stats,
     "role_valid": q_role_valid,
+    "sectionize": q_sectionize,
+    "system_pairs": q_system_pairs,
     "sessionize": q_sessionize,
+    "turn_attribution": q_turn_attribution,
+    "unknown_turns": q_unknown_turns,
+    "qc_keep_by_role": q_qc_keep_by_role,
+    "weighted_sample": q_weighted_sample,
+    "turn_uids": q_turn_uids,
     "turn_ids_unique": q_turn_ids_unique,
     "dedup_turns": q_dedup_turns,
     "dedup_docs": q_dedup_docs,
@@ -333,7 +411,14 @@ ORACLES = {
     "tool_ffill": sql_ops.TOOL_FFILL_SQL,
     "conv_stats": sql_ops.CONV_STATS_SQL,
     "role_valid": sql_ops.ROLE_VALID_SQL,
+    "sectionize": sql_ops.SECTIONIZE_SQL,
+    "system_pairs": sql_ops.SYSTEM_PAIRS_SQL,
     "sessionize": sql_ops.SESSIONIZE_SQL,
+    "turn_attribution": sql_ops.TURN_ATTRIBUTION_SQL,
+    "unknown_turns": sql_ops.UNKNOWN_TURNS_SQL,
+    "qc_keep_by_role": sql_ops.QC_KEEP_BY_ROLE_SQL,
+    "weighted_sample": sql_ops.WEIGHTED_SAMPLE_SQL,
+    "turn_uids": sql_ops.TURN_UIDS_SQL,
     "turn_ids_unique": sql_ops.TURN_IDS_UNIQUE_SQL,
     "dedup_turns": sql_ops.DEDUP_TURNS_SQL,
     "dedup_docs": sql_ops.DEDUP_DOCS_SQL,

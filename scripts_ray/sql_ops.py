@@ -114,6 +114,98 @@ FROM transcripts t
 """
 )
 
+SECTIONIZE_SQL = (
+    _with(TRANSCRIPTS_CTE, SCRUBBED_CTE)
+    + """
+SELECT conv_id, turn_idx,
+  CAST(sum(CASE WHEN strpos(substr(scrubbed_text, 1, 4), '§') > 0 THEN 1 ELSE 0 END)
+       OVER (PARTITION BY conv_id ORDER BY turn_idx ROWS UNBOUNDED PRECEDING)
+       AS BIGINT) AS section_idx
+FROM scrubbed
+"""
+)
+
+SYSTEM_PAIRS_SQL = (
+    _with(TRANSCRIPTS_CTE)
+    + """
+SELECT conv_id, turn_idx, next_role, next_text FROM (
+  SELECT conv_id, turn_idx, role,
+         lead(role) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS next_role,
+         lead(text) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS next_text
+  FROM transcripts
+) WHERE role = 'system' AND next_role IS NOT NULL
+"""
+)
+
+# ---- attribution: broadcast interval (asof) join + cascade (SURVEY §2.4) ---
+
+TURN_ATTRIBUTION_SQL = (
+    _with(TRANSCRIPTS_CTE)
+    + """
+, nc AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(max(c_custkey) AS BIGINT) AS mx
+         FROM customer),
+probe AS (
+  SELECT t.conv_id, t.turn_idx, CAST(t.ts AS DATE) AS d,
+    CASE WHEN CAST(substr(t.conv_id, 6) AS BIGINT) * 701 + 1 <= nc.mx
+         THEN CAST(substr(t.conv_id, 6) AS BIGINT) * 701 + 1
+         ELSE CAST(substr(t.conv_id, 6) AS BIGINT) % nc.n + 1 END AS custkey,
+    CASE WHEN CAST(substr(t.conv_id, 6) AS BIGINT) * 701 + 1 <= nc.mx
+         THEN 'primary' ELSE 'fallback' END AS probe_type
+  FROM transcripts t CROSS JOIN nc
+),
+best AS (
+  SELECT p.*,
+    (SELECT max(o.o_orderdate) FROM orders o
+     WHERE o.o_custkey = p.custkey AND o.o_orderdate <= p.d
+       AND o.o_orderdate >= p.d - INTERVAL 9000 DAY) AS bd
+  FROM probe p
+)
+SELECT conv_id, turn_idx, custkey,
+  CASE WHEN bd IS NULL THEN 'unknown' ELSE probe_type END AS match_type,
+  CAST(COALESCE(
+    (SELECT max(o2.o_orderkey) FROM orders o2
+     WHERE o2.o_custkey = best.custkey AND o2.o_orderdate = best.bd), -1)
+    AS BIGINT) AS order_key,
+  CAST(date_diff('day', bd, d) AS BIGINT) AS days_since
+FROM best
+"""
+)
+
+UNKNOWN_TURNS_SQL = (
+    TURN_ATTRIBUTION_SQL.replace(
+        """SELECT conv_id, turn_idx, custkey,
+  CASE WHEN bd IS NULL THEN 'unknown' ELSE probe_type END AS match_type,
+  CAST(COALESCE(
+    (SELECT max(o2.o_orderkey) FROM orders o2
+     WHERE o2.o_custkey = best.custkey AND o2.o_orderdate = best.bd), -1)
+    AS BIGINT) AS order_key,
+  CAST(date_diff('day', bd, d) AS BIGINT) AS days_since
+FROM best""",
+        "SELECT conv_id, turn_idx, custkey FROM best WHERE bd IS NULL",
+    )
+)
+
+# ---- QC accuracy aggregate (SURVEY §2.5 A4) --------------------------------
+# Keep-rate per role with the Beta-posterior mean in integer permille — the
+# analog of the reference's correct/incorrect tallies with Beta(c+1, i+1)
+# credible intervals (/root/reference/src/segmentation_accuracy_estimate.py:108-124).
+
+from .sql import _FULL_STACK as _QF_STACK  # noqa: E402
+
+QC_KEEP_BY_ROLE_SQL = (
+    _QF_STACK
+    + """
+SELECT role,
+  CAST(count(*) AS BIGINT) AS n_total,
+  CAST(sum(CASE WHEN drop_reason IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+  CAST(floor(1000.0 * sum(CASE WHEN drop_reason IS NULL THEN 1 ELSE 0 END)
+             / count(*)) AS BIGINT) AS keep_permille,
+  CAST(floor(1000.0 * (sum(CASE WHEN drop_reason IS NULL THEN 1 ELSE 0 END) + 1)
+             / (count(*) + 2)) AS BIGINT) AS post_mean_permille
+FROM final GROUP BY role
+"""
+)
+
 # ---- identity / dedup / sampling (SURVEY §2.6, §2.7) -----------------------
 
 TURN_IDS_UNIQUE_SQL = (
@@ -147,6 +239,21 @@ SAMPLE_TURNS_SQL = (
     + f"""
 SELECT conv_id, turn_idx FROM transcripts
 WHERE md5({_TURN_KEY}) < '0d'
+"""
+)
+
+WEIGHTED_SAMPLE_SQL = (
+    _with(TRANSCRIPTS_CTE)
+    + f"""
+SELECT conv_id, turn_idx FROM transcripts
+WHERE md5({_TURN_KEY}) < (CASE WHEN length(text) >= 200 THEN '40' ELSE '08' END)
+"""
+)
+
+TURN_UIDS_SQL = (
+    _with(TRANSCRIPTS_CTE)
+    + f"""
+SELECT conv_id, turn_idx, md5({_TURN_KEY}) AS uid FROM transcripts
 """
 )
 
