@@ -70,6 +70,38 @@ def ann_cosine(emb_ds, query_ids: np.ndarray, queries: np.ndarray, k: int = 5):
     )
 
 
+def near_dup_pairs(emb_ds, emb_table: pa.Table, min_centipct: int = 40):
+    """Embedding-cosine near-duplicate pairs: all (a < b) with
+    floor(100 * cosine) >= min_centipct. Same broadcast block-pairwise
+    pattern as the token-Jaccard near-dup; scale path = lsh_buckets
+    pruning."""
+    import ray
+
+    ids = emb_table["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    mat = _to_matrix(emb_table["embedding"].combine_chunks())
+    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    ref = ray.put((ids, mat))
+
+    def pairs(batch: pa.Table) -> pd.DataFrame:
+        all_ids, all_mat = ray.get(ref)
+        vecs = _to_matrix(batch["embedding"].combine_chunks())
+        vids = batch["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        vn = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+        sims = vn @ all_mat.T
+        centi = np.floor(100.0 * sims).astype(np.int64)
+        keep = (centi >= min_centipct) & (vids[:, None] < all_ids[None, :])
+        bi, ai = np.nonzero(keep)
+        return pd.DataFrame(
+            {
+                "vec_a": vids[bi],
+                "vec_b": all_ids[ai],
+                "sim_centipct": centi[bi, ai],
+            }
+        )
+
+    return emb_ds.map_batches(pairs, batch_format="pyarrow")
+
+
 def lsh_buckets(emb_ds, n_planes: int = 8, seed: int = 99):
     """Random-hyperplane LSH bucketing (the candidate-pruning scale path):
     emits (bucket, vec_id); vectors sharing a bucket are near-dup/ANN

@@ -324,6 +324,38 @@ def q_ann_cosine(sf_dir: str):
     )
 
 
+def q_near_dup_embedding(sf_dir: str):
+    import pyarrow.parquet as pq
+
+    emb_table = pq.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    return similarity.near_dup_pairs(
+        _read(sf_dir, "embeddings", columns=["vec_id", "embedding"]), emb_table
+    )
+
+
+def q_image_decode(sf_dir: str):
+    from .ops import multimodal
+
+    return multimodal.decode_images(
+        multimodal.docs_as_payloads(
+            _read(sf_dir, "documents", columns=["doc_id", "text"])
+        )
+    ).select_columns(["item_id", "width", "height"])
+
+
+def q_frame_sample(sf_dir: str):
+    from .ops import multimodal
+
+    ds = multimodal.sample_frames(
+        multimodal.docs_as_payloads(
+            _read(sf_dir, "documents", columns=["doc_id", "text"])
+        )
+    )
+    return ds.select_columns(["item_id", "frame_idx"])
+
+
 def q_lsh_buckets(sf_dir: str):
     return similarity.lsh_buckets(
         _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
@@ -392,6 +424,9 @@ QUERIES = {
     "quality_docs": q_quality_docs,
     "binary_meta": q_binary_meta,
     "ann_cosine": q_ann_cosine,
+    "near_dup_embedding": q_near_dup_embedding,
+    "image_decode": q_image_decode,
+    "frame_sample": q_frame_sample,
     "lsh_buckets": q_lsh_buckets,
     "event_agg": q_event_agg,
     "top_users": q_top_users,
@@ -432,6 +467,9 @@ ORACLES = {
     "quality_docs": sql_ops.QUALITY_DOCS_SQL,
     "binary_meta": sql_ops.BINARY_META_SQL,
     "ann_cosine": sql_ops.ANN_COSINE_SQL,
+    "near_dup_embedding": sql_ops.NEAR_DUP_EMBEDDING_SQL,
+    "image_decode": sql_ops.IMAGE_DECODE_SQL,
+    "frame_sample": sql_ops.FRAME_SAMPLE_SQL,
     "event_agg": sql_ops.EVENT_AGG_SQL,
     "top_users": sql_ops.TOP_USERS_SQL,
     "orders_by_segment": sql_ops.ORDERS_BY_SEGMENT_SQL,

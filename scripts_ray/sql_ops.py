@@ -359,6 +359,31 @@ SELECT CAST(query_id AS BIGINT) AS query_id,
 FROM s QUALIFY rank <= 5
 """
 
+NEAR_DUP_EMBEDDING_SQL = """
+SELECT CAST(a.vec_id AS BIGINT) AS vec_a, CAST(b.vec_id AS BIGINT) AS vec_b,
+       CAST(floor(100.0 * list_cosine_similarity(a.embedding, b.embedding))
+            AS BIGINT) AS sim_centipct
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE floor(100.0 * list_cosine_similarity(a.embedding, b.embedding)) >= 40
+"""
+
+# Multimodal plumbing oracles: the decode kernel is the documented
+# deterministic fake (ops/multimodal._fake_decode), so its geometry is
+# restatable in SQL over the payload byte length.
+IMAGE_DECODE_SQL = """
+SELECT doc_id AS item_id,
+  CAST(64 + octet_length(encode(text)) % 193 AS BIGINT) AS width,
+  CAST(64 + (octet_length(encode(text)) // 7) % 129 AS BIGINT) AS height
+FROM documents
+"""
+
+FRAME_SAMPLE_SQL = """
+SELECT doc_id AS item_id,
+  CAST(unnest(range(0, greatest(1, octet_length(encode(text)) // 256), 4))
+       AS BIGINT) AS frame_idx
+FROM documents
+"""
+
 # ---- relational aggregates / joins / top-k (SURVEY §2.4-§2.6) --------------
 
 EVENT_AGG_SQL = """
