@@ -110,6 +110,32 @@ def q_qf_ppl(sf_dir: str):
     )
 
 
+def q_qf_toxicity(sf_dir: str):
+    import numpy as _np
+
+    from .rules import TOX_MARKERS
+    from .tokens import count_tokens_in
+
+    markers = _np.array(TOX_MARKERS, dtype=object)
+
+    def tox(batch: pa.Table) -> pa.Table:
+        n_tox = count_tokens_in(batch["scrubbed_text"].combine_chunks(), markers)
+        return pa.table(
+            {
+                "conv_id": batch["conv_id"],
+                "turn_idx": batch["turn_idx"],
+                "n_tox": pa.array(n_tox, type=pa.int64()),
+                "toxic": pa.array(n_tox > 0, type=pa.bool_()),
+            }
+        )
+
+    return (
+        derive_transcripts_ds(sf_dir)
+        .map_batches(scrub_batch, batch_format="pyarrow")
+        .map_batches(tox, batch_format="pyarrow")
+    )
+
+
 # ---- ordered / window ops --------------------------------------------------
 
 
@@ -395,6 +421,7 @@ QUERIES = {
     "qf_signals": q_qf_signals,
     "qf_langid": q_qf_langid,
     "qf_ppl": q_qf_ppl,
+    "tox_turns": q_qf_toxicity,
     "merge_runs": q_merge_runs,
     "next_after_system": q_next_after_system,
     "pre_system_flags": q_pre_system_flags,
@@ -440,6 +467,7 @@ ORACLES = {
     "qf_signals": sql.QF_SIGNALS_SQL,
     "qf_langid": sql.QF_LANGID_SQL,
     "qf_ppl": sql.QF_PPL_SQL,
+    "tox_turns": sql_ops.QF_TOXICITY_SQL,
     "merge_runs": sql_ops.MERGE_RUNS_SQL,
     "next_after_system": sql_ops.NEXT_AFTER_SYSTEM_SQL,
     "pre_system_flags": sql_ops.PRE_SYSTEM_FLAGS_SQL,

@@ -111,6 +111,10 @@ EN_STOPWORDS = (
     "on", "with", "as",
 )
 
+# Toxicity marker lexicon (engine extension; placeholder word list — the
+# mechanism is a broadcastable lexicon lookup, swap the list for a real one).
+TOX_MARKERS = ("spam", "slow")
+
 # keep/drop prior — the analog of the reference's log([0.8, 0.2]) class prior
 # (/root/reference/src/cur-prot/reclassify.py:23); stored in floored
 # milli-nats so all arithmetic is integer. floor(1000*ln(0.8/0.2)) = 1386.

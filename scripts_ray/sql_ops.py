@@ -18,6 +18,23 @@ _NORM = f"trim(regexp_replace(text, '{R.RE_WHITESPACE}', ' ', 'g'), ' ')"
 _SV_LIST = "[" + ", ".join(f"'{w}'" for w in R.SV_STOPWORDS) + "]"
 _EN_LIST = "[" + ", ".join(f"'{w}'" for w in R.EN_STOPWORDS) + "]"
 
+_TOX_LIST = "[" + ", ".join(f"'{w}'" for w in R.TOX_MARKERS) + "]"
+_SCRUB_TOKS = (
+    f"list_filter(string_split_regex(lower(scrubbed_text), '{R.RE_TOKEN_SEP}'),"
+    " x -> x <> '')"
+)
+
+QF_TOXICITY_SQL = (
+    _with(TRANSCRIPTS_CTE, SCRUBBED_CTE)
+    + f"""
+SELECT conv_id, turn_idx,
+  CAST(length(list_filter({_SCRUB_TOKS}, x -> list_contains({_TOX_LIST}, x)))
+       AS BIGINT) AS n_tox,
+  length(list_filter({_SCRUB_TOKS}, x -> list_contains({_TOX_LIST}, x))) > 0 AS toxic
+FROM scrubbed
+"""
+)
+
 # ---- ordered / window transforms over conversations (SURVEY §2.8) ----------
 
 MERGE_RUNS_SQL = (

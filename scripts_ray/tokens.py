@@ -107,6 +107,21 @@ def token_signals(arr: pa.Array, score_of: "UnigramScores | None" = None) -> dic
     return out
 
 
+def count_tokens_in(arr: pa.Array, words: np.ndarray) -> np.ndarray:
+    """Per-row count of tokens that appear in `words` (object ndarray).
+    Same dictionary-encoded hot path as token_signals."""
+    n = len(arr)
+    lists = tokenize(arr)
+    rows = pc.list_parent_indices(lists).to_numpy(zero_copy_only=False)
+    denc = pc.dictionary_encode(lists.flatten())
+    inv = denc.indices.to_numpy(zero_copy_only=False)
+    vocab = denc.dictionary.to_numpy(zero_copy_only=False)
+    if len(rows) == 0:
+        return np.zeros(n, dtype=np.int64)
+    hit_vocab = np.isin(vocab, words)
+    return np.bincount(rows, weights=hit_vocab[inv], minlength=n).astype(np.int64)
+
+
 class UnigramScores:
     """Integer (floored milli-nat) unigram log-probs with an OOV fallback.
 
