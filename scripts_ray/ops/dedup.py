@@ -78,10 +78,16 @@ class MinHasher:
         """(n, k) signature matrix for a whole batch in one vectorized pass.
         `rows` must be sorted ascending (explode order); rows with no tokens
         get the empty signature."""
-        sigs = np.full((n, self.k), np.iinfo(np.uint64).max, dtype=np.uint64)
         if len(toks) == 0:
+            return np.full((n, self.k), np.iinfo(np.uint64).max, dtype=np.uint64)
+        return self.signatures_from_hashes(rows, token_hashes(toks), n)
+
+    def signatures_from_hashes(
+        self, rows: np.ndarray, th: np.ndarray, n: int
+    ) -> np.ndarray:
+        sigs = np.full((n, self.k), np.iinfo(np.uint64).max, dtype=np.uint64)
+        if len(th) == 0:
             return sigs
-        th = token_hashes(toks)
         with np.errstate(over="ignore"):
             perms = th[:, None] * self.a[None, :] + self.b[None, :]  # (t, k)
         present, starts = np.unique(rows, return_index=True)
@@ -98,21 +104,52 @@ class MinHasher:
         return out
 
 
-def minhash_candidates(docs_ds, hasher: MinHasher | None = None):
-    """MinHash-LSH near-dup candidates: per-doc signature → (band_id,
-    band_hash, doc_id) rows → bucket groupby → intra-bucket pairs →
-    two-level hash aggregate to dedup pairs colliding in several bands."""
+_SHINGLE_MULTS = np.array(
+    [0x9E3779B97F4A7C15, 0xC2B2AE3D27D4EB4F, 0x165667B19E3779F9, 0x27D4EB2F165667C5],
+    dtype=np.uint64,
+)
+
+
+def shingle_hashes(rows: np.ndarray, toks: np.ndarray, n: int = 3):
+    """64-bit hashes of n-token shingles over the ORDERED token stream
+    (rows must be explode order). A shingle is valid only when all n
+    tokens fall in the same row. Vectorized wraparound mix of the n
+    consecutive token hashes."""
+    th = token_hashes(toks)
+    L = len(th)
+    if L < n:
+        return np.array([], dtype=np.int64), np.array([], dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        sh = th[: L - n + 1] * _SHINGLE_MULTS[0]
+        for i in range(1, n):
+            sh = sh ^ (th[i : L - n + 1 + i] * _SHINGLE_MULTS[i % len(_SHINGLE_MULTS)])
+    valid = rows[: L - n + 1] == rows[n - 1 :]
+    return rows[: L - n + 1][valid], sh[valid]
+
+
+def minhash_candidates(docs_ds, hasher: MinHasher | None = None, shingle_n: int = 3):
+    """MinHash-LSH near-dup candidates: per-doc n-token shingles → minhash
+    signature → (band_id, band_hash, doc_id) rows → bucket groupby →
+    intra-bucket pairs → two-level hash aggregate to dedup pairs colliding
+    in several bands. `shingle_n=1` degrades to unigram token sets."""
     hasher = hasher or MinHasher()
 
     def to_bands(batch: pd.DataFrame) -> pd.DataFrame:
         from ..tokens import explode
 
         rows, toks = explode(pa.array(batch["text"].tolist(), type=pa.string()))
-        # unique tokens per row (set semantics for minhash)
-        if len(toks):
-            uniq = pd.DataFrame({"r": rows, "t": toks}).drop_duplicates()
-            rows, toks = uniq["r"].to_numpy(), uniq["t"].to_numpy()
-        sigs = hasher.signatures(rows, toks, len(batch))
+        if shingle_n > 1:
+            srows, sh = shingle_hashes(rows, toks, shingle_n)
+            if len(sh):
+                uniq = pd.DataFrame({"r": srows, "h": sh}).drop_duplicates()
+                srows, sh = uniq["r"].to_numpy(), uniq["h"].to_numpy()
+            sigs = hasher.signatures_from_hashes(srows, sh, len(batch))
+        else:
+            # unique tokens per row (set semantics for minhash)
+            if len(toks):
+                uniq = pd.DataFrame({"r": rows, "t": toks}).drop_duplicates()
+                rows, toks = uniq["r"].to_numpy(), uniq["t"].to_numpy()
+            sigs = hasher.signatures(rows, toks, len(batch))
         keys = hasher.band_keys_matrix(sigs)  # (n, bands)
         n, bands = keys.shape
         doc_ids = np.repeat(batch["doc_id"].to_numpy().astype(np.int64), bands)

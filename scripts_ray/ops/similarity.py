@@ -102,24 +102,81 @@ def near_dup_pairs(emb_ds, emb_table: pa.Table, min_centipct: int = 40):
     return emb_ds.map_batches(pairs, batch_format="pyarrow")
 
 
+def _plane_matrix(dim: int, n_planes: int, seed: int) -> np.ndarray:
+    return np.random.default_rng(seed).standard_normal((dim, n_planes))
+
+
+def _bucket_of(vecs: np.ndarray, planes: np.ndarray) -> np.ndarray:
+    bits = (vecs @ planes) > 0
+    return (bits * (1 << np.arange(planes.shape[1]))).sum(axis=1).astype(np.int64)
+
+
 def lsh_buckets(emb_ds, n_planes: int = 8, seed: int = 99):
     """Random-hyperplane LSH bucketing (the candidate-pruning scale path):
     emits (bucket, vec_id); vectors sharing a bucket are near-dup/ANN
     candidates. Deterministic planes from the seed; plane matrix broadcast
     via closure capture (tiny)."""
-    rng = np.random.default_rng(seed)
     planes: dict[int, np.ndarray] = {}
 
     def bucketize(batch: pa.Table) -> pd.DataFrame:
         vecs = _to_matrix(batch["embedding"].combine_chunks())
         dim = vecs.shape[1]
         if dim not in planes:
-            planes[dim] = np.random.default_rng(seed).standard_normal((dim, n_planes))
-        bits = (vecs @ planes[dim]) > 0
-        bucket = (bits * (1 << np.arange(n_planes))).sum(axis=1).astype(np.int64)
+            planes[dim] = _plane_matrix(dim, n_planes, seed)
+        bucket = _bucket_of(vecs, planes[dim])
         return pd.DataFrame(
             {"bucket": bucket,
              "vec_id": batch["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)}
         )
 
     return emb_ds.map_batches(bucketize, batch_format="pyarrow")
+
+
+def ann_lsh(emb_ds, query_ids: np.ndarray, queries: np.ndarray,
+            k: int = 5, n_planes: int = 4, seed: int = 99):
+    """LSH-bucketed ANN — the scale path composed end-to-end: queries are
+    bucketed once on the driver (tiny side), each vector batch is bucketed
+    with the same hyperplanes and compared ONLY against queries sharing its
+    bucket, then the per-batch local top-k merges to the global top-k. With
+    few planes this prunes the candidate set ~2^n_planes-fold at a small
+    recall cost vs the exact ann_cosine baseline."""
+    import ray
+
+    qnorm = queries / np.linalg.norm(queries, axis=1, keepdims=True)
+    planes = _plane_matrix(queries.shape[1], n_planes, seed)
+    qbuckets = _bucket_of(qnorm, planes)
+    ref = ray.put((query_ids, qnorm, qbuckets, planes))
+
+    def candidates(batch: pa.Table) -> pd.DataFrame:
+        qids, qn, qb, pl = ray.get(ref)
+        vecs = _to_matrix(batch["embedding"].combine_chunks())
+        vids = batch["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        vn = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+        vb = _bucket_of(vn, pl)
+        out_q, out_v, out_s = [], [], []
+        for j, qid in enumerate(qids):
+            cand = np.nonzero((vb == qb[j]) & (vids != qid))[0]
+            if len(cand) == 0:
+                continue
+            sims = vn[cand] @ qn[j]
+            top = cand[np.argsort(-sims, kind="stable")[:k]]
+            out_q.extend([int(qid)] * len(top))
+            out_v.extend(vids[top])
+            out_s.extend(vn[top] @ qn[j])
+        return pd.DataFrame(
+            {"query_id": np.array(out_q, dtype=np.int64),
+             "neighbor_id": np.array(out_v, dtype=np.int64),
+             "sim": np.array(out_s, dtype=np.float64)}
+        )
+
+    def merge_topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["sim", "neighbor_id"], ascending=[False, True],
+                          kind="mergesort").head(k)
+        g = g.assign(rank=np.arange(1, len(g) + 1, dtype=np.int64))
+        return g[["query_id", "rank", "neighbor_id"]]
+
+    return (
+        emb_ds.map_batches(candidates, batch_format="pyarrow")
+        .groupby("query_id")
+        .map_groups(merge_topk, batch_format="pandas")
+    )

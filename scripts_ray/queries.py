@@ -388,6 +388,13 @@ def q_lsh_buckets(sf_dir: str):
     )
 
 
+def q_ann_lsh(sf_dir: str):
+    qids, qvecs = similarity.load_queries(sf_dir)
+    return similarity.ann_lsh(
+        _read(sf_dir, "embeddings", columns=["vec_id", "embedding"]), qids, qvecs
+    )
+
+
 # ---- relational ------------------------------------------------------------
 
 
@@ -455,6 +462,7 @@ QUERIES = {
     "image_decode": q_image_decode,
     "frame_sample": q_frame_sample,
     "lsh_buckets": q_lsh_buckets,
+    "ann_lsh": q_ann_lsh,
     "event_agg": q_event_agg,
     "top_users": q_top_users,
     "orders_by_segment": q_orders_by_segment,
