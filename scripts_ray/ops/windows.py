@@ -149,6 +149,47 @@ def system_pairs_part(df: pd.DataFrame) -> pd.DataFrame:
     return out[["conv_id", "turn_idx", "next_role", "next_text"]]
 
 
+def merge_intro_pairs_part(df: pd.DataFrame) -> pd.DataFrame:
+    """Pair-merge rewrite (reference: predicted intro pairs merged with
+    hyphen-aware concatenation and the second element deleted,
+    /root/reference/src/classify_join_intros.py:127-165): every `system`
+    turn immediately followed by an `assistant` turn absorbs that turn's
+    text — no space when the first text ends with '-', else space-joined —
+    and the absorbed row is dropped. Row-count-changing ordered rewrite;
+    pairs are disjoint because the absorbed row is never a `system` turn."""
+    df = _conv_sorted(df)
+    same_next = df["conv_id"].eq(df["conv_id"].shift(-1))
+    absorbs = df["role"].eq("system") & df["role"].shift(-1).eq("assistant") & same_next
+    absorbed = absorbs.shift(1, fill_value=False)
+    next_text = df["text"].shift(-1)
+    joiner = np.where(df["text"].str.endswith("-"), "", " ")
+    merged = np.where(
+        absorbs, df["text"] + pd.Series(joiner, index=df.index) + next_text, df["text"]
+    )
+    out = df.assign(text=merged).loc[~absorbed]
+    return out[["conv_id", "turn_idx", "role", "text"]]
+
+
+def modal_role_part(df: pd.DataFrame) -> pd.DataFrame:
+    """Group-mode with tie-drop (reference: most-frequent page per element,
+    ambiguous rows removed entirely via drop_duplicates(keep=False),
+    /root/reference/src/add_modern_pagenumbers.py:119-125): the most
+    frequent role per conversation; conversations whose maximum is tied
+    are dropped."""
+    c = (
+        df.groupby(["conv_id", "role"], sort=False)
+        .size()
+        .rename("n")
+        .reset_index()
+    )
+    mx = c.groupby("conv_id", sort=False)["n"].transform("max")
+    top = c.loc[c["n"] == mx]
+    uniq = top[top.groupby("conv_id", sort=False)["n"].transform("size").eq(1)]
+    out = uniq.rename(columns={"role": "modal_role"})
+    out = out.assign(n=out["n"].astype(np.int64))
+    return out[["conv_id", "modal_role", "n"]]
+
+
 def role_valid_part(df: pd.DataFrame, valid_days: int = ROLE_VALID_DAYS) -> pd.DataFrame:
     """A turn is 'valid' if some `system` turn of the same conversation
     opened a validity window [s_ts, s_ts + valid_days] covering its ts.

@@ -176,6 +176,14 @@ def q_system_pairs(sf_dir: str):
     return _conv_grouped(sf_dir, windows.system_pairs_part)
 
 
+def q_merge_intro_pairs(sf_dir: str):
+    return _conv_grouped(sf_dir, windows.merge_intro_pairs_part)
+
+
+def q_modal_role(sf_dir: str):
+    return _conv_grouped(sf_dir, windows.modal_role_part)
+
+
 def q_sessionize(sf_dir: str):
     from .ops.hashagg import map_partitions_by_key
 
@@ -437,6 +445,8 @@ QUERIES = {
     "role_valid": q_role_valid,
     "sectionize": q_sectionize,
     "system_pairs": q_system_pairs,
+    "merge_intro_pairs": q_merge_intro_pairs,
+    "modal_role": q_modal_role,
     "sessionize": q_sessionize,
     "turn_attribution": q_turn_attribution,
     "unknown_turns": q_unknown_turns,
@@ -484,6 +494,8 @@ ORACLES = {
     "role_valid": sql_ops.ROLE_VALID_SQL,
     "sectionize": sql_ops.SECTIONIZE_SQL,
     "system_pairs": sql_ops.SYSTEM_PAIRS_SQL,
+    "merge_intro_pairs": sql_ops.MERGE_INTRO_PAIRS_SQL,
+    "modal_role": sql_ops.MODAL_ROLE_SQL,
     "sessionize": sql_ops.SESSIONIZE_SQL,
     "turn_attribution": sql_ops.TURN_ATTRIBUTION_SQL,
     "unknown_turns": sql_ops.UNKNOWN_TURNS_SQL,

@@ -154,6 +154,42 @@ SELECT conv_id, turn_idx, next_role, next_text FROM (
 """
 )
 
+MERGE_INTRO_PAIRS_SQL = (
+    _with(TRANSCRIPTS_CTE)
+    + """
+, l AS (
+  SELECT conv_id, turn_idx, role, text,
+         lead(role) OVER w AS next_role,
+         lead(text) OVER w AS next_text,
+         lag(role)  OVER w AS prev_role
+  FROM transcripts
+  WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
+)
+SELECT conv_id, turn_idx, role,
+  CASE WHEN role = 'system' AND next_role = 'assistant'
+       THEN text || (CASE WHEN text LIKE '%-' THEN '' ELSE ' ' END) || next_text
+       ELSE text END AS text
+FROM l
+WHERE NOT (role = 'assistant' AND COALESCE(prev_role, '') = 'system')
+"""
+)
+
+MODAL_ROLE_SQL = (
+    _with(TRANSCRIPTS_CTE)
+    + """
+, c AS (
+  SELECT conv_id, role, CAST(count(*) AS BIGINT) AS n
+  FROM transcripts GROUP BY 1, 2
+),
+m AS (
+  SELECT c.*, max(n) OVER (PARTITION BY conv_id) AS mx FROM c
+),
+top AS (SELECT * FROM m WHERE n = mx)
+SELECT conv_id, role AS modal_role, n FROM top
+WHERE conv_id IN (SELECT conv_id FROM top GROUP BY conv_id HAVING count(*) = 1)
+"""
+)
+
 # ---- attribution: broadcast interval (asof) join + cascade (SURVEY §2.4) ---
 
 TURN_ATTRIBUTION_SQL = (
