@@ -116,7 +116,15 @@ def run_bench() -> dict:
     secondary = (
         []
         if os.environ.get("GRAFT_BENCH_HEADLINE_ONLY")
-        else ["word_freq", "event_agg", "sessionize", "dedup_turns", "ann_cosine"]
+        else [
+            "word_freq",
+            "event_agg",
+            "sessionize",
+            "dedup_turns",
+            "ann_cosine",
+            "turn_attribution",
+            "sectionize",
+        ]
     )
     for name in secondary:
         t0 = time.time()
