@@ -6,9 +6,11 @@
 
 Headline = flagship quality-filter pipeline end-to-end over the transcripts
 corpus derived from $GRAFT_SF_DIR (default /root/testdata/sf0.1), amplified
-by $GRAFT_BENCH_REPLICATE deterministic replicas (default 5 → ~500k turns
-at sf0.1). `--scaling` runs the same job in fresh processes at 8 and 32
-CPUs and reports throughput at both plus scaling efficiency.
+by $GRAFT_BENCH_REPLICATE deterministic replicas (default 40 → ~4M turns
+at sf0.1; amplification is materialized once, untimed). `--scaling` runs
+the same job in fresh processes at 8 and 32 CPUs on identical input
+(default ×80 → 8M turns) and reports throughput at both plus scaling
+efficiency.
 """
 
 from __future__ import annotations
@@ -21,7 +23,7 @@ import time
 
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NCPU = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
-REPLICATE = int(os.environ.get("GRAFT_BENCH_REPLICATE", "5"))
+REPLICATE = int(os.environ.get("GRAFT_BENCH_REPLICATE", "40"))
 
 
 def prepare_transcripts(sf_dir: str, replicate: int = 1) -> str:
