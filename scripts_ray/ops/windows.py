@@ -149,6 +149,18 @@ def system_pairs_part(df: pd.DataFrame) -> pd.DataFrame:
     return out[["conv_id", "turn_idx", "next_role", "next_text"]]
 
 
+def first_last_flags_part(df: pd.DataFrame) -> pd.DataFrame:
+    """First/last-in-group flags (reference: delete `prev` on the first and
+    `next` on the last utterance of each div,
+    /root/reference/src/cur-prot/split_into_sections.py:28-46,111-117)."""
+    df = _conv_sorted(df)
+    first = df["conv_id"].ne(df["conv_id"].shift())
+    last = df["conv_id"].ne(df["conv_id"].shift(-1))
+    return df.assign(is_first=first, is_last=last)[
+        ["conv_id", "turn_idx", "is_first", "is_last"]
+    ]
+
+
 def merge_intro_pairs_part(df: pd.DataFrame) -> pd.DataFrame:
     """Pair-merge rewrite (reference: predicted intro pairs merged with
     hyphen-aware concatenation and the second element deleted,

@@ -176,6 +176,24 @@ def q_system_pairs(sf_dir: str):
     return _conv_grouped(sf_dir, windows.system_pairs_part)
 
 
+def q_first_last_flags(sf_dir: str):
+    return _conv_grouped(sf_dir, windows.first_last_flags_part)
+
+
+def q_docs_by_source(sf_dir: str):
+    from .ops.hashagg import hash_aggregate
+
+    return hash_aggregate(
+        _read(sf_dir, "documents", columns=["source", "lang", "n_chars"]),
+        keys=["source", "lang"],
+        aggs={
+            "n_docs": ("n_chars", "count"),
+            "sum_chars": ("n_chars", "sum"),
+            "max_chars": ("n_chars", "max"),
+        },
+    )
+
+
 def q_merge_intro_pairs(sf_dir: str):
     return _conv_grouped(sf_dir, windows.merge_intro_pairs_part)
 
@@ -447,6 +465,8 @@ QUERIES = {
     "system_pairs": q_system_pairs,
     "merge_intro_pairs": q_merge_intro_pairs,
     "modal_role": q_modal_role,
+    "first_last_flags": q_first_last_flags,
+    "docs_by_source": q_docs_by_source,
     "sessionize": q_sessionize,
     "turn_attribution": q_turn_attribution,
     "unknown_turns": q_unknown_turns,
@@ -496,6 +516,8 @@ ORACLES = {
     "system_pairs": sql_ops.SYSTEM_PAIRS_SQL,
     "merge_intro_pairs": sql_ops.MERGE_INTRO_PAIRS_SQL,
     "modal_role": sql_ops.MODAL_ROLE_SQL,
+    "first_last_flags": sql_ops.FIRST_LAST_FLAGS_SQL,
+    "docs_by_source": sql_ops.DOCS_BY_SOURCE_SQL,
     "sessionize": sql_ops.SESSIONIZE_SQL,
     "turn_attribution": sql_ops.TURN_ATTRIBUTION_SQL,
     "unknown_turns": sql_ops.UNKNOWN_TURNS_SQL,

@@ -154,6 +154,24 @@ SELECT conv_id, turn_idx, next_role, next_text FROM (
 """
 )
 
+FIRST_LAST_FLAGS_SQL = (
+    _with(TRANSCRIPTS_CTE)
+    + """
+SELECT conv_id, turn_idx,
+  turn_idx = min(turn_idx) OVER (PARTITION BY conv_id) AS is_first,
+  turn_idx = max(turn_idx) OVER (PARTITION BY conv_id) AS is_last
+FROM transcripts
+"""
+)
+
+DOCS_BY_SOURCE_SQL = """
+SELECT source, lang,
+  CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+  CAST(max(n_chars) AS BIGINT) AS max_chars
+FROM documents GROUP BY 1, 2
+"""
+
 MERGE_INTRO_PAIRS_SQL = (
     _with(TRANSCRIPTS_CTE)
     + """
