@@ -76,8 +76,15 @@ def attribute_turns(turns_ds, index_ref):
 
     def probe(batch: pa.Table) -> pa.Table:
         comb, dim_day, dim_key, n_cust, max_ck = ray.get(index_ref)
-        conv = batch["conv_id"].combine_chunks().to_numpy(zero_copy_only=False)
-        u = np.array([int(c[5:]) for c in conv], dtype=np.int64)
+        import pyarrow.compute as pc
+
+        u = (
+            pc.cast(
+                pc.utf8_slice_codeunits(batch["conv_id"].combine_chunks(), 5),
+                pa.int64(),
+            )
+            .to_numpy(zero_copy_only=False)
+        )
         primary = PRIMARY_STRIDE * u + 1
         is_primary = primary <= max_ck
         ck = np.where(is_primary, primary, u % n_cust + 1)
