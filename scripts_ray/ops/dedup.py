@@ -211,6 +211,52 @@ def simhash_docs(docs_ds):
     return docs_ds.map_batches(sim, batch_format="pandas")
 
 
+def simhash_candidates(docs_ds, bands: int = 4):
+    """SimHash near-dup candidates via bit-band LSH: the 64-bit simhash is
+    split into `bands` contiguous bit slices; documents sharing any slice
+    value are candidates (Hamming distance ≤ 64 - 64/bands guaranteed ≥ one
+    identical band by pigeonhole). Same bucket-groupby → intra-bucket pair
+    → hash-aggregate shape as MinHash."""
+    assert 64 % bands == 0
+    width = 64 // bands
+    mask = np.uint64((1 << width) - 1)
+
+    def to_bands(batch: pd.DataFrame) -> pd.DataFrame:
+        sims = batch["simhash"].apply(lambda h: np.uint64(int(h, 16)))
+        sims = sims.to_numpy(dtype=np.uint64)
+        n = len(sims)
+        band_ids = np.tile(np.arange(bands, dtype=np.int64), n)
+        shifts = (np.arange(bands, dtype=np.uint64) * np.uint64(width))[None, :]
+        keys = ((sims[:, None] >> shifts) & mask).ravel().astype(np.int64)
+        return pd.DataFrame(
+            {
+                "band_id": band_ids,
+                "band_hash": keys,
+                "doc_id": np.repeat(batch["doc_id"].to_numpy(), bands),
+            }
+        )
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        ids = np.sort(g["doc_id"].unique())
+        if len(ids) < 2:
+            return pd.DataFrame(
+                {"doc_a": np.array([], dtype=np.int64),
+                 "doc_b": np.array([], dtype=np.int64)}
+            )
+        a, b = np.triu_indices(len(ids), k=1)
+        return pd.DataFrame({"doc_a": ids[a], "doc_b": ids[b]})
+
+    pairs = (
+        simhash_docs(docs_ds)
+        .map_batches(to_bands, batch_format="pandas")
+        .groupby(["band_id", "band_hash"])
+        .map_groups(bucket_pairs, batch_format="pandas")
+    )
+    return hash_aggregate(
+        pairs, keys=["doc_a", "doc_b"], aggs={"n_bands": ("doc_a", "count")}
+    )
+
+
 def jaccard_pairs(docs_ds, doc_table: pa.Table, threshold_num=2, threshold_den=1):
     """Token-set Jaccard near-dup pairs via broadcast set-matrix blocks:
     each batch's docs are compared against ALL docs (broadcast bool matrix,

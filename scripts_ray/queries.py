@@ -333,6 +333,12 @@ def q_simhash_docs(sf_dir: str):
     return dedup.simhash_docs(_read(sf_dir, "documents", columns=["doc_id", "text"]))
 
 
+def q_simhash_pairs(sf_dir: str):
+    return dedup.simhash_candidates(
+        _read(sf_dir, "documents", columns=["doc_id", "text"])
+    )
+
+
 # ---- text analysis ---------------------------------------------------------
 
 
@@ -481,6 +487,7 @@ QUERIES = {
     "near_dup_jaccard": q_near_dup_jaccard,
     "near_dup_minhash": q_near_dup_minhash,
     "simhash_docs": q_simhash_docs,
+    "simhash_pairs": q_simhash_pairs,
     "word_freq": q_word_freq,
     "kwic": q_kwic,
     "doc_stats": q_doc_stats,
