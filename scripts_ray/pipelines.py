@@ -153,6 +153,35 @@ def quality_filter(
     return finalize_partitions(scored, ordered_pass)
 
 
+def run_stages(ds, stage_names, counts_ref, *, num_partitions=64):
+    """Declared stage chaining — the engine analog of the reference's
+    ordered stage list (/root/reference/src/cur-prot/post-pipeline.py:4-16,
+    135-146): a pipeline is an ordered list of NAMED stages applied to one
+    Dataset. Stages compose lazily; nothing materializes between them."""
+    from .ops.hashagg import map_partitions_by_key
+
+    registry = {
+        "scrub": lambda d: d.map_batches(scrub_batch, batch_format="pyarrow"),
+        "score": lambda d: d.map_batches(
+            Scorer,
+            fn_constructor_args=(counts_ref,),
+            batch_format="pyarrow",
+            batch_size=4096,
+            concurrency=(1, 4),
+            num_cpus=1,
+        ),
+        "gate": lambda d: d.map_batches(gate_batch, batch_format="pyarrow"),
+        "ordered": lambda d: map_partitions_by_key(
+            d, "conv_id", ordered_pass, num_partitions=num_partitions
+        ),
+    }
+    for name in stage_names:
+        if name not in registry:
+            raise KeyError(f"unknown stage: {name!r} (have {sorted(registry)})")
+        ds = registry[name](ds)
+    return ds
+
+
 def build_model_counts(sf_dir: str) -> dict[str, int]:
     """Unigram counts from the `documents` table (the 'pretrained' LM corpus,
     analog of the fastText embedding corpus the reference loads,

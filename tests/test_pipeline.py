@@ -87,3 +87,26 @@ def test_synth_transcripts_deterministic_and_skewed():
     assert a.equals(b)
     lens = pd.Series(a["conv_id"].to_pandas()).value_counts()
     assert lens.min() >= 5
+
+
+def test_stage_list_equals_flagship(ray_session, sf_dir, expected):
+    """The declared stage-list surface composes to the same result as the
+    fused flagship DAG."""
+    counts, exp = expected
+    out = pipelines.run_stages(
+        sources.derive_transcripts_ds(sf_dir),
+        ["scrub", "score", "gate", "ordered"],
+        ray_session.put(counts),
+    )
+    _assert_frames_equal(_norm(out.to_pandas()), exp)
+
+
+def test_scrub_is_idempotent(sf_dir):
+    """In-place-rewrite analog: re-running the scrub chain over its own
+    output is a no-op (the reference rewrites files in place idempotently)."""
+    from scripts_ray.rules import scrub_text
+
+    texts = sources.derive_transcripts_table(sf_dir)["text"].combine_chunks()
+    once = scrub_text(texts)
+    twice = scrub_text(once)
+    assert once.equals(twice)
