@@ -129,6 +129,38 @@ class ScrubScoreGate(Scorer):
         return out.append_column("_part", pa.array(part))
 
 
+def ordered_pass_arrow(part: pa.Table) -> pa.Table:
+    """Arrow-native ordered finalize over a whole hash partition: same
+    semantics as `ordered_pass` without a pandas round-trip. conv_id is
+    dictionary-encoded once (C); per-conversation first-system turns are
+    computed with np.minimum.at over the int32 codes; the stable
+    (conv_id, turn_idx) emit order is one integer lexsort + one take."""
+    import pyarrow.compute as pc
+
+    codes_arr = pc.dictionary_encode(part["conv_id"].combine_chunks())
+    codes = codes_arr.indices.to_numpy(zero_copy_only=False)
+    n_convs = len(codes_arr.dictionary)
+    turn = part["turn_idx"].combine_chunks().to_numpy(zero_copy_only=False)
+    role = part["role"].combine_chunks()
+    keep = part["keep"].combine_chunks().to_numpy(zero_copy_only=False)
+
+    is_sys = pc.equal(role, "system").to_numpy(zero_copy_only=False)
+    first_sys = np.full(n_convs, np.iinfo(np.int64).max, dtype=np.int64)
+    np.minimum.at(first_sys, codes[is_sys], turn[is_sys].astype(np.int64))
+    is_asst = pc.equal(role, "assistant").to_numpy(zero_copy_only=False)
+    demote = (turn < first_sys[codes]) & is_asst & keep
+
+    new_keep = keep & ~demote
+    reason = part["drop_reason"].combine_chunks()
+    reason = pc.if_else(pa.array(demote), pa.scalar("pre_system"), reason)
+
+    out = part.set_column(
+        part.schema.get_field_index("keep"), "keep", pa.array(new_keep)
+    ).set_column(part.schema.get_field_index("drop_reason"), "drop_reason", reason)
+    order = np.lexsort((turn, codes))
+    return out.select(OUT_COLS).take(pa.array(order))
+
+
 def quality_filter(
     ds,
     counts_ref,
@@ -140,7 +172,6 @@ def quality_filter(
     """Compose the flagship DAG over a transcripts Dataset. The one
     all-to-all exchange is the hash partition on conv_id feeding the
     ordered finalize."""
-    from .ops.hashagg import finalize_partitions
 
     scored = ds.map_batches(
         ScrubScoreGate,
@@ -150,7 +181,11 @@ def quality_filter(
         concurrency=score_concurrency,
         num_cpus=1,
     )
-    return finalize_partitions(scored, ordered_pass)
+
+    def run(part: pa.Table) -> pa.Table:
+        return ordered_pass_arrow(part.drop_columns(["_part"]))
+
+    return scored.groupby("_part").map_groups(run, batch_format="pyarrow")
 
 
 def run_stages(ds, stage_names, counts_ref, *, num_partitions=64):
