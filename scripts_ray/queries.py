@@ -176,6 +176,39 @@ def q_system_pairs(sf_dir: str):
     return _conv_grouped(sf_dir, windows.system_pairs_part)
 
 
+def q_corpus_stats(sf_dir: str):
+    """Global dashboard stats (reference: per-corpus record/speech/word
+    tallies, /root/reference/src/stats-dashboard/generate-markdown.py:103-156):
+    per-batch partial counts summed by a single tiny aggregate."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "n_turns": [np.int64(len(batch))],
+                "n_words": [
+                    np.int64(batch["text"].str.count(r"\S+").sum())
+                ],
+                "n_sys": [np.int64(batch["role"].eq("system").sum())],
+            }
+        )
+
+    agg = (
+        derive_transcripts_ds(sf_dir)
+        .map_batches(partial, batch_format="pandas")
+        .sum(["n_turns", "n_words", "n_sys"])
+    )
+    n_convs = derive_transcripts_ds(sf_dir).unique("conv_id")
+    return pd.DataFrame(
+        {
+            "n_turns": [np.int64(agg["sum(n_turns)"])],
+            "n_words": [np.int64(agg["sum(n_words)"])],
+            "n_sys": [np.int64(agg["sum(n_sys)"])],
+            "n_convs": [np.int64(len(n_convs))],
+        }
+    )
+
+
 def q_first_last_flags(sf_dir: str):
     return _conv_grouped(sf_dir, windows.first_last_flags_part)
 
@@ -473,6 +506,7 @@ QUERIES = {
     "modal_role": q_modal_role,
     "first_last_flags": q_first_last_flags,
     "docs_by_source": q_docs_by_source,
+    "corpus_stats": q_corpus_stats,
     "sessionize": q_sessionize,
     "turn_attribution": q_turn_attribution,
     "unknown_turns": q_unknown_turns,
@@ -525,6 +559,7 @@ ORACLES = {
     "modal_role": sql_ops.MODAL_ROLE_SQL,
     "first_last_flags": sql_ops.FIRST_LAST_FLAGS_SQL,
     "docs_by_source": sql_ops.DOCS_BY_SOURCE_SQL,
+    "corpus_stats": sql_ops.CORPUS_STATS_SQL,
     "sessionize": sql_ops.SESSIONIZE_SQL,
     "turn_attribution": sql_ops.TURN_ATTRIBUTION_SQL,
     "unknown_turns": sql_ops.UNKNOWN_TURNS_SQL,

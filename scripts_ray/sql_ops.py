@@ -154,6 +154,17 @@ SELECT conv_id, turn_idx, next_role, next_text FROM (
 """
 )
 
+CORPUS_STATS_SQL = (
+    _with(TRANSCRIPTS_CTE)
+    + rf"""
+SELECT CAST(count(*) AS BIGINT) AS n_turns,
+  CAST(sum(length({_WS_TOKS})) AS BIGINT) AS n_words,
+  CAST(sum(CASE WHEN role = 'system' THEN 1 ELSE 0 END) AS BIGINT) AS n_sys,
+  CAST(count(DISTINCT conv_id) AS BIGINT) AS n_convs
+FROM transcripts
+"""
+)
+
 FIRST_LAST_FLAGS_SQL = (
     _with(TRANSCRIPTS_CTE)
     + """
