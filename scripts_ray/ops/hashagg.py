@@ -157,6 +157,59 @@ def finalize_partitions(tagged_ds, fn):
     return tagged_ds.groupby("_part").map_groups(run, batch_format="pandas")
 
 
+def hash_join(
+    left_ds,
+    right_ds,
+    on: str | list[str],
+    right_on: str | list[str] | None = None,
+    how: str = "inner",
+    num_partitions: int = DEFAULT_PARTITIONS,
+):
+    """Distributed hash join on the same two-level exchange (Ray 2.49's
+    native ``Dataset.join`` relies on the hash-shuffle backend that hangs
+    in local mode). Both sides are tagged with the same deterministic key
+    partition id and a side marker, unioned, exchanged once, and merged
+    per partition with a vectorized pandas merge. Use ONLY when both sides
+    are large — a dimension-sized right side should be broadcast
+    (``ray.put`` + map-side lookup) instead of shuffled."""
+    on = [on] if isinstance(on, str) else list(on)
+    right_on = on if right_on is None else (
+        [right_on] if isinstance(right_on, str) else list(right_on)
+    )
+    if how not in ("inner", "left"):
+        raise ValueError(f"unsupported join type: {how!r}")
+
+    left_cols = left_ds.schema().names
+    right_cols = right_ds.schema().names
+    all_cols = list(dict.fromkeys(left_cols + right_cols))
+
+    def tag_side(keys: list[str], side: int):
+        def tag(batch: pd.DataFrame) -> pd.DataFrame:
+            # nullable dtypes: the union pads each side with the other's
+            # columns as NA, which must not coerce ints to floats
+            out = batch.convert_dtypes().reindex(columns=all_cols)
+            out["_part"] = _part_ids(batch, keys, num_partitions)
+            out["_side"] = np.int8(side)
+            return out
+
+        return tag
+
+    unioned = left_ds.map_batches(tag_side(on, 0), batch_format="pandas").union(
+        right_ds.map_batches(tag_side(right_on, 1), batch_format="pandas")
+    )
+
+    def merge(part: pd.DataFrame) -> pd.DataFrame:
+        part = part.reset_index(drop=True)
+        left = part.loc[part["_side"] == 0, left_cols]
+        right = part.loc[part["_side"] == 1, right_cols]
+        return left.merge(right, how=how, left_on=on, right_on=right_on)
+
+    return (
+        unioned.groupby("_part")
+        .map_groups(merge, batch_format="pandas")
+    )
+
+
 def distinct(ds, keys: str | list[str], num_partitions: int = DEFAULT_PARTITIONS):
     """Distributed DISTINCT over `keys` (per-batch dedup, then per-partition
     dedup — same two-level shape as hash_aggregate)."""

@@ -480,6 +480,21 @@ def q_orders_by_segment(sf_dir: str):
     )
 
 
+def q_orders_join_dist(sf_dir: str):
+    """Distributed shuffle join (both sides exchanged) — contrast with
+    orders_by_segment, which broadcasts the dimension side."""
+    from .ops.hashagg import hash_join
+
+    joined = hash_join(
+        _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_totalprice"]),
+        _read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"]),
+        on="o_custkey",
+        right_on="c_custkey",
+        how="inner",
+    )
+    return joined.select_columns(["o_orderkey", "o_totalprice", "c_mktsegment"])
+
+
 def q_q1_counts(sf_dir: str):
     return relational.q1_counts(
         _read(sf_dir, "lineitem",
@@ -537,6 +552,7 @@ QUERIES = {
     "event_agg": q_event_agg,
     "top_users": q_top_users,
     "orders_by_segment": q_orders_by_segment,
+    "orders_join_dist": q_orders_join_dist,
     "q1_counts": q_q1_counts,
 }
 
@@ -585,6 +601,7 @@ ORACLES = {
     "event_agg": sql_ops.EVENT_AGG_SQL,
     "top_users": sql_ops.TOP_USERS_SQL,
     "orders_by_segment": sql_ops.ORDERS_BY_SEGMENT_SQL,
+    "orders_join_dist": sql_ops.ORDERS_JOIN_DIST_SQL,
     "q1_counts": sql_ops.Q1_COUNTS_SQL,
     # rows-only (hash-based sketches, not SQL-expressible):
     # near_dup_minhash, simhash_docs, lsh_buckets

@@ -487,6 +487,11 @@ FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
 GROUP BY 1
 """
 
+ORDERS_JOIN_DIST_SQL = """
+SELECT o.o_orderkey, o.o_totalprice, c.c_mktsegment
+FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+"""
+
 Q1_COUNTS_SQL = """
 SELECT l_returnflag, l_linestatus,
        CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
