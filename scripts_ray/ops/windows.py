@@ -149,6 +149,20 @@ def system_pairs_part(df: pd.DataFrame) -> pd.DataFrame:
     return out[["conv_id", "turn_idx", "next_role", "next_text"]]
 
 
+def conv_document_part(df: pd.DataFrame) -> pd.DataFrame:
+    """Document reconstruction: all turns of a conversation concatenated in
+    turn order (the engine's analog of re-serializing a protocol,
+    /root/reference/src/merge_utterances.py:28-37)."""
+    df = _conv_sorted(df)
+    out = (
+        df.groupby("conv_id", sort=False)
+        .agg(n_turns=("turn_idx", "size"), document=("text", " ".join))
+        .reset_index()
+    )
+    out["n_turns"] = out["n_turns"].astype(np.int64)
+    return out[["conv_id", "n_turns", "document"]]
+
+
 def first_last_flags_part(df: pd.DataFrame) -> pd.DataFrame:
     """First/last-in-group flags (reference: delete `prev` on the first and
     `next` on the last utterance of each div,

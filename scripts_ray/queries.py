@@ -176,6 +176,10 @@ def q_system_pairs(sf_dir: str):
     return _conv_grouped(sf_dir, windows.system_pairs_part)
 
 
+def q_conv_documents(sf_dir: str):
+    return _conv_grouped(sf_dir, windows.conv_document_part)
+
+
 def q_corpus_stats(sf_dir: str):
     """Global dashboard stats (reference: per-corpus record/speech/word
     tallies, /root/reference/src/stats-dashboard/generate-markdown.py:103-156):
@@ -522,6 +526,7 @@ QUERIES = {
     "first_last_flags": q_first_last_flags,
     "docs_by_source": q_docs_by_source,
     "corpus_stats": q_corpus_stats,
+    "conv_documents": q_conv_documents,
     "sessionize": q_sessionize,
     "turn_attribution": q_turn_attribution,
     "unknown_turns": q_unknown_turns,
@@ -576,6 +581,7 @@ ORACLES = {
     "first_last_flags": sql_ops.FIRST_LAST_FLAGS_SQL,
     "docs_by_source": sql_ops.DOCS_BY_SOURCE_SQL,
     "corpus_stats": sql_ops.CORPUS_STATS_SQL,
+    "conv_documents": sql_ops.CONV_DOCUMENTS_SQL,
     "sessionize": sql_ops.SESSIONIZE_SQL,
     "turn_attribution": sql_ops.TURN_ATTRIBUTION_SQL,
     "unknown_turns": sql_ops.UNKNOWN_TURNS_SQL,

@@ -154,6 +154,15 @@ SELECT conv_id, turn_idx, next_role, next_text FROM (
 """
 )
 
+CONV_DOCUMENTS_SQL = (
+    _with(TRANSCRIPTS_CTE)
+    + """
+SELECT conv_id, CAST(count(*) AS BIGINT) AS n_turns,
+       string_agg(text, ' ' ORDER BY turn_idx) AS document
+FROM transcripts GROUP BY conv_id
+"""
+)
+
 CORPUS_STATS_SQL = (
     _with(TRANSCRIPTS_CTE)
     + rf"""
