@@ -107,10 +107,10 @@ def run_bench() -> dict:
     out = pipelines.quality_filter(
         rd.read_parquet(path),
         counts_ref,
-        # fixed pool of NCPU/2: more actors oversubscribe the node (read/
-        # shuffle/write tasks + driver need the other half) and throughput
-        # collapses; measured sweet spot at both 8 and 32 CPUs
-        score_concurrency=(max(2, NCPU // 2), max(2, NCPU // 2)),
+        # fixed pool of 3*NCPU/4: leaves a quarter of the node for read/
+        # shuffle/write tasks + driver; a full-size pool oversubscribes and
+        # collapses throughput; swept empirically at 8 and 32 CPUs
+        score_concurrency=(max(2, 3 * NCPU // 4), max(2, 3 * NCPU // 4)),
         batch_size=8192,
         num_partitions=32,
     )
