@@ -149,6 +149,25 @@ def system_pairs_part(df: pd.DataFrame) -> pd.DataFrame:
     return out[["conv_id", "turn_idx", "next_role", "next_text"]]
 
 
+def kwic_tool_part(df: pd.DataFrame, pattern: str = None) -> pd.DataFrame:
+    """KWIC over turns with carried state (reference: keyword-in-context
+    emitting the current page attribute forwarded across elements,
+    /root/reference/src/KWIC-iter-search.py:86-109): each match window is
+    emitted with the tool active at that turn (forward-filled per
+    conversation)."""
+    from ..sql_ops import KWIC_PATTERN
+
+    pattern = pattern or KWIC_PATTERN
+    df = _conv_sorted(df)
+    filled = df.groupby("conv_id", sort=False)["tool"].ffill()
+    df = df.assign(tool_active=filled.where(filled.notna(), None))
+    hits = df["text"].str.findall(pattern)
+    out = df[["conv_id", "turn_idx", "tool_active"]].assign(context=hits).explode(
+        "context"
+    )
+    return out.dropna(subset=["context"]).reset_index(drop=True)
+
+
 def conv_document_part(df: pd.DataFrame) -> pd.DataFrame:
     """Document reconstruction: all turns of a conversation concatenated in
     turn order (the engine's analog of re-serializing a protocol,

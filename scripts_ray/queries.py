@@ -176,6 +176,10 @@ def q_system_pairs(sf_dir: str):
     return _conv_grouped(sf_dir, windows.system_pairs_part)
 
 
+def q_kwic_turns(sf_dir: str):
+    return _conv_grouped(sf_dir, windows.kwic_tool_part)
+
+
 def q_conv_documents(sf_dir: str):
     return _conv_grouped(sf_dir, windows.conv_document_part)
 
@@ -527,6 +531,7 @@ QUERIES = {
     "docs_by_source": q_docs_by_source,
     "corpus_stats": q_corpus_stats,
     "conv_documents": q_conv_documents,
+    "kwic_turns": q_kwic_turns,
     "sessionize": q_sessionize,
     "turn_attribution": q_turn_attribution,
     "unknown_turns": q_unknown_turns,
@@ -582,6 +587,7 @@ ORACLES = {
     "docs_by_source": sql_ops.DOCS_BY_SOURCE_SQL,
     "corpus_stats": sql_ops.CORPUS_STATS_SQL,
     "conv_documents": sql_ops.CONV_DOCUMENTS_SQL,
+    "kwic_turns": sql_ops.KWIC_TURNS_SQL,
     "sessionize": sql_ops.SESSIONIZE_SQL,
     "turn_attribution": sql_ops.TURN_ATTRIBUTION_SQL,
     "unknown_turns": sql_ops.UNKNOWN_TURNS_SQL,

@@ -17,6 +17,8 @@ _WS_TOKS = f"list_filter(string_split_regex(text, '{R.RE_WHITESPACE}'), x -> x <
 _NORM = f"trim(regexp_replace(text, '{R.RE_WHITESPACE}', ' ', 'g'), ' ')"
 _SV_LIST = "[" + ", ".join(f"'{w}'" for w in R.SV_STOPWORDS) + "]"
 _EN_LIST = "[" + ", ".join(f"'{w}'" for w in R.EN_STOPWORDS) + "]"
+KWIC_KEYWORD = "spark"
+KWIC_PATTERN = ".{0,30}" + KWIC_KEYWORD + ".{0,30}"
 
 _TOX_LIST = "[" + ", ".join(f"'{w}'" for w in R.TOX_MARKERS) + "]"
 _SCRUB_TOKS = (
@@ -152,6 +154,22 @@ SELECT conv_id, turn_idx, next_role, next_text FROM (
   FROM transcripts
 ) WHERE role = 'system' AND next_role IS NOT NULL
 """
+)
+
+KWIC_TURNS_SQL = (
+    _with(TRANSCRIPTS_CTE)
+    + """
+, carried AS (
+  SELECT conv_id, turn_idx, text,
+    last_value(tool IGNORE NULLS) OVER (
+      PARTITION BY conv_id ORDER BY turn_idx
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS tool_active
+  FROM transcripts
+)
+SELECT conv_id, turn_idx, tool_active,
+       unnest(regexp_extract_all(text, '{pat}')) AS context
+FROM carried
+""".replace("{pat}", KWIC_PATTERN)
 )
 
 CONV_DOCUMENTS_SQL = (
@@ -366,9 +384,6 @@ SELECT tok AS token, CAST(count(*) AS BIGINT) AS cnt
 FROM (SELECT unnest({_DOC_TOKS}) AS tok FROM documents)
 GROUP BY tok ORDER BY cnt DESC, token LIMIT 100
 """
-
-KWIC_KEYWORD = "spark"
-KWIC_PATTERN = ".{0,30}" + KWIC_KEYWORD + ".{0,30}"
 
 KWIC_SQL = f"""
 SELECT doc_id, unnest(regexp_extract_all(text, '{KWIC_PATTERN}')) AS context
