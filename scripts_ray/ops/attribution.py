@@ -69,10 +69,21 @@ def build_order_index(sf_dir: str):
     return comb, g["day"].to_numpy(), g["key"].to_numpy(), n_cust, max_ck
 
 
-def attribute_turns(turns_ds, index_ref):
+def attribute_turns(turns_ds, index_ref, cascade: tuple[str, ...] = ("primary", "fallback")):
     """Vectorized asof attribution of every turn against the broadcast
-    order index (see module docstring for the cascade semantics)."""
+    order index (see module docstring for the cascade semantics).
+
+    `cascade` is the ordered matcher ladder (§2.9, reference
+    /root/reference/src/fuzzy_matching.py:75-76): strategies are tried in
+    the given order and the first APPLICABLE one supplies the probe key.
+    'primary' applies only when its derived custkey exists in the dim
+    table; 'fallback' always applies — so reordering or truncating the
+    ladder observably changes match_type assignment."""
     import ray
+
+    for s in cascade:
+        if s not in ("primary", "fallback"):
+            raise ValueError(f"unknown cascade strategy: {s!r}")
 
     def probe(batch: pa.Table) -> pa.Table:
         comb, dim_day, dim_key, n_cust, max_ck = ray.get(index_ref)
@@ -85,9 +96,19 @@ def attribute_turns(turns_ds, index_ref):
             )
             .to_numpy(zero_copy_only=False)
         )
-        primary = PRIMARY_STRIDE * u + 1
-        is_primary = primary <= max_ck
-        ck = np.where(is_primary, primary, u % n_cust + 1)
+        ck = np.full(len(u), -1, dtype=np.int64)
+        chosen = np.full(len(u), "", dtype=object)
+        for strat in cascade:
+            open_ = chosen == ""
+            if strat == "primary":
+                cand = PRIMARY_STRIDE * u + 1
+                ok = open_ & (cand <= max_ck)
+            else:
+                cand = u % n_cust + 1
+                ok = open_
+            ck = np.where(ok, cand, ck)
+            chosen[ok] = strat
+        is_primary = chosen == "primary"
         d = (
             batch["ts"].combine_chunks().cast(pa.timestamp("ns")).to_numpy()
             .astype(np.int64)
@@ -115,6 +136,52 @@ def attribute_turns(turns_ds, index_ref):
         )
 
     return turns_ds.map_batches(probe, batch_format="pyarrow")
+
+
+# ---- timestamp repair via broadcast correction table (M5/M6) ---------------
+# Reference: docDate rewrite keyed by protocol id from a corrections CSV
+# (/root/reference/src/replace_dates.py:19-46) / JSON
+# (/root/reference/src/update_dates_from_json.py:45-77).
+
+TS_FIX_MOD = 7
+TS_FIX_REM = 3
+TS_FIX_SPAN = 97
+_TS_FIX_USER_RANGE = 10_000
+
+
+def build_ts_corrections() -> pd.DataFrame:
+    """Deterministic corrections table keyed by conv_id: every user with
+    u % TS_FIX_MOD == TS_FIX_REM gets the canonical timestamp
+    2024-06-01 + (u % TS_FIX_SPAN) days. Stand-in for the reference's
+    curated corrections CSV; the same formula is restated by the DuckDB
+    oracle so the broadcast-join machinery is what gets verified."""
+    u = np.arange(_TS_FIX_USER_RANGE, dtype=np.int64)
+    u = u[u % TS_FIX_MOD == TS_FIX_REM]
+    ts = np.datetime64("2024-06-01T00:00:00", "us") + (u % TS_FIX_SPAN).astype(
+        "timedelta64[D]"
+    ).astype("timedelta64[us]")
+    return pd.DataFrame({"conv_id": [f"conv-{x:06d}" for x in u], "ts_fix": ts})
+
+
+def repair_ts(turns_ds, fix_ref):
+    """Broadcast left-join of the corrections table (``ray.put`` once, a
+    pandas map per batch): corrected rows take the table's timestamp,
+    others keep their own — SQL ``COALESCE(fix.ts_fix, t.ts)``."""
+    import ray
+
+    def apply(batch: pd.DataFrame) -> pd.DataFrame:
+        fix = ray.get(fix_ref)
+        m = batch["conv_id"].map(fix)
+        return pd.DataFrame(
+            {
+                "conv_id": batch["conv_id"],
+                "turn_idx": batch["turn_idx"],
+                "ts_fixed": m.where(m.notna(), batch["ts"]),
+                "repaired": m.notna(),
+            }
+        )
+
+    return turns_ds.map_batches(apply, batch_format="pandas")
 
 
 def unknown_turns(attributed_ds):

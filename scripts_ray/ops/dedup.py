@@ -20,31 +20,50 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-from .hashagg import hash_aggregate
-from .textstats import md5_hex
+from .hashagg import hash_aggregate, map_partitions_by_key
 
 
 def _turn_key(conv_id: pd.Series, turn_idx: pd.Series) -> pd.Series:
     return conv_id + ":" + turn_idx.astype(str).str.zfill(6)
 
 
+_FP_KEY_2 = "fedcba9876543210"  # second independent siphash key (16 bytes)
+
+
+def content_fingerprints(values: pd.Series) -> tuple[np.ndarray, np.ndarray]:
+    """128-bit vectorized content fingerprint: two independent fixed-key
+    siphash streams over the text column (no per-row Python in the hot
+    path; combined collision odds ~2⁻¹²⁸ · n²)."""
+    arr = values.to_numpy(dtype=object)
+    return (
+        pd.util.hash_array(arr).view(np.int64),
+        pd.util.hash_array(arr, hash_key=_FP_KEY_2).view(np.int64),
+    )
+
+
 def dedup_exact(ds, text_col: str, key_cols: list[str], key_fn=None):
-    """Group rows by content hash of `text_col`; per group keep the count and
-    the minimum composite key (first-wins dedup). Key cardinality ≈ row
-    count, so this uses the two-level hash aggregate, not the sort-based
-    native groupby."""
+    """Group rows by 128-bit content fingerprint of `text_col`; per group
+    keep the count and the minimum composite key (first-wins dedup). Key
+    cardinality ≈ row count, so this uses the two-level hash aggregate, not
+    the sort-based native groupby; the shuffle moves (fp, key) partials
+    only. The fingerprint is internal — output is (first_key, n_dupes),
+    matching the oracle's group-by-text restatement."""
 
     def add_fp(batch: pd.DataFrame) -> pd.DataFrame:
-        batch = batch.copy()
-        batch["fp"] = md5_hex(batch[text_col].tolist())
-        batch["key"] = key_fn(batch) if key_fn else batch[key_cols[0]]
-        return batch[["fp", "key"]]
+        fp1, fp2 = content_fingerprints(batch[text_col])
+        return pd.DataFrame(
+            {
+                "fp1": fp1,
+                "fp2": fp2,
+                "key": key_fn(batch) if key_fn else batch[key_cols[0]],
+            }
+        )
 
     return hash_aggregate(
         ds.map_batches(add_fp, batch_format="pandas"),
-        keys="fp",
+        keys=["fp1", "fp2"],
         aggs={"first_key": ("key", "min"), "n_dupes": ("key", "count")},
-    )
+    ).select_columns(["first_key", "n_dupes"])
 
 
 def token_hashes(tokens: np.ndarray) -> np.ndarray:
@@ -104,6 +123,73 @@ class MinHasher:
         return out
 
 
+def _expand_bucket_pairs_part(part: pd.DataFrame) -> pd.DataFrame:
+    """Vectorized intra-bucket pair expansion over one hash partition of
+    (band_id, band_hash, doc_id) rows holding COMPLETE buckets.
+
+    One Python call per *partition* (constant count), never per bucket:
+    rows are sorted by (band_id, band_hash, doc_id), bucket runs are found
+    by vectorized change detection, and all (a < b) pairs of every bucket
+    are emitted with one fancy-index + ``np.triu_indices`` pass per
+    DISTINCT bucket size (few in practice). This replaces the native
+    ``groupby(["band_id", "band_hash"]).map_groups`` whose per-group driver
+    overhead (~ms/group at bucket cardinality ≈ docs × bands) is the
+    documented scale cliff.
+
+    Skew note: a bucket of m docs emits m(m-1)/2 pairs — hot buckets
+    (boilerplate-identical docs) grow output quadratically. That is
+    inherent to LSH candidate generation (the pairs ARE the output), but a
+    partition must still fit a worker heap: raise ``num_partitions`` with
+    corpus size, and pre-dedup exact duplicates before near-dup at scale.
+    """
+    part = part.drop_duplicates(["band_id", "band_hash", "doc_id"])
+    part = part.sort_values(["band_id", "band_hash", "doc_id"], kind="mergesort")
+    ids = part["doc_id"].to_numpy(dtype=np.int64)
+    empty = pd.DataFrame(
+        {"doc_a": np.array([], dtype=np.int64), "doc_b": np.array([], dtype=np.int64)}
+    )
+    if len(ids) == 0:
+        return empty
+    bid = part["band_id"].to_numpy()
+    bh = part["band_hash"].to_numpy()
+    new = np.empty(len(ids), dtype=bool)
+    new[0] = True
+    new[1:] = (bid[1:] != bid[:-1]) | (bh[1:] != bh[:-1])
+    starts = np.flatnonzero(new)
+    sizes = np.diff(np.append(starts, len(ids)))
+    out_a, out_b = [], []
+    for m in np.unique(sizes):
+        if m < 2:
+            continue
+        s = starts[sizes == m]
+        mat = ids[s[:, None] + np.arange(m)[None, :]]  # (n_buckets, m)
+        ai, bi = np.triu_indices(m, k=1)
+        out_a.append(mat[:, ai].ravel())
+        out_b.append(mat[:, bi].ravel())
+    if not out_a:
+        return empty
+    return pd.DataFrame(
+        {"doc_a": np.concatenate(out_a), "doc_b": np.concatenate(out_b)}
+    )
+
+
+def band_pairs(bands_ds, num_partitions: int = 64):
+    """(band_id, band_hash, doc_id) rows → distinct candidate doc pairs with
+    the number of colliding bands. Bucket expansion runs on the two-level
+    hash exchange (`map_partitions_by_key`), then a second hash aggregate
+    dedups pairs that collide in several bands — both stages safe at
+    unbounded bucket/pair cardinality."""
+    pairs = map_partitions_by_key(
+        bands_ds,
+        ["band_id", "band_hash"],
+        _expand_bucket_pairs_part,
+        num_partitions=num_partitions,
+    )
+    return hash_aggregate(
+        pairs, keys=["doc_a", "doc_b"], aggs={"n_bands": ("doc_a", "count")}
+    )
+
+
 _SHINGLE_MULTS = np.array(
     [0x9E3779B97F4A7C15, 0xC2B2AE3D27D4EB4F, 0x165667B19E3779F9, 0x27D4EB2F165667C5],
     dtype=np.uint64,
@@ -159,26 +245,7 @@ def minhash_candidates(docs_ds, hasher: MinHasher | None = None, shingle_n: int 
              "doc_id": doc_ids}
         )
 
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ids = np.sort(g["doc_id"].unique())
-        if len(ids) < 2:
-            return pd.DataFrame(
-                {"doc_a": np.array([], dtype=np.int64),
-                 "doc_b": np.array([], dtype=np.int64)}
-            )
-        a, b = np.triu_indices(len(ids), k=1)
-        return pd.DataFrame({"doc_a": ids[a], "doc_b": ids[b]})
-
-    pairs = (
-        docs_ds.map_batches(to_bands, batch_format="pandas")
-        .groupby(["band_id", "band_hash"])
-        .map_groups(bucket_pairs, batch_format="pandas")
-    )
-    # distinct pairs (a doc pair may collide in several bands) — pair
-    # cardinality can approach n², so two-level hash aggregate only.
-    return hash_aggregate(
-        pairs, keys=["doc_a", "doc_b"], aggs={"n_bands": ("doc_a", "count")}
-    )
+    return band_pairs(docs_ds.map_batches(to_bands, batch_format="pandas"))
 
 
 def simhash_docs(docs_ds):
@@ -214,9 +281,11 @@ def simhash_docs(docs_ds):
 def simhash_candidates(docs_ds, bands: int = 4):
     """SimHash near-dup candidates via bit-band LSH: the 64-bit simhash is
     split into `bands` contiguous bit slices; documents sharing any slice
-    value are candidates (Hamming distance ≤ 64 - 64/bands guaranteed ≥ one
-    identical band by pigeonhole). Same bucket-groupby → intra-bucket pair
-    → hash-aggregate shape as MinHash."""
+    value are candidates. Pigeonhole guarantee: documents with Hamming
+    distance < `bands` (i.e. ≤ 3 for bands=4) always share at least one
+    identical band — that coverage invariant is what
+    `simhash_band_coverage` oracle-checks. Same bucket-exchange →
+    intra-bucket pair → hash-aggregate shape as MinHash."""
     assert 64 % bands == 0
     width = 64 // bands
     mask = np.uint64((1 << width) - 1)
@@ -236,25 +305,157 @@ def simhash_candidates(docs_ds, bands: int = 4):
             }
         )
 
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ids = np.sort(g["doc_id"].unique())
-        if len(ids) < 2:
-            return pd.DataFrame(
-                {"doc_a": np.array([], dtype=np.int64),
-                 "doc_b": np.array([], dtype=np.int64)}
-            )
-        a, b = np.triu_indices(len(ids), k=1)
-        return pd.DataFrame({"doc_a": ids[a], "doc_b": ids[b]})
+    return band_pairs(
+        simhash_docs(docs_ds).map_batches(to_bands, batch_format="pandas")
+    )
 
-    pairs = (
-        simhash_docs(docs_ds)
-        .map_batches(to_bands, batch_format="pandas")
-        .groupby(["band_id", "band_hash"])
-        .map_groups(bucket_pairs, batch_format="pandas")
+
+def doc_token_hash_sets(docs_ds, id_col: str = "doc_id"):
+    """Per-document DISTINCT token-hash set, encoded as one binary blob of
+    sorted uint64 siphashes per row (compact, join-friendly: a plain bytes
+    column travels through the distributed hash join with no list-type
+    edge cases). Columns: (`id_col`, th: binary, n_toks: int64)."""
+
+    def enc(batch: pa.Table) -> pd.DataFrame:
+        from ..tokens import explode
+
+        n = len(batch)
+        rows, toks = explode(batch["text"].combine_chunks())
+        blobs = [b""] * n
+        ns = np.zeros(n, dtype=np.int64)
+        if len(toks):
+            th = token_hashes(toks)
+            order = np.lexsort((th, rows))
+            r, h = rows[order], th[order]
+            keep = np.empty(len(h), dtype=bool)
+            keep[0] = True
+            keep[1:] = (r[1:] != r[:-1]) | (h[1:] != h[:-1])
+            r, h = r[keep], h[keep]
+            starts = np.searchsorted(r, np.arange(n))
+            ends = np.searchsorted(r, np.arange(n), side="right")
+            for i in range(n):
+                seg = h[starts[i] : ends[i]]
+                blobs[i] = seg.tobytes()
+                ns[i] = len(seg)
+        return pd.DataFrame(
+            {
+                id_col: batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64),
+                "th": blobs,
+                "n_toks": ns,
+            }
+        )
+
+    return docs_ds.map_batches(enc, batch_format="pyarrow")
+
+
+def verify_pairs_exact(
+    pairs_ds, toks_a_ds, toks_b_ds, threshold_num: int = 2, threshold_den: int = 1
+):
+    """Exact token-set Jaccard verification of candidate pairs — the
+    standard LSH-then-verify production shape: the candidate pair list is
+    joined (distributed hash join, both sides exchanged — no corpus-wide
+    broadcast) against the per-doc token-hash sets for each end, then the
+    intersection is computed per pair from the two sorted hash arrays.
+    Emits (doc_a, doc_b, inter, uni) for threshold_num*inter >=
+    threshold_den*uni. Token-hash intersections equal token-string
+    intersections barring 64-bit siphash collisions (~n²/2⁶⁵ per doc pair).
+
+    `toks_a_ds` / `toks_b_ds` are two instances of
+    ``doc_token_hash_sets(...)`` (each side of the join consumes one).
+    """
+    from .hashagg import hash_join
+
+    def rename(side: str):
+        def f(batch: pd.DataFrame) -> pd.DataFrame:
+            return batch.rename(
+                columns={"doc_id": f"doc_{side}", "th": f"th_{side}",
+                         "n_toks": f"n_{side}"}
+            )
+
+        return f
+
+    joined = hash_join(
+        hash_join(
+            pairs_ds.select_columns(["doc_a", "doc_b"]),
+            toks_a_ds.map_batches(rename("a"), batch_format="pandas"),
+            on="doc_a",
+        ),
+        toks_b_ds.map_batches(rename("b"), batch_format="pandas"),
+        on="doc_b",
     )
-    return hash_aggregate(
-        pairs, keys=["doc_a", "doc_b"], aggs={"n_bands": ("doc_a", "count")}
+
+    def jac(batch: pd.DataFrame) -> pd.DataFrame:
+        inter = np.fromiter(
+            (
+                len(
+                    np.intersect1d(
+                        np.frombuffer(a, dtype=np.uint64),
+                        np.frombuffer(b, dtype=np.uint64),
+                        assume_unique=True,
+                    )
+                )
+                for a, b in zip(batch["th_a"], batch["th_b"])
+            ),
+            dtype=np.int64,
+            count=len(batch),
+        )
+        uni = batch["n_a"].to_numpy(dtype=np.int64) + batch["n_b"].to_numpy(
+            dtype=np.int64
+        ) - inter
+        out = pd.DataFrame(
+            {
+                "doc_a": batch["doc_a"].to_numpy(dtype=np.int64),
+                "doc_b": batch["doc_b"].to_numpy(dtype=np.int64),
+                "inter": inter,
+                "uni": uni,
+            }
+        )
+        return out.loc[threshold_num * out["inter"] >= threshold_den * out["uni"]]
+
+    return joined.map_batches(jac, batch_format="pandas")
+
+
+# High-recall hasher for the oracle-checked verified path: 2-row bands make
+# a Jaccard≥0.5 pair miss all 64 bands with probability (1 - 0.5²)⁶⁴ ≈ 1e-8
+# — deterministic on the fixed seed, validated against the exact oracle.
+VERIFY_HASHER_KWARGS = dict(k=128, bands=64, seed=20240817)
+
+
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    if hasattr(np, "bitwise_count"):
+        return np.bitwise_count(x)
+    v = x.view(np.uint8).reshape(*x.shape, 8)
+    return np.unpackbits(v, axis=-1).sum(axis=-1)
+
+
+def simhash_band_coverage(docs_ds, candidates_ds, bands: int = 4):
+    """Oracle-checkable LSH invariant (pigeonhole): every doc pair with
+    Hamming(simhash) < `bands` MUST appear in the bit-band candidate set —
+    a banding implementation bug (wrong slicing, lost bucket) breaks this
+    deterministically. Returns one row (n_missed,); the oracle asserts
+    n_missed = 0, the mathematically guaranteed value (the close-pair and
+    candidate counts themselves are hash-valued and so not
+    SQL-restatable — the invariant is).
+
+    The all-pairs Hamming scan is the test-scale verifier twin (quadratic
+    by design, like the exact-Jaccard oracle); the candidate set under
+    check is the scale path."""
+    sims = simhash_docs(docs_ds).to_pandas()
+    ids = sims["doc_id"].to_numpy(dtype=np.int64)
+    h = np.array([np.uint64(int(s, 16)) for s in sims["simhash"]], dtype=np.uint64)
+    order = np.argsort(ids)
+    ids, h = ids[order], h[order]
+    xor = np.bitwise_xor.outer(h, h)
+    close = _popcount64(xor) < bands
+    ai, bi = np.nonzero(np.triu(close, k=1))
+    close_pairs = set(zip(ids[ai].tolist(), ids[bi].tolist()))
+    cand = candidates_ds.to_pandas()
+    cand_pairs = set(
+        zip(cand["doc_a"].astype(np.int64).tolist(),
+            cand["doc_b"].astype(np.int64).tolist())
     )
+    missed = close_pairs - cand_pairs
+    return pa.table({"n_missed": pa.array([len(missed)], type=pa.int64())})
 
 
 def jaccard_pairs(docs_ds, doc_table: pa.Table, threshold_num=2, threshold_den=1):

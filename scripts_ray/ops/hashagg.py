@@ -56,6 +56,11 @@ def hash_aggregate(
     ``aggs`` maps output column -> (input column, how) with how in
     {"sum", "count", "min", "max"}. Returns a Dataset with columns
     ``keys + list(aggs)``.
+
+    NOTE: ``"count"`` has COUNT(*) semantics — it counts rows per group
+    (pandas ``size``) and IGNORES the named input column, including its
+    nulls. For SQL ``COUNT(col)`` over a nullable column, filter nulls
+    first or sum an ``is-not-null`` int column.
     """
     keys = [keys] if isinstance(keys, str) else list(keys)
     for how in (h for _, h in aggs.values()):
@@ -181,6 +186,18 @@ def hash_join(
 
     left_cols = left_ds.schema().names
     right_cols = right_ds.schema().names
+    # the tagged union collapses same-named columns, so non-key columns
+    # must be disjoint (rename before joining) and the internal tag
+    # columns must be free
+    shared = (set(left_cols) & set(right_cols)) - set(on) - set(right_on)
+    if shared:
+        raise ValueError(
+            f"hash_join: non-key columns shared by both sides {sorted(shared)}; "
+            "rename one side before joining"
+        )
+    reserved = {"_part", "_side"} & set(left_cols + right_cols)
+    if reserved:
+        raise ValueError(f"hash_join: reserved column names in input {sorted(reserved)}")
     all_cols = list(dict.fromkeys(left_cols + right_cols))
 
     def tag_side(keys: list[str], side: int):

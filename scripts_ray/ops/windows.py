@@ -215,6 +215,42 @@ def merge_intro_pairs_part(df: pd.DataFrame) -> pd.DataFrame:
     return out[["conv_id", "turn_idx", "role", "text"]]
 
 
+TOC_MARKER_PREFIX = "12 $"
+
+
+def toc_extract_part(df: pd.DataFrame) -> pd.DataFrame:
+    """ToC delimiter — the ordered RANGE-MOVE rewrite (reference: scan the
+    document for the ToC marker literal, then move every element from the
+    page-break preceding the match to the document end into a new typed
+    section div, /root/reference/src/ToC/delimit-ToC_2014--.py:25-98).
+
+    Graft semantics: marker = first turn whose raw text starts with the
+    '12 $' OCR shape; boundary = the last tool-bearing turn at or before
+    the marker (the page-break analog), conversation start if none. All
+    turns from the boundary to conversation end are re-homed into section
+    'toc' and renumbered from 0; preceding turns stay 'body' with their own
+    ordinals — rows change home and ordinal, not just a label. Vectorized:
+    two grouped transforms + one grouped cumcount, no per-conv Python."""
+    df = _conv_sorted(df)
+    marker = df["text"].str.startswith(TOC_MARKER_PREFIX)
+    first_marker = (
+        df["turn_idx"].where(marker).groupby(df["conv_id"]).transform("min")
+    )
+    pb = df["turn_idx"].where(df["tool"].notna() & (df["turn_idx"] <= first_marker))
+    boundary = pb.groupby(df["conv_id"]).transform("max")
+    in_toc = first_marker.notna() & (df["turn_idx"] >= boundary.fillna(0))
+    section = pd.Series(np.where(in_toc, "toc", "body"), index=df.index)
+    sec_idx = df.groupby([df["conv_id"], section], sort=False).cumcount()
+    return pd.DataFrame(
+        {
+            "conv_id": df["conv_id"],
+            "turn_idx": df["turn_idx"],
+            "section": section,
+            "sec_idx": sec_idx.astype(np.int64),
+        }
+    )
+
+
 def modal_role_part(df: pd.DataFrame) -> pd.DataFrame:
     """Group-mode with tie-drop (reference: most-frequent page per element,
     ambiguous rows removed entirely via drop_duplicates(keep=False),

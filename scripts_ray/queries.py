@@ -186,33 +186,50 @@ def q_conv_documents(sf_dir: str):
 
 def q_corpus_stats(sf_dir: str):
     """Global dashboard stats (reference: per-corpus record/speech/word
-    tallies, /root/reference/src/stats-dashboard/generate-markdown.py:103-156):
-    per-batch partial counts summed by a single tiny aggregate."""
-    from ray.data.aggregate import Sum
+    tallies, /root/reference/src/stats-dashboard/generate-markdown.py:103-156).
+    ONE scan: per-batch projection → per-conv two-level hash aggregate
+    (safe at any conv cardinality) → tiny fold where n_convs is the
+    aggregate's own row count — no driver-side `ds.unique`, no second pass."""
+    from .ops.hashagg import hash_aggregate
 
-    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+    def project(batch: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame(
             {
-                "n_turns": [np.int64(len(batch))],
-                "n_words": [
-                    np.int64(batch["text"].str.count(r"\S+").sum())
-                ],
-                "n_sys": [np.int64(batch["role"].eq("system").sum())],
+                "conv_id": batch["conv_id"],
+                "n_words": batch["text"].str.count(r"\S+").astype(np.int64),
+                "is_sys": batch["role"].eq("system").astype(np.int64),
             }
         )
 
-    agg = (
-        derive_transcripts_ds(sf_dir)
-        .map_batches(partial, batch_format="pandas")
-        .sum(["n_turns", "n_words", "n_sys"])
+    per_conv = hash_aggregate(
+        derive_transcripts_ds(sf_dir).map_batches(project, batch_format="pandas"),
+        keys="conv_id",
+        aggs={
+            "n_turns": ("n_words", "count"),
+            "n_words": ("n_words", "sum"),
+            "n_sys": ("is_sys", "sum"),
+        },
     )
-    n_convs = derive_transcripts_ds(sf_dir).unique("conv_id")
+
+    def fold(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "n_turns": [np.int64(batch["n_turns"].sum())],
+                "n_words": [np.int64(batch["n_words"].sum())],
+                "n_sys": [np.int64(batch["n_sys"].sum())],
+                "n_convs": [np.int64(len(batch))],
+            }
+        )
+
+    agg = per_conv.map_batches(fold, batch_format="pandas").sum(
+        ["n_turns", "n_words", "n_sys", "n_convs"]
+    )
     return pd.DataFrame(
         {
             "n_turns": [np.int64(agg["sum(n_turns)"])],
             "n_words": [np.int64(agg["sum(n_words)"])],
             "n_sys": [np.int64(agg["sum(n_sys)"])],
-            "n_convs": [np.int64(len(n_convs))],
+            "n_convs": [np.int64(agg["sum(n_convs)"])],
         }
     )
 
@@ -276,20 +293,24 @@ def q_dedup_docs(sf_dir: str):
     from .ops.hashagg import hash_aggregate
     from .rules import normalize_whitespace
 
-    def add_fp(batch: pa.Table) -> pa.Table:
+    def add_fp(batch: pa.Table) -> pd.DataFrame:
         norm = normalize_whitespace(batch["text"].combine_chunks())
-        fp = textstats.md5_hex(norm.to_pylist())
-        return pa.table(
-            {"fp": pa.array(fp, type=pa.string()), "doc_id": batch["doc_id"]}
+        fp1, fp2 = dedup.content_fingerprints(pd.Series(norm.to_pandas()))
+        return pd.DataFrame(
+            {
+                "fp1": fp1,
+                "fp2": fp2,
+                "doc_id": batch["doc_id"].to_numpy(zero_copy_only=False),
+            }
         )
 
     return hash_aggregate(
         _read(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
             add_fp, batch_format="pyarrow"
         ),
-        keys="fp",
+        keys=["fp1", "fp2"],
         aggs={"first_doc": ("doc_id", "min"), "n_dupes": ("doc_id", "count")},
-    )
+    ).select_columns(["first_doc", "n_dupes"])
 
 
 def q_sample_turns(sf_dir: str):
@@ -377,6 +398,113 @@ def q_simhash_docs(sf_dir: str):
 def q_simhash_pairs(sf_dir: str):
     return dedup.simhash_candidates(
         _read(sf_dir, "documents", columns=["doc_id", "text"])
+    )
+
+
+def q_minhash_verified(sf_dir: str):
+    """The dedup SCALE path, oracle-checked end-to-end: MinHash-LSH
+    candidate generation (unigram token sets, high-recall 2-row × 64-band
+    hasher) → exact token-set Jaccard verification of candidates only
+    (distributed hash joins, no corpus broadcast) → pairs with J ≥ 0.5.
+    The oracle is the all-pairs exact-Jaccard SQL — equality proves both
+    100% candidate recall on this corpus and exact verification."""
+
+    def docs():
+        return _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    hasher = dedup.MinHasher(**dedup.VERIFY_HASHER_KWARGS)
+    cands = dedup.minhash_candidates(docs(), hasher, shingle_n=1)
+    return dedup.verify_pairs_exact(
+        cands, dedup.doc_token_hash_sets(docs()), dedup.doc_token_hash_sets(docs())
+    )
+
+
+def q_simhash_coverage(sf_dir: str):
+    def docs():
+        return _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    return dedup.simhash_band_coverage(docs(), dedup.simhash_candidates(docs()))
+
+
+def q_ts_repair(sf_dir: str):
+    import ray
+
+    from .ops import attribution
+
+    fix = attribution.build_ts_corrections().set_index("conv_id")["ts_fix"]
+    return attribution.repair_ts(derive_transcripts_ds(sf_dir), ray.put(fix))
+
+
+def q_toc_extract(sf_dir: str):
+    return _conv_grouped(sf_dir, windows.toc_extract_part)
+
+
+def q_seeded_shuffle(sf_dir: str):
+    """O8: deterministic seeded shuffle (reference: seeded debug shuffles,
+    /root/reference/src/fuzzy_matching.py:71-73). The oracle checks row
+    CONTENT (the permutation is engine-internal); same-seed determinism is
+    asserted in tests/test_ops.py."""
+    return (
+        derive_transcripts_ds(sf_dir)
+        .select_columns(["conv_id", "turn_idx"])
+        .random_shuffle(seed=1234)
+    )
+
+
+def q_denylist(sf_dir: str):
+    from .config import DEFAULT_CONFIG, denylist_filter
+
+    return denylist_filter(
+        derive_transcripts_ds(sf_dir).select_columns(["conv_id", "turn_idx", "role"]),
+        DEFAULT_CONFIG,
+    )
+
+
+def q_qc_keep_ci(sf_dir: str):
+    """A4 full form + A10: per-role keep tallies with 90% Beta credible
+    bounds (normal approximation, integer permille) and the ±10%/±20%
+    coverage-tolerance verdict vs the global keep rate (exact integer
+    cross-multiplication)."""
+    from .ops.hashagg import hash_aggregate
+
+    qf = quality_filter(derive_transcripts_ds(sf_dir), _put_counts(sf_dir))
+
+    def project(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"role": batch["role"], "kept": batch["keep"].astype(np.int64)}
+        )
+
+    agg = hash_aggregate(
+        qf.map_batches(project, batch_format="pandas"),
+        keys="role",
+        aggs={"n_total": ("kept", "count"), "n_keep": ("kept", "sum")},
+    ).to_pandas()
+
+    nk = agg["n_keep"].to_numpy(dtype=np.float64)
+    nt = agg["n_total"].to_numpy(dtype=np.float64)
+    # identical double expression structure to the SQL oracle (IEEE parity)
+    mu = (nk + 1.0) / (nt + 2.0)
+    sd = np.sqrt(
+        (nk + 1.0) * (nt - nk + 1.0) / ((nt + 2.0) * (nt + 2.0) * (nt + 3.0))
+    )
+    nk_i = agg["n_keep"].to_numpy(dtype=np.int64)
+    nt_i = agg["n_total"].to_numpy(dtype=np.int64)
+    g_keep, g_total = nk_i.sum(), nt_i.sum()
+    diff10 = 10 * np.abs(nk_i * g_total - g_keep * nt_i)
+    coverage = np.select(
+        [diff10 <= g_keep * nt_i, diff10 <= 2 * g_keep * nt_i],
+        ["pass", "almost"],
+        default="fail",
+    )
+    return pd.DataFrame(
+        {
+            "role": agg["role"],
+            "n_total": nt_i,
+            "n_keep": nk_i,
+            "ci_lo_permille": np.floor(1000.0 * (mu - 1.645 * sd)).astype(np.int64),
+            "ci_hi_permille": np.floor(1000.0 * (mu + 1.645 * sd)).astype(np.int64),
+            "coverage": coverage,
+        }
     )
 
 
@@ -545,8 +673,15 @@ QUERIES = {
     "stratified_sample": q_stratified_sample,
     "near_dup_jaccard": q_near_dup_jaccard,
     "near_dup_minhash": q_near_dup_minhash,
+    "minhash_verified": q_minhash_verified,
     "simhash_docs": q_simhash_docs,
     "simhash_pairs": q_simhash_pairs,
+    "simhash_coverage": q_simhash_coverage,
+    "ts_repair": q_ts_repair,
+    "toc_extract": q_toc_extract,
+    "seeded_shuffle": q_seeded_shuffle,
+    "denylist": q_denylist,
+    "qc_keep_ci": q_qc_keep_ci,
     "word_freq": q_word_freq,
     "kwic": q_kwic,
     "doc_stats": q_doc_stats,
@@ -600,6 +735,13 @@ ORACLES = {
     "sample_turns": sql_ops.SAMPLE_TURNS_SQL,
     "stratified_sample": sql_ops.STRATIFIED_SAMPLE_SQL,
     "near_dup_jaccard": sql_ops.NEAR_DUP_JACCARD_SQL,
+    "minhash_verified": sql_ops.NEAR_DUP_JACCARD_SQL,
+    "simhash_coverage": sql_ops.SIMHASH_COVERAGE_SQL,
+    "ts_repair": sql_ops.TS_REPAIR_SQL,
+    "toc_extract": sql_ops.TOC_EXTRACT_SQL,
+    "seeded_shuffle": sql_ops.SEEDED_SHUFFLE_SQL,
+    "denylist": sql_ops.DENYLIST_SQL,
+    "qc_keep_ci": sql_ops.QC_KEEP_CI_SQL,
     "word_freq": sql_ops.WORD_FREQ_SQL,
     "kwic": sql_ops.KWIC_SQL,
     "doc_stats": sql_ops.DOC_STATS_SQL,
@@ -607,6 +749,10 @@ ORACLES = {
     "quality_docs": sql_ops.QUALITY_DOCS_SQL,
     "binary_meta": sql_ops.BINARY_META_SQL,
     "ann_cosine": sql_ops.ANN_COSINE_SQL,
+    # ann_lsh's multi-table pool deterministically covers the exact top-k on
+    # these corpora (validated at sf 0.001/0.01/0.1), so the exact-ANN SQL
+    # is its oracle too; bench reports measured recall separately.
+    "ann_lsh": sql_ops.ANN_COSINE_SQL,
     "near_dup_embedding": sql_ops.NEAR_DUP_EMBEDDING_SQL,
     "image_decode": sql_ops.IMAGE_DECODE_SQL,
     "frame_sample": sql_ops.FRAME_SAMPLE_SQL,
@@ -615,6 +761,9 @@ ORACLES = {
     "orders_by_segment": sql_ops.ORDERS_BY_SEGMENT_SQL,
     "orders_join_dist": sql_ops.ORDERS_JOIN_DIST_SQL,
     "q1_counts": sql_ops.Q1_COUNTS_SQL,
-    # rows-only (hash-based sketches, not SQL-expressible):
-    # near_dup_minhash, simhash_docs, lsh_buckets
+    # rows-only (hash-valued outputs, not SQL-expressible): near_dup_minhash,
+    # simhash_docs, simhash_pairs, lsh_buckets. Their semantics ARE
+    # oracle-checked through the invariant/verified twins: minhash_verified
+    # (exact-Jaccard equality), simhash_coverage (pigeonhole candidate
+    # coverage), ann_lsh (exact-ANN equality).
 }

@@ -294,6 +294,87 @@ FROM best""",
     )
 )
 
+# ---- timestamp repair via broadcast corrections (M5/M6) --------------------
+
+from .ops.attribution import TS_FIX_MOD, TS_FIX_REM, TS_FIX_SPAN  # noqa: E402
+
+TS_REPAIR_SQL = (
+    _with(TRANSCRIPTS_CTE)
+    + f"""
+, fix AS (
+  SELECT 'conv-' || lpad(CAST(i AS VARCHAR), 6, '0') AS conv_id,
+         TIMESTAMP '2024-06-01' + (CAST(i AS BIGINT) % {TS_FIX_SPAN}) * INTERVAL 1 DAY AS ts_fix
+  FROM range(0, 10000) t(i)
+  WHERE i % {TS_FIX_MOD} = {TS_FIX_REM}
+)
+SELECT t.conv_id, t.turn_idx,
+       COALESCE(f.ts_fix, t.ts) AS ts_fixed,
+       f.conv_id IS NOT NULL AS repaired
+FROM transcripts t LEFT JOIN fix f ON f.conv_id = t.conv_id
+"""
+)
+
+# ---- ToC ordered range-move rewrite (M18/W10) ------------------------------
+
+TOC_EXTRACT_SQL = (
+    _with(TRANSCRIPTS_CTE)
+    + """
+, m AS (
+  SELECT t.*,
+    min(CASE WHEN t.text LIKE '12 $%' THEN t.turn_idx END)
+      OVER (PARTITION BY conv_id) AS first_marker
+  FROM transcripts t
+),
+b AS (
+  SELECT m.*,
+    max(CASE WHEN tool IS NOT NULL AND turn_idx <= first_marker THEN turn_idx END)
+      OVER (PARTITION BY conv_id) AS boundary
+  FROM m
+),
+lab AS (
+  SELECT conv_id, turn_idx,
+    CASE WHEN first_marker IS NOT NULL AND turn_idx >= COALESCE(boundary, 0)
+         THEN 'toc' ELSE 'body' END AS section
+  FROM b
+)
+SELECT conv_id, turn_idx, section,
+  CAST(row_number() OVER (PARTITION BY conv_id, section ORDER BY turn_idx) - 1
+       AS BIGINT) AS sec_idx
+FROM lab
+"""
+)
+
+# ---- denylist stage (D6) ---------------------------------------------------
+# The oracle restates the RULE that generated the default denylist; the
+# engine consumes the materialized list (broadcast membership).
+
+from .config import DENY_USER_MOD, DENY_USER_REM  # noqa: E402
+
+DENYLIST_SQL = (
+    _with(TRANSCRIPTS_CTE)
+    + f"""
+SELECT conv_id, turn_idx, role FROM transcripts
+WHERE CAST(substr(conv_id, 6) AS BIGINT) % {DENY_USER_MOD} <> {DENY_USER_REM}
+"""
+)
+
+# ---- seeded shuffle (O8) ---------------------------------------------------
+# Row CONTENT is what the oracle can check (the permutation itself is
+# engine-internal); determinism of the same-seed permutation is asserted by
+# tests/test_ops.py.
+
+SEEDED_SHUFFLE_SQL = (
+    _with(TRANSCRIPTS_CTE)
+    + "\nSELECT conv_id, turn_idx FROM transcripts"
+)
+
+# ---- sketch-family invariants ----------------------------------------------
+# simhash itself is hash-valued (not SQL-restatable); what IS restatable is
+# the pigeonhole guarantee: pairs with Hamming < bands always share a band,
+# so the candidate set misses exactly 0 of them.
+
+SIMHASH_COVERAGE_SQL = "SELECT CAST(0 AS BIGINT) AS n_missed"
+
 # ---- QC accuracy aggregate (SURVEY §2.5 A4) --------------------------------
 # Keep-rate per role with the Beta-posterior mean in integer permille — the
 # analog of the reference's correct/incorrect tallies with Beta(c+1, i+1)
@@ -315,6 +396,46 @@ FROM final GROUP BY role
 """
 )
 
+# A4 full form + A10: 90% Beta credible interval per role (normal
+# approximation of Beta(n_keep+1, n_drop+1) quantiles — deterministic
+# double math identical on both engines, standing in for the reference's
+# scipy beta.ppf /root/reference/src/segmentation_accuracy_estimate.py:108-111)
+# and the ±10% / ±20% coverage-tolerance rule
+# (/root/reference/src/stats-dashboard/mp-coverage.py:33-41) stated in exact
+# integer cross-multiplication against the global keep rate.
+
+QC_KEEP_CI_SQL = (
+    _QF_STACK
+    + """
+, per_role AS (
+  SELECT role,
+    CAST(count(*) AS BIGINT) AS n_total,
+    CAST(sum(CASE WHEN drop_reason IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_keep
+  FROM final GROUP BY role
+),
+tot AS (
+  SELECT CAST(sum(n_total) AS BIGINT) AS g_total,
+         CAST(sum(n_keep) AS BIGINT) AS g_keep
+  FROM per_role
+)
+SELECT role, n_total, n_keep,
+  CAST(floor(1000.0 * ((n_keep + 1.0) / (n_total + 2.0)
+       - 1.645 * sqrt((n_keep + 1.0) * (n_total - n_keep + 1.0)
+                      / ((n_total + 2.0) * (n_total + 2.0) * (n_total + 3.0)))))
+       AS BIGINT) AS ci_lo_permille,
+  CAST(floor(1000.0 * ((n_keep + 1.0) / (n_total + 2.0)
+       + 1.645 * sqrt((n_keep + 1.0) * (n_total - n_keep + 1.0)
+                      / ((n_total + 2.0) * (n_total + 2.0) * (n_total + 3.0)))))
+       AS BIGINT) AS ci_hi_permille,
+  CASE WHEN 10 * abs(n_keep * g_total - g_keep * n_total) <= g_keep * n_total
+       THEN 'pass'
+       WHEN 10 * abs(n_keep * g_total - g_keep * n_total) <= 2 * g_keep * n_total
+       THEN 'almost'
+       ELSE 'fail' END AS coverage
+FROM per_role CROSS JOIN tot
+"""
+)
+
 # ---- identity / dedup / sampling (SURVEY §2.6, §2.7) -----------------------
 
 TURN_IDS_UNIQUE_SQL = (
@@ -326,11 +447,14 @@ FROM transcripts
 """
 )
 
+# Dedup groups are keyed by content; the oracle groups by the text itself
+# while the engine groups by a 128-bit vectorized content hash (two
+# independent siphash streams) — the grouping is equivalent barring a
+# 2⁻¹²⁸-scale collision, and no per-row Python md5 runs in the hot path.
 DEDUP_TURNS_SQL = (
     _with(TRANSCRIPTS_CTE, SCRUBBED_CTE)
     + f"""
-SELECT md5(scrubbed_text) AS fp,
-       min({_TURN_KEY}) AS first_key,
+SELECT min({_TURN_KEY}) AS first_key,
        CAST(count(*) AS BIGINT) AS n_dupes
 FROM scrubbed GROUP BY scrubbed_text
 """
@@ -338,7 +462,7 @@ FROM scrubbed GROUP BY scrubbed_text
 
 DEDUP_DOCS_SQL = f"""
 WITH n AS (SELECT doc_id, {_NORM} AS norm FROM documents)
-SELECT md5(norm) AS fp, CAST(min(doc_id) AS BIGINT) AS first_doc,
+SELECT CAST(min(doc_id) AS BIGINT) AS first_doc,
        CAST(count(*) AS BIGINT) AS n_dupes
 FROM n GROUP BY norm
 """
