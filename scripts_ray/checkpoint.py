@@ -81,7 +81,14 @@ def run_buckets(
 ) -> list[dict]:
     """Process every bucket not yet in the manifest. `pipeline_fn(ds) -> ds`
     is the per-bucket transform. `max_buckets` limits work (used by the
-    kill/resume test to simulate an interrupted run)."""
+    kill/resume test to simulate an interrupted run).
+
+    Scale note: buckets run one at a time from the driver — each is
+    internally parallel, but inter-bucket idle tails add up when buckets
+    number in the thousands. At that scale either coarsen buckets so each
+    saturates the cluster, or overlap 2-3 buckets from driver threads
+    (manifest appends are line-atomic, so concurrent publishes are safe);
+    the resume/manifest protocol itself is unchanged either way."""
     import ray.data as rd
 
     os.makedirs(out_dir, exist_ok=True)

@@ -124,6 +124,39 @@ def quality_docs(docs_ds):
     return docs_ds.map_batches(quality, batch_format="pyarrow")
 
 
+VALIDATE_MIN_CHARS = 50
+
+
+def validate_docs(docs_ds):
+    """M19 validate/reject: line-shape rules over every document with an
+    explicit reject-list output (reference: BibTeX fragment validator
+    emitting (ok, errors) per file,
+    /root/reference/src/references/compile-bib-references.py:26-68).
+    Rules: too_short (< VALIDATE_MIN_CHARS chars), unterminated (last char
+    not sentence-final). Emits ALL rows with (valid, reject_reason) so the
+    reject list is `WHERE NOT valid`."""
+
+    def check(batch: pa.Table) -> pa.Table:
+        text = batch["text"].combine_chunks()
+        too_short = pc.less(pc.utf8_length(text), VALIDATE_MIN_CHARS).to_numpy(
+            zero_copy_only=False
+        )
+        lastc = pd.Series(text.to_pandas()).str[-1:].fillna("")
+        unterm = ~lastc.isin([".", "!", "?"]).to_numpy()
+        reason = np.select(
+            [too_short, unterm], ["too_short", "unterminated"], default=None
+        )
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "valid": pa.array([r is None for r in reason], type=pa.bool_()),
+                "reject_reason": pa.array(reason, type=pa.string()),
+            }
+        )
+
+    return docs_ds.map_batches(check, batch_format="pyarrow")
+
+
 def binary_meta(docs_ds, chunk_bytes: int = 256):
     """Multimodal plumbing: treat the payload as opaque bytes with typed
     metadata (byte size, chunk count). The decode step itself is stubbed in

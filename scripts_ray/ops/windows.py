@@ -194,17 +194,32 @@ def first_last_flags_part(df: pd.DataFrame) -> pd.DataFrame:
     ]
 
 
-def merge_intro_pairs_part(df: pd.DataFrame) -> pd.DataFrame:
+def merge_intro_pairs_part(df: pd.DataFrame, strategy: str = "rule") -> pd.DataFrame:
     """Pair-merge rewrite (reference: predicted intro pairs merged with
     hyphen-aware concatenation and the second element deleted,
     /root/reference/src/classify_join_intros.py:127-165): every `system`
     turn immediately followed by an `assistant` turn absorbs that turn's
     text — no space when the first text ends with '-', else space-joined —
     and the absorbed row is dropped. Row-count-changing ordered rewrite;
-    pairs are disjoint because the absorbed row is never a `system` turn."""
+    pairs are disjoint because the absorbed row is never a `system` turn.
+
+    `strategy` is the ML4 classifier slot (reference: the NSP model decides
+    which pairs merge, /root/reference/src/classify_join_intros.py:76-122 —
+    here a pluggable predicate over the lead-window):
+    - "rule"   — merge system→assistant pairs (default, oracle-checked)
+    - "never"  — no merges (identity rewrite)
+    A model-backed strategy plugs in as another branch producing the same
+    boolean `absorbs` vector from (text, next_text)."""
     df = _conv_sorted(df)
     same_next = df["conv_id"].eq(df["conv_id"].shift(-1))
-    absorbs = df["role"].eq("system") & df["role"].shift(-1).eq("assistant") & same_next
+    if strategy == "rule":
+        absorbs = (
+            df["role"].eq("system") & df["role"].shift(-1).eq("assistant") & same_next
+        )
+    elif strategy == "never":
+        absorbs = pd.Series(False, index=df.index)
+    else:
+        raise ValueError(f"unknown merge strategy: {strategy!r}")
     absorbed = absorbs.shift(1, fill_value=False)
     next_text = df["text"].shift(-1)
     joiner = np.where(df["text"].str.endswith("-"), "", " ")

@@ -161,6 +161,105 @@ def ordered_pass_arrow(part: pa.Table) -> pa.Table:
     return out.select(OUT_COLS).take(pa.array(order))
 
 
+def conv_first_sys(ds) -> pd.Series:
+    """Pre-pass for the broadcast-window flagship variant: per-conversation
+    index of the first `system` turn, computed from a COLUMN-PRUNED scan
+    (conv_id, turn_idx, role only — the text never moves) through the
+    two-level hash aggregate. Output is one row per conversation — the
+    only state the ordered pass needs."""
+    from .ops.hashagg import hash_aggregate
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        m = batch.loc[batch["role"].eq("system"), ["conv_id", "turn_idx"]]
+        return m.rename(columns={"turn_idx": "first_sys"})
+
+    agg = hash_aggregate(
+        ds.select_columns(["conv_id", "turn_idx", "role"]).map_batches(
+            partial, batch_format="pandas"
+        ),
+        keys="conv_id",
+        aggs={"first_sys": ("first_sys", "min")},
+    ).to_pandas()
+    return pd.Series(
+        agg["first_sys"].to_numpy(dtype=np.int64),
+        index=agg["conv_id"].to_numpy(),
+    )
+
+
+def conv_first_sys_from_files(path: str, cpu_limit: int | None = None) -> pd.Series:
+    """Fast pre-pass over an on-disk shard directory: a pyarrow dataset
+    scan of ONLY (conv_id, turn_idx) with a role=='system' predicate
+    (column + predicate pushdown at the parquet reader, arrow's internal
+    thread pool — no Ray tasks), then one pandas groupby-min. Only the
+    system-turn rows ever materialize, so the driver-side work stays a
+    small fraction of the corpus.
+
+    This is the small/medium-corpus fast path; `conv_first_sys` (the
+    Dataset two-level aggregate) is the general path when the filtered
+    projection no longer fits one process. `cpu_limit` caps arrow's thread
+    pool so scaling measurements at a reduced CPU budget stay honest."""
+    import pyarrow as _pa
+    import pyarrow.compute as pc
+    import pyarrow.dataset as pads
+
+    if cpu_limit is not None:
+        _pa.set_cpu_count(cpu_limit)
+    t = pads.dataset(path, format="parquet").to_table(
+        columns=["conv_id", "turn_idx"], filter=pc.field("role") == "system"
+    )
+    if t.num_rows == 0:
+        return pd.Series(dtype=np.int64)
+    df = t.to_pandas()
+    return df.groupby("conv_id", sort=False)["turn_idx"].min().astype(np.int64)
+
+
+class ScrubScoreGateDemote(Scorer):
+    """Fully fused flagship stage for the broadcast-window mode: scrub →
+    score → gate → pre-system demotion in ONE actor call, using the
+    broadcast per-conv `first_sys` map instead of a full-row exchange.
+    The heavy text column never crosses the object store a second time.
+
+    NOTE: the constructor takes ONE ``ray.put`` handle bundling
+    (counts, first_sys). Passing two separate ObjectRefs as actor
+    constructor args stalls Ray 2.49's actor pool indefinitely at high
+    concurrency (observed at 24 actors / 32 CPUs; cf. ray#53727's
+    constructor-args-in-object-store caveat) — bundle, don't multiply."""
+
+    def __init__(self, bundle_ref):
+        import ray
+
+        counts, fs = (
+            ray.get(bundle_ref) if not isinstance(bundle_ref, tuple) else bundle_ref
+        )
+        super().__init__(counts)
+        self.first_sys = fs
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        out = gate_batch(super().__call__(scrub_batch(batch))).select(OUT_COLS)
+        conv = out["conv_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        fs = self.first_sys.reindex(conv).to_numpy(dtype=np.float64)  # NaN: no system turn
+        turn = out["turn_idx"].combine_chunks().to_numpy(zero_copy_only=False)
+        keep = out["keep"].combine_chunks().to_numpy(zero_copy_only=False)
+        is_asst = pc.equal(out["role"].combine_chunks(), "assistant").to_numpy(
+            zero_copy_only=False
+        )
+        demote = keep & is_asst & (turn < fs)  # NaN compares False
+        new_keep = keep & ~demote
+        reason = pc.if_else(
+            pa.array(demote),
+            pa.scalar("pre_system"),
+            out["drop_reason"].combine_chunks(),
+        )
+        out = out.set_column(
+            out.schema.get_field_index("keep"), "keep", pa.array(new_keep)
+        )
+        return out.set_column(
+            out.schema.get_field_index("drop_reason"), "drop_reason", reason
+        )
+
+
 def quality_filter(
     ds,
     counts_ref,
@@ -168,10 +267,44 @@ def quality_filter(
     score_concurrency=(1, 4),
     batch_size=4096,
     num_partitions=64,
+    mode="exchange",
+    first_sys_ref=None,
 ):
-    """Compose the flagship DAG over a transcripts Dataset. The one
-    all-to-all exchange is the hash partition on conv_id feeding the
-    ordered finalize."""
+    """Compose the flagship DAG over a transcripts Dataset.
+
+    mode="exchange" (default, fully general): one all-to-all hash exchange
+    on conv_id feeds the ordered finalize — works at ANY conversation
+    cardinality; the text column crosses the object store once.
+
+    mode="broadcast": two-pass window — a column-pruned pre-pass aggregates
+    the per-conv ordered state (first_sys, one row per conversation), which
+    is broadcast into a fully fused per-batch stage; NO full-row exchange.
+    Output rows are identical (equivalence pytest); only their order and
+    file layout differ (per-input-shard instead of per-conv-bucket).
+    Applicable while the conv-level state fits worker memory (~10⁸ convs);
+    beyond that, fall back to exchange mode or shard the lookup."""
+    if mode == "broadcast":
+        import ray
+
+        first_sys = (
+            conv_first_sys(ds)
+            if first_sys_ref is None
+            else (ray.get(first_sys_ref) if not isinstance(first_sys_ref, pd.Series)
+                  else first_sys_ref)
+        )
+        counts = ray.get(counts_ref) if not isinstance(counts_ref, dict) else counts_ref
+        # ONE bundled broadcast ref (see ScrubScoreGateDemote note)
+        bundle_ref = ray.put((counts, first_sys))
+        return ds.map_batches(
+            ScrubScoreGateDemote,
+            fn_constructor_args=(bundle_ref,),
+            batch_format="pyarrow",
+            batch_size=batch_size,
+            concurrency=score_concurrency,
+            num_cpus=1,
+        )
+    if mode != "exchange":
+        raise ValueError(f"unknown mode: {mode!r}")
 
     scored = ds.map_batches(
         ScrubScoreGate,

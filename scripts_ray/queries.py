@@ -349,6 +349,80 @@ def q_unknown_turns(sf_dir: str):
     )
 
 
+def q_match_reasons(sf_dir: str):
+    """A9: match-reason distribution of the attribution cascade (reference:
+    per-function match tallies, /root/reference/src/fuzzy_matching.py:114-121)."""
+    from .ops.hashagg import hash_aggregate
+
+    att = q_turn_attribution(sf_dir)
+    return hash_aggregate(
+        att.map_batches(
+            lambda b: b[["match_type"]], batch_format="pandas"
+        ),
+        keys="match_type",
+        aggs={"n": ("match_type", "count")},
+    )
+
+
+ACTIVE_PROBE_TS = "2024-01-15 00:00:00"
+ACTIVE_WINDOW_DAYS = 7
+
+
+def q_active_convs(sf_dir: str):
+    """A7: interval membership → count-distinct (reference: N unique MPs
+    whose validity interval covers a given day,
+    /root/reference/src/stats-dashboard/mp-coverage.py:160-200): the number
+    of distinct conversations with a `system` turn whose 7-day validity
+    window covers the probe instant. Distributed distinct (two-level),
+    then a count — no driver-side id materialization."""
+    from .ops.hashagg import distinct
+
+    probe = pd.Timestamp(ACTIVE_PROBE_TS)
+    lo = probe - pd.Timedelta(days=ACTIVE_WINDOW_DAYS)
+
+    def covering(batch: pd.DataFrame) -> pd.DataFrame:
+        m = batch["role"].eq("system") & (batch["ts"] > lo) & (batch["ts"] <= probe)
+        return batch.loc[m, ["conv_id"]]
+
+    n = distinct(
+        derive_transcripts_ds(sf_dir).map_batches(covering, batch_format="pandas"),
+        "conv_id",
+    ).count()
+    return pd.DataFrame({"n_active": [np.int64(n)]})
+
+
+RE_INTRO = r"^(?P<speaker>[A-ZÀ-Þ]{2,}) sade: (?P<speech>.*)$"
+
+
+def q_intro_fields(sf_dir: str):
+    """M12: intro-structure parser — the regex field extractor over intro-
+    shaped turns (reference: intro_to_dict pattern bank parsing name/party
+    fields from an intro string, /root/reference/src/fuzzy_matching.py:38-56).
+    Scrub first (caps-dash join restores the split ALLCAPS name), then
+    extract (speaker, speech) from turns matching the intro shape."""
+
+    def extract(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        arr = batch["scrubbed_text"].combine_chunks()
+        m = pc.extract_regex(arr, pattern=RE_INTRO)
+        ok = m.is_valid()
+        return pa.table(
+            {
+                "conv_id": batch["conv_id"].combine_chunks().filter(ok),
+                "turn_idx": batch["turn_idx"].combine_chunks().filter(ok),
+                "speaker": pc.struct_field(m, "speaker").filter(ok),
+                "speech": pc.struct_field(m, "speech").filter(ok),
+            }
+        )
+
+    return (
+        derive_transcripts_ds(sf_dir)
+        .map_batches(scrub_batch, batch_format="pyarrow")
+        .map_batches(extract, batch_format="pyarrow")
+    )
+
+
 def q_qc_keep_by_role(sf_dir: str):
     from .ops.hashagg import hash_aggregate
 
@@ -535,6 +609,12 @@ def q_quality_docs(sf_dir: str):
     )
 
 
+def q_validate_docs(sf_dir: str):
+    return textstats.validate_docs(
+        _read(sf_dir, "documents", columns=["doc_id", "text"])
+    )
+
+
 def q_binary_meta(sf_dir: str):
     return textstats.binary_meta(
         _read(sf_dir, "documents", columns=["doc_id", "text"])
@@ -663,6 +743,9 @@ QUERIES = {
     "sessionize": q_sessionize,
     "turn_attribution": q_turn_attribution,
     "unknown_turns": q_unknown_turns,
+    "match_reasons": q_match_reasons,
+    "active_convs": q_active_convs,
+    "intro_fields": q_intro_fields,
     "qc_keep_by_role": q_qc_keep_by_role,
     "weighted_sample": q_weighted_sample,
     "turn_uids": q_turn_uids,
@@ -687,6 +770,7 @@ QUERIES = {
     "doc_stats": q_doc_stats,
     "lang_docs": q_lang_docs,
     "quality_docs": q_quality_docs,
+    "validate_docs": q_validate_docs,
     "binary_meta": q_binary_meta,
     "ann_cosine": q_ann_cosine,
     "near_dup_embedding": q_near_dup_embedding,
@@ -726,6 +810,9 @@ ORACLES = {
     "sessionize": sql_ops.SESSIONIZE_SQL,
     "turn_attribution": sql_ops.TURN_ATTRIBUTION_SQL,
     "unknown_turns": sql_ops.UNKNOWN_TURNS_SQL,
+    "match_reasons": sql_ops.MATCH_REASONS_SQL,
+    "active_convs": sql_ops.ACTIVE_CONVS_SQL,
+    "intro_fields": sql_ops.INTRO_FIELDS_SQL,
     "qc_keep_by_role": sql_ops.QC_KEEP_BY_ROLE_SQL,
     "weighted_sample": sql_ops.WEIGHTED_SAMPLE_SQL,
     "turn_uids": sql_ops.TURN_UIDS_SQL,
@@ -747,6 +834,7 @@ ORACLES = {
     "doc_stats": sql_ops.DOC_STATS_SQL,
     "lang_docs": sql_ops.LANG_DOCS_SQL,
     "quality_docs": sql_ops.QUALITY_DOCS_SQL,
+    "validate_docs": sql_ops.VALIDATE_DOCS_SQL,
     "binary_meta": sql_ops.BINARY_META_SQL,
     "ann_cosine": sql_ops.ANN_COSINE_SQL,
     # ann_lsh's multi-table pool deterministically covers the exact top-k on

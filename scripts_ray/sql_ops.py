@@ -375,6 +375,38 @@ SEEDED_SHUFFLE_SQL = (
 
 SIMHASH_COVERAGE_SQL = "SELECT CAST(0 AS BIGINT) AS n_missed"
 
+# A9: match-reason distribution over the attribution cascade output.
+MATCH_REASONS_SQL = f"""
+WITH att AS ({TURN_ATTRIBUTION_SQL})
+SELECT match_type, CAST(count(*) AS BIGINT) AS n FROM att GROUP BY match_type
+"""
+
+# A7: interval membership → count-distinct at a probe instant.
+ACTIVE_CONVS_SQL = (
+    _with(TRANSCRIPTS_CTE)
+    + """
+SELECT CAST(count(DISTINCT conv_id) AS BIGINT) AS n_active
+FROM transcripts
+WHERE role = 'system'
+  AND ts > TIMESTAMP '2024-01-15 00:00:00' - INTERVAL 7 DAY
+  AND ts <= TIMESTAMP '2024-01-15 00:00:00'
+"""
+)
+
+# M12: intro-structure regex field extraction (RE2 on both engines).
+_RE_INTRO_SQL = "^([A-ZÀ-Þ]{2,}) sade: (.*)$"
+
+INTRO_FIELDS_SQL = (
+    _with(TRANSCRIPTS_CTE, SCRUBBED_CTE)
+    + f"""
+SELECT conv_id, turn_idx,
+  regexp_extract(scrubbed_text, '{_RE_INTRO_SQL}', 1) AS speaker,
+  regexp_extract(scrubbed_text, '{_RE_INTRO_SQL}', 2) AS speech
+FROM scrubbed
+WHERE regexp_matches(scrubbed_text, '{_RE_INTRO_SQL}')
+"""
+)
+
 # ---- QC accuracy aggregate (SURVEY §2.5 A4) --------------------------------
 # Keep-rate per role with the Beta-posterior mean in integer permille — the
 # analog of the reference's correct/incorrect tallies with Beta(c+1, i+1)
@@ -565,6 +597,18 @@ FROM pairs
 JOIN counts ca ON ca.doc_id = doc_a
 JOIN counts cb ON cb.doc_id = doc_b
 WHERE 2 * inter >= ca.n + cb.n - inter
+"""
+
+# M19 validate/reject: same rules as textstats.validate_docs.
+VALIDATE_DOCS_SQL = """
+SELECT doc_id,
+  CASE WHEN length(text) < 50 THEN 'too_short'
+       WHEN substr(text, length(text), 1) NOT IN ('.', '!', '?') THEN 'unterminated'
+  END AS reject_reason,
+  CASE WHEN length(text) < 50 THEN FALSE
+       WHEN substr(text, length(text), 1) NOT IN ('.', '!', '?') THEN FALSE
+       ELSE TRUE END AS valid
+FROM documents
 """
 
 BINARY_META_SQL = """

@@ -235,6 +235,28 @@ def test_cascade_order_is_honored(ray_session, sf_dir):
         attribution.attribute_turns(derive_transcripts_ds(sf_dir), idx, cascade=("bogus",))
 
 
+# ---- ML4 merge-strategy slot ------------------------------------------------
+
+
+def test_merge_strategy_slot():
+    from scripts_ray.ops.windows import merge_intro_pairs_part
+
+    df = pd.DataFrame(
+        {
+            "conv_id": ["c"] * 4,
+            "turn_idx": [0, 1, 2, 3],
+            "role": ["system", "assistant", "user", "assistant"],
+            "text": ["intro-", "continued", "q", "a"],
+        }
+    )
+    rule = merge_intro_pairs_part(df, strategy="rule")
+    assert len(rule) == 3 and rule.iloc[0]["text"] == "intro-continued"
+    never = merge_intro_pairs_part(df, strategy="never")
+    assert len(never) == 4 and never["text"].tolist() == df["text"].tolist()
+    with pytest.raises(ValueError):
+        merge_intro_pairs_part(df, strategy="nsp-model")
+
+
 # ---- QC ±10% tolerance rule (A10) ------------------------------------------
 
 
@@ -255,6 +277,50 @@ def test_tolerance_rule_classification(ray_session, sf_dir):
         assert r.coverage == want
     # CI bounds bracket the posterior mean
     assert (df["ci_lo_permille"] <= df["ci_hi_permille"]).all()
+
+
+# ---- flagship execution modes ----------------------------------------------
+
+
+def test_quality_filter_modes_equivalent(ray_session, sf_dir):
+    """mode='broadcast' (two-pass window, no full-row exchange) must emit
+    exactly the rows of mode='exchange' (the general path)."""
+    import ray
+
+    from scripts_ray.pipelines import build_model_counts, quality_filter
+    from scripts_ray.sources import derive_transcripts_ds
+
+    counts_ref = ray.put(build_model_counts(sf_dir))
+    a = quality_filter(derive_transcripts_ds(sf_dir), counts_ref).to_pandas()
+    b = quality_filter(
+        derive_transcripts_ds(sf_dir), counts_ref, mode="broadcast"
+    ).to_pandas()
+    key = ["conv_id", "turn_idx"]
+    a = a.sort_values(key).reset_index(drop=True)
+    b = b.sort_values(key).reset_index(drop=True)[a.columns]
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_conv_first_sys_from_files_matches_dataset_path(ray_session, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from scripts_ray.pipelines import conv_first_sys, conv_first_sys_from_files
+
+    # conversations straddling files
+    t1 = pa.table({"conv_id": ["a", "a", "b"], "turn_idx": [5, 1, 2],
+                   "role": ["system", "user", "system"],
+                   "text": ["x", "y", "z"], "tool": [None, None, None]})
+    t2 = pa.table({"conv_id": ["a", "b", "c"], "turn_idx": [3, 0, 1],
+                   "role": ["system", "user", "user"],
+                   "text": ["x", "y", "z"], "tool": [None, None, None]})
+    pq.write_table(t1, str(tmp_path / "p1.parquet"))
+    pq.write_table(t2, str(tmp_path / "p2.parquet"))
+    got = conv_first_sys_from_files(str(tmp_path))
+    assert got.to_dict() == {"a": 3, "b": 2}
+    via_ds = conv_first_sys(rd.read_parquet(str(tmp_path)))
+    assert got.sort_index().to_dict() == via_ds.sort_index().to_dict()
 
 
 # ---- ts repair --------------------------------------------------------------
