@@ -303,12 +303,13 @@ def run_bench() -> dict:
         extras["minhash_docs_per_sec"] = round(120_000 / dt, 1)
         extras["minhash_cand_pairs"] = n_pairs
 
-        # measured ann_lsh recall@5 vs the exact baseline
+        # measured ANN recall@5 vs the exact baseline for both scale paths
         exact = QUERIES["ann_cosine"](SF_DIR).to_pandas()
-        approx = QUERIES["ann_lsh"](SF_DIR).to_pandas()
         e = set(zip(exact["query_id"], exact["neighbor_id"]))
-        a = set(zip(approx["query_id"], approx["neighbor_id"]))
-        extras["ann_lsh_recall_at_5"] = round(len(e & a) / max(1, len(e)), 4)
+        for name in ["ann_lsh", "ann_ivf"]:
+            approx = QUERIES[name](SF_DIR).to_pandas()
+            a = set(zip(approx["query_id"], approx["neighbor_id"]))
+            extras[f"{name}_recall_at_5"] = round(len(e & a) / max(1, len(e)), 4)
 
     ray.shutdown()
     return {

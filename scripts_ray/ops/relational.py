@@ -111,3 +111,33 @@ def q1_counts(lineitem_ds):
         .groupby(["l_returnflag", "l_linestatus"])
         .aggregate(Sum("sum_qty", alias_name="sum_qty"), Sum("n", alias_name="n"))
     )
+
+
+TUMBLE_MINUTES = 10
+
+
+def event_windows(events_ds):
+    """Tumbling-window aggregate over the events stream: epoch-aligned
+    10-minute windows per event_type (the fixed-window counterpart of the
+    gap-based sessionize). Two-level hash aggregate — window-key
+    cardinality scales with the stream."""
+    from .hashagg import hash_aggregate
+
+    def project(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "event_type": batch["event_type"],
+                "win_start": batch["ts"].dt.floor(f"{TUMBLE_MINUTES}min"),
+                "value": batch["value"],
+            }
+        )
+
+    return hash_aggregate(
+        events_ds.map_batches(project, batch_format="pandas"),
+        keys=["event_type", "win_start"],
+        aggs={
+            "n": ("value", "count"),
+            "min_value": ("value", "min"),
+            "max_value": ("value", "max"),
+        },
+    )

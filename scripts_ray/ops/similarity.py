@@ -108,6 +108,202 @@ def near_dup_pairs(emb_ds, emb_table: pa.Table, min_centipct: int = 40):
     return emb_ds.map_batches(pairs, batch_format="pyarrow")
 
 
+def embedding_bytes(emb_ds):
+    """(vec_id, vb) rows where vb is the L2-normalized float64 vector as a
+    plain bytes blob — the join-friendly carrier for pair verification
+    (same pattern as dedup.doc_token_hash_sets)."""
+
+    def enc(batch: pa.Table) -> pd.DataFrame:
+        m = _to_matrix(batch["embedding"].combine_chunks())
+        m = m / np.linalg.norm(m, axis=1, keepdims=True)
+        return pd.DataFrame(
+            {
+                "vec_id": batch["vec_id"].to_numpy(zero_copy_only=False).astype(
+                    np.int64
+                ),
+                "vb": [row.tobytes() for row in m],
+            }
+        )
+
+    return emb_ds.map_batches(enc, batch_format="pyarrow")
+
+
+def lsh_bucket_rows(emb_ds, n_planes: int = 2, n_tables: int = 32, seed: int = 99):
+    """Multi-table hyperplane LSH bucketing emitted in the shared
+    (band_id, band_hash, doc_id) layout, so candidate pairs come from the
+    same exchange-based `dedup.band_pairs` machinery as MinHash/SimHash.
+    band_id = table index; band_hash = bucket code in that table."""
+    planes_cache: dict[int, list[np.ndarray]] = {}
+
+    def bucketize(batch: pa.Table) -> pd.DataFrame:
+        vecs = _to_matrix(batch["embedding"].combine_chunks())
+        vn = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+        dim = vn.shape[1]
+        if dim not in planes_cache:
+            planes_cache[dim] = [
+                _plane_matrix(dim, n_planes, seed + 1000 * t)
+                for t in range(n_tables)
+            ]
+        ids = batch["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        frames = []
+        for t, pl in enumerate(planes_cache[dim]):
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "band_id": np.full(len(ids), t, dtype=np.int64),
+                        "band_hash": _bucket_of(vn, pl),
+                        "doc_id": ids,
+                    }
+                )
+            )
+        return pd.concat(frames, ignore_index=True)
+
+    return emb_ds.map_batches(bucketize, batch_format="pyarrow")
+
+
+def near_dup_emb_lsh(emb_ds_fn, min_centipct: int = 40,
+                     n_planes: int = 2, n_tables: int = 32, seed: int = 99):
+    """Embedding near-dup, SCALE path end-to-end: multi-table hyperplane
+    LSH candidates (exchange-based bucket pairing, no corpus broadcast) →
+    exact cosine verification of candidate pairs only (distributed hash
+    joins carry each pair's two normalized vectors) → pairs with
+    floor(100·cos) ≥ min_centipct. With 2 planes × 32 tables a true pair
+    at cos ≥ 0.40 misses every table with probability (1-0.398)³² ≈ 9e-8,
+    so the output deterministically equals the all-pairs oracle on the
+    test corpora — which is what lets NEAR_DUP_EMBEDDING_SQL check the
+    scale path itself. `emb_ds_fn()` returns a fresh embeddings Dataset
+    (consumed three times: bucketing + both join sides)."""
+    from .dedup import band_pairs
+    from .hashagg import hash_join
+
+    cands = band_pairs(lsh_bucket_rows(emb_ds_fn(), n_planes, n_tables, seed))
+
+    def rename(side: str):
+        def f(batch: pd.DataFrame) -> pd.DataFrame:
+            return batch.rename(columns={"vec_id": f"vec_{side}", "vb": f"vb_{side}"})
+
+        return f
+
+    joined = hash_join(
+        hash_join(
+            cands.select_columns(["doc_a", "doc_b"]).map_batches(
+                lambda b: b.rename(columns={"doc_a": "vec_a", "doc_b": "vec_b"}),
+                batch_format="pandas",
+            ),
+            embedding_bytes(emb_ds_fn()).map_batches(
+                rename("a"), batch_format="pandas"
+            ),
+            on="vec_a",
+        ),
+        embedding_bytes(emb_ds_fn()).map_batches(rename("b"), batch_format="pandas"),
+        on="vec_b",
+    )
+
+    def verify(batch: pd.DataFrame) -> pd.DataFrame:
+        a = np.stack([np.frombuffer(x, dtype=np.float64) for x in batch["vb_a"]])
+        b = np.stack([np.frombuffer(x, dtype=np.float64) for x in batch["vb_b"]])
+        centi = np.floor(100.0 * np.einsum("ij,ij->i", a, b)).astype(np.int64)
+        out = pd.DataFrame(
+            {
+                "vec_a": batch["vec_a"].to_numpy(dtype=np.int64),
+                "vec_b": batch["vec_b"].to_numpy(dtype=np.int64),
+                "sim_centipct": centi,
+            }
+        )
+        return out.loc[out["sim_centipct"] >= min_centipct]
+
+    def nonempty_verify(batch: pd.DataFrame) -> pd.DataFrame:
+        if len(batch) == 0:
+            return pd.DataFrame(
+                {
+                    "vec_a": np.array([], dtype=np.int64),
+                    "vec_b": np.array([], dtype=np.int64),
+                    "sim_centipct": np.array([], dtype=np.int64),
+                }
+            )
+        return verify(batch)
+
+    return joined.map_batches(nonempty_verify, batch_format="pandas")
+
+
+def train_centroids(sf_dir: str, n_centroids: int = 16, iters: int = 10,
+                    seed: int = 7) -> np.ndarray:
+    """Deterministic spherical k-means over the embeddings table (driver
+    side — the coarse quantizer is dimension-sized state trained offline in
+    a real deployment, like the unigram LM). Returns (n_centroids, dim)
+    L2-normalized centroids."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["embedding"])
+    x = _to_matrix(t["embedding"].combine_chunks())
+    x = x / np.linalg.norm(x, axis=1, keepdims=True)
+    rng = np.random.default_rng(seed)
+    c = x[rng.choice(len(x), size=n_centroids, replace=False)]
+    for _ in range(iters):
+        assign = np.argmax(x @ c.T, axis=1)
+        for j in range(n_centroids):
+            m = x[assign == j]
+            if len(m):
+                v = m.sum(axis=0)
+                c[j] = v / np.linalg.norm(v)
+    return c
+
+
+def ann_ivf(emb_ds, query_ids: np.ndarray, queries: np.ndarray,
+            centroids: np.ndarray, k: int = 5, nprobe: int = 8):
+    """IVF ANN — the centroid-partitioned scale path (FAISS-style coarse
+    quantization): every vector belongs to its nearest centroid's inverted
+    list; a query exact-scans only its `nprobe` nearest lists. Per-batch:
+    assign batch vectors to centroids (one matmul), keep those whose
+    centroid is probed by each query, exact rerank, merge local top-k.
+    nprobe/n_centroids is the scanned fraction and the recall knob:
+    measured recall@5 = 0.84 at nprobe=8/16 on the weak-structure
+    synthetic corpora (deterministic; asserted ≥ 0.75 in tests, reported
+    by bench). Unlike ann_lsh's multi-table union, IVF cannot reach
+    deterministic full coverage without probing every list, so this query
+    is rows-only — the tradeoff IS the semantics."""
+    import ray
+
+    qnorm = queries / np.linalg.norm(queries, axis=1, keepdims=True)
+    qprobe = np.argsort(-(qnorm @ centroids.T), axis=1)[:, :nprobe]  # (nq, nprobe)
+    ref = ray.put((query_ids, qnorm, qprobe, centroids))
+
+    def candidates(batch: pa.Table) -> pd.DataFrame:
+        qids, qn, qp, cents = ray.get(ref)
+        vecs = _to_matrix(batch["embedding"].combine_chunks())
+        vids = batch["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        vn = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+        vassign = np.argmax(vn @ cents.T, axis=1)
+        out_q, out_v, out_s = [], [], []
+        for j, qid in enumerate(qids):
+            probed = np.isin(vassign, qp[j])
+            cand = np.nonzero(probed & (vids != qid))[0]
+            if len(cand) == 0:
+                continue
+            sims = vn[cand] @ qn[j]
+            top = cand[np.argsort(-sims, kind="stable")[:k]]
+            out_q.extend([int(qid)] * len(top))
+            out_v.extend(vids[top])
+            out_s.extend(vn[top] @ qn[j])
+        return pd.DataFrame(
+            {"query_id": np.array(out_q, dtype=np.int64),
+             "neighbor_id": np.array(out_v, dtype=np.int64),
+             "sim": np.array(out_s, dtype=np.float64)}
+        )
+
+    def merge_topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["sim", "neighbor_id"], ascending=[False, True],
+                          kind="mergesort").head(k)
+        g = g.assign(rank=np.arange(1, len(g) + 1, dtype=np.int64))
+        return g[["query_id", "rank", "neighbor_id"]]
+
+    return (
+        emb_ds.map_batches(candidates, batch_format="pyarrow")
+        .groupby("query_id")
+        .map_groups(merge_topk, batch_format="pandas")
+    )
+
+
 def _plane_matrix(dim: int, n_planes: int, seed: int) -> np.ndarray:
     return np.random.default_rng(seed).standard_normal((dim, n_planes))
 

@@ -124,6 +124,35 @@ def quality_docs(docs_ds):
     return docs_ds.map_batches(quality, batch_format="pyarrow")
 
 
+# BPE-style pretokenizer (GPT-2-shaped): a letter run, a digit run, or a
+# punctuation run, each with an optional leading space — the standard
+# approximation for LLM token budgeting without a vocab file. RE2-safe on
+# both engines (explicit whitespace class, no lookarounds).
+RE_BPE = r" ?[a-zA-ZÀ-ÿ]+| ?[0-9]+| ?[^a-zA-ZÀ-ÿ0-9 \t\r\n\f\v]+"
+
+
+def token_counts(docs_ds):
+    """Token counting for training-data budgeting: whitespace tokens and
+    BPE-ish pretokenizer tokens per document (brief: 'token counting
+    (whitespace + a BPE-ish regex)')."""
+
+    def count(batch: pa.Table) -> pa.Table:
+        text = batch["text"].combine_chunks()
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_ws_tokens": pc.cast(
+                    pc.count_substring_regex(text, pattern=RE_NONWS), pa.int64()
+                ),
+                "n_bpe_tokens": pc.cast(
+                    pc.count_substring_regex(text, pattern=RE_BPE), pa.int64()
+                ),
+            }
+        )
+
+    return docs_ds.map_batches(count, batch_format="pyarrow")
+
+
 VALIDATE_MIN_CHARS = 50
 
 

@@ -599,6 +599,24 @@ JOIN counts cb ON cb.doc_id = doc_b
 WHERE 2 * inter >= ca.n + cb.n - inter
 """
 
+# Token counting (whitespace + BPE-ish pretokenizer) — same RE2 patterns.
+from .ops.textstats import RE_BPE as _RE_BPE  # noqa: E402
+
+TOKEN_COUNTS_SQL = f"""
+SELECT doc_id,
+  CAST(length({_WS_TOKS}) AS BIGINT) AS n_ws_tokens,
+  CAST(length(regexp_extract_all(text, '{_RE_BPE}')) AS BIGINT) AS n_bpe_tokens
+FROM documents
+"""
+
+# Tumbling 10-minute windows per event type.
+EVENT_WINDOWS_SQL = """
+SELECT event_type, time_bucket(INTERVAL 10 MINUTE, ts) AS win_start,
+       CAST(count(*) AS BIGINT) AS n,
+       min(value) AS min_value, max(value) AS max_value
+FROM events GROUP BY 1, 2
+"""
+
 # M19 validate/reject: same rules as textstats.validate_docs.
 VALIDATE_DOCS_SQL = """
 SELECT doc_id,

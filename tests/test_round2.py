@@ -279,6 +279,22 @@ def test_tolerance_rule_classification(ray_session, sf_dir):
     assert (df["ci_lo_permille"] <= df["ci_hi_permille"]).all()
 
 
+# ---- IVF ANN recall contract -------------------------------------------------
+
+
+def test_ann_ivf_recall_bound(ray_session, sf_dir, duck):
+    from scripts_ray.queries import ORACLES, QUERIES
+
+    approx = QUERIES["ann_ivf"](sf_dir).to_pandas()
+    exact = duck.execute(ORACLES["ann_cosine"]).df()
+    e = set(zip(exact["query_id"], exact["neighbor_id"]))
+    a = set(zip(approx["query_id"], approx["neighbor_id"]))
+    recall = len(e & a) / len(e)
+    assert recall >= 0.75, f"ann_ivf recall@5 dropped to {recall:.2f}"
+    # the output shape contract still holds: k ranked rows per query
+    assert (approx.groupby("query_id")["rank"].max() == 5).all()
+
+
 # ---- flagship execution modes ----------------------------------------------
 
 
