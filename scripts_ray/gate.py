@@ -46,13 +46,18 @@ def decide(
     n_symbols: np.ndarray,
     n_tokens: np.ndarray,
     n_distinct: np.ndarray,
+    protected_roles=PROTECTED_ROLES,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Per-turn decision (before the conversation-level ordered pass).
 
     Priority: protected-role keep > empty > too_short > too_long >
     symbol_ratio > repetition > lang > ppl > keep.
-    """
-    protected = np.isin(role, PROTECTED_ROLES)
+
+    `protected_roles` is the §2.9 exclusion-list config surface (reference:
+    reclassify's exclude=["date","speaker"],
+    /root/reference/src/cur-prot/reclassify.py:114); the default matches
+    the SQL oracle."""
+    protected = np.isin(role, list(protected_roles))
     conds = [
         n_chars == 0,
         n_chars < MIN_CHARS,

@@ -310,6 +310,51 @@ def simhash_candidates(docs_ds, bands: int = 4):
     )
 
 
+def winnow_fingerprints(docs_ds, shingle_n: int = 3, window: int = 4):
+    """Document fingerprinting by winnowing (the MOSS scheme): rolling
+    hashes of token n-grams, then the minimum hash of every sliding window
+    of `window` consecutive shingles — guaranteeing any shared substring of
+    ≥ window+n-1 tokens contributes at least one common fingerprint.
+    Emits exploded (doc_id, fp) rows, deduplicated per doc. Hash-valued →
+    rows-only; the containment invariant (exact duplicate docs share the
+    exact fingerprint set) is asserted in tests."""
+
+    def winnow(batch: pd.DataFrame) -> pd.DataFrame:
+        from ..tokens import explode
+
+        rows, toks = explode(pa.array(batch["text"].tolist(), type=pa.string()))
+        srows, sh = shingle_hashes(rows, toks, shingle_n)
+        ids = batch["doc_id"].to_numpy(dtype=np.int64)
+        out_ids, out_fps = [], []
+        if len(sh):
+            starts = np.searchsorted(srows, np.arange(len(batch)))
+            ends = np.searchsorted(srows, np.arange(len(batch)), side="right")
+            for i in range(len(batch)):
+                h = sh[starts[i] : ends[i]]
+                if len(h) == 0:
+                    continue
+                if len(h) <= window:
+                    fps = np.unique(h.min(keepdims=True))
+                else:
+                    sw = np.lib.stride_tricks.sliding_window_view(h, window)
+                    fps = np.unique(sw.min(axis=1))
+                out_ids.append(np.full(len(fps), ids[i], dtype=np.int64))
+                out_fps.append(fps)
+        if not out_ids:
+            return pd.DataFrame(
+                {"doc_id": np.array([], dtype=np.int64),
+                 "fp": np.array([], dtype=np.uint64).view(np.int64)}
+            )
+        return pd.DataFrame(
+            {
+                "doc_id": np.concatenate(out_ids),
+                "fp": np.concatenate(out_fps).view(np.int64),
+            }
+        )
+
+    return docs_ds.map_batches(winnow, batch_format="pandas")
+
+
 def doc_token_hash_sets(docs_ds, id_col: str = "doc_id"):
     """Per-document DISTINCT token-hash set, encoded as one binary blob of
     sorted uint64 siphashes per row (compact, join-friendly: a plain bytes

@@ -60,7 +60,9 @@ class Scorer:
         return batch
 
 
-def gate_batch(batch: pa.Table) -> pa.Table:
+def gate_batch(batch: pa.Table, protected_roles=None) -> pa.Table:
+    from .schema import PROTECTED_ROLES
+
     cols = {c: batch[c].to_numpy(zero_copy_only=False) for c in SIGNAL_COLS}
     keep, reason = gate_mod.decide(
         role=batch["role"].to_numpy(zero_copy_only=False),
@@ -70,6 +72,9 @@ def gate_batch(batch: pa.Table) -> pa.Table:
         n_symbols=cols["n_symbols"],
         n_tokens=cols["n_tokens"],
         n_distinct=cols["n_distinct"],
+        protected_roles=(
+            PROTECTED_ROLES if protected_roles is None else protected_roles
+        ),
     )
     batch = batch.append_column("keep", pa.array(keep, type=pa.bool_()))
     batch = batch.append_column("drop_reason", pa.array(reason, type=pa.string()))

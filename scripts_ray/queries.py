@@ -585,6 +585,12 @@ def q_qc_keep_ci(sf_dir: str):
 # ---- text analysis ---------------------------------------------------------
 
 
+def q_doc_winnow(sf_dir: str):
+    return dedup.winnow_fingerprints(
+        _read(sf_dir, "documents", columns=["doc_id", "text"])
+    )
+
+
 def q_word_freq(sf_dir: str):
     return textstats.word_freq(_read(sf_dir, "documents", columns=["text"]))
 
@@ -792,6 +798,7 @@ QUERIES = {
     "seeded_shuffle": q_seeded_shuffle,
     "denylist": q_denylist,
     "qc_keep_ci": q_qc_keep_ci,
+    "doc_winnow": q_doc_winnow,
     "word_freq": q_word_freq,
     "kwic": q_kwic,
     "doc_stats": q_doc_stats,

@@ -279,6 +279,73 @@ def test_tolerance_rule_classification(ray_session, sf_dir):
     assert (df["ci_lo_permille"] <= df["ci_hi_permille"]).all()
 
 
+# ---- winnowing fingerprints ---------------------------------------------------
+
+
+def test_winnow_duplicate_docs_share_fingerprint_sets(ray_session, sf_dir):
+    """Exact duplicate documents (same text) must emit IDENTICAL winnowing
+    fingerprint sets — the containment property rolling-hash fingerprints
+    exist for."""
+    import ray.data as rd
+
+    from scripts_ray.ops.dedup import winnow_fingerprints
+
+    df = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2],
+            "text": [
+                "the quick brown fox jumps over the lazy dog again and again",
+                "the quick brown fox jumps over the lazy dog again and again",
+                "a completely different document about spark query engines here",
+            ],
+        }
+    )
+    out = winnow_fingerprints(rd.from_pandas(df)).to_pandas()
+    sets = out.groupby("doc_id")["fp"].apply(frozenset)
+    assert sets[0] == sets[1]
+    assert sets[0] != sets[2]
+
+
+def test_winnow_shared_substring_shares_a_fingerprint():
+    from scripts_ray.ops.dedup import winnow_fingerprints
+    import ray.data as rd
+
+    common = "alpha beta gamma delta epsilon zeta eta theta"
+    df = pd.DataFrame(
+        {
+            "doc_id": [0, 1],
+            "text": [f"one two three {common}", f"{common} nine ten eleven"],
+        }
+    )
+    out = winnow_fingerprints(rd.from_pandas(df)).to_pandas()
+    sets = out.groupby("doc_id")["fp"].apply(set)
+    assert sets[0] & sets[1], "shared 8-token substring must share a fingerprint"
+
+
+# ---- config-driven protected roles -------------------------------------------
+
+
+def test_protected_roles_config_changes_gate():
+    import numpy as np
+
+    from scripts_ray.gate import decide
+
+    role = np.array(["system", "user"], dtype=object)
+    lang = np.array(["und", "und"], dtype=object)
+    args = dict(
+        lang=lang,
+        ppl=np.array([-5, -5]),
+        n_chars=np.array([1, 1]),
+        n_symbols=np.array([0, 0]),
+        n_tokens=np.array([1, 1]),
+        n_distinct=np.array([1, 1]),
+    )
+    keep_default, _ = decide(role=role, **args)
+    assert keep_default.tolist() == [True, False]  # system protected
+    keep_none, _ = decide(role=role, protected_roles=(), **args)
+    assert keep_none.tolist() == [False, False]  # protection lifted
+
+
 # ---- IVF ANN recall contract -------------------------------------------------
 
 
