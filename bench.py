@@ -365,7 +365,7 @@ def run_scaling() -> dict:
 
     prepare_transcripts(SF_DIR, int(replicate))  # warm before either timed run
 
-    def best_of(ncpu: int, reps: int = 2) -> dict:
+    def best_of(ncpu: int, reps: int = int(os.environ.get("GRAFT_SCALING_REPS", "2"))) -> dict:
         # fresh process per rep; min wall filters scheduler/page-cache noise
         results = []
         for _ in range(reps):

@@ -51,6 +51,26 @@ def test_band_pairs_matches_bruteforce(ray_session):
     )
 
 
+def test_band_pairs_hot_bucket(ray_session):
+    """Skew: one boilerplate bucket with 300 members must expand to all
+    C(300,2)=44850 pairs, exactly once each."""
+    import ray.data as rd
+
+    from scripts_ray.ops import dedup
+
+    df = pd.DataFrame(
+        {
+            "band_id": np.zeros(300, dtype=np.int64),
+            "band_hash": np.full(300, 7, dtype=np.int64),
+            "doc_id": np.arange(300, dtype=np.int64),
+        }
+    )
+    out = dedup.band_pairs(rd.from_pandas(df)).to_pandas()
+    assert len(out) == 300 * 299 // 2
+    assert (out["n_bands"] == 1).all()
+    assert (out["doc_a"] < out["doc_b"]).all()
+
+
 def test_expand_bucket_pairs_empty_and_singletons():
     from scripts_ray.ops.dedup import _expand_bucket_pairs_part
 
