@@ -260,7 +260,13 @@ def run_bench() -> dict:
                     batch_size=BATCH,
                     num_partitions=PARTITIONS,
                 )
-            turns = write_and_count(out, f"/tmp/bench_out_{NCPU}")
+            # sink dir: default /tmp (single local disk). GRAFT_BENCH_OUT
+            # lets the scaling protocol use a RAM-backed sink (/dev/shm) so
+            # the two legs compare ENGINE scaling rather than one shared
+            # disk's writeback ceiling — on a multi-node cluster every node
+            # writes at constant per-node bandwidth (see BASELINE.md)
+            out_base = os.environ.get("GRAFT_BENCH_OUT", "/tmp")
+            turns = write_and_count(out, f"{out_base}/bench_out_{NCPU}")
             break
         except Exception as e:  # actor-pool wedge timeout → fresh attempt
             print(f"headline attempt {attempt} failed: {e!r}", file=sys.stderr)
@@ -268,6 +274,12 @@ def run_bench() -> dict:
                 raise
     headline = time.time() - t0
     queries["qf_pipeline"] = round(headline, 3)
+
+    if os.environ.get("GRAFT_BENCH_STATS"):
+        # per-stage execution breakdown (ray.data stats for the executed
+        # plan) — the feedback loop for sizing batch_size / concurrency;
+        # key findings are transcribed into BASELINE.md
+        print(out.stats(), file=sys.stderr)
 
     secondary = (
         []
@@ -390,6 +402,11 @@ def run_scaling() -> dict:
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
+    elif "--stats" in sys.argv:
+        # one flagship run + per-stage ds.stats() dump to stderr
+        os.environ["GRAFT_BENCH_STATS"] = "1"
+        os.environ.setdefault("GRAFT_BENCH_HEADLINE_ONLY", "1")
+        print(json.dumps(run_bench()))
     elif "--hostcap" in sys.argv:
         print(json.dumps(run_hostcap()))
     else:

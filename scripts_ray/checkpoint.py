@@ -15,28 +15,45 @@ identical.
 
 from __future__ import annotations
 
-import hashlib
 import json
 import os
 import shutil
+import threading
 import time
 
 import pandas as pd
 import pyarrow as pa
 
 MANIFEST = "manifest.jsonl"
+_manifest_lock = threading.Lock()
+_fs_resolve_lock = threading.Lock()
+
+
+def _fs_retry(fn):
+    """Run `fn`, retrying once under a lock on the known-transient fsspec
+    import race: Ray's path resolution probes `fsspec.implementations.http`
+    on EVERY read/write; with aiohttp absent the import always fails and is
+    never cached, so two driver threads resolving paths concurrently can
+    observe each other's partially-initialized module ("cannot import name
+    'HTTPFileSystem'") instead of the ModuleNotFoundError Ray handles. The
+    locked retry is single-threaded among our bucket threads, where the
+    probe fails cleanly."""
+    try:
+        return fn()
+    except ImportError as e:
+        if "HTTPFileSystem" not in str(e):
+            raise
+        with _fs_resolve_lock:
+            return fn()
 
 
 def conv_bucket(conv_ids, n_buckets: int):
+    """Deterministic conv→bucket assignment, vectorized (fixed-key siphash
+    — stable across processes/runs, no per-row Python hashing)."""
     import numpy as np
 
-    return np.array(
-        [
-            int.from_bytes(hashlib.md5(c.encode()).digest()[:4], "big") % n_buckets
-            for c in conv_ids
-        ],
-        dtype=np.int32,
-    )
+    h = pd.util.hash_array(np.asarray(conv_ids, dtype=object))
+    return (h % np.uint64(n_buckets)).astype(np.int32)
 
 
 def prepare_input(transcripts_ds, work_dir: str, n_buckets: int = 8) -> str:
@@ -71,6 +88,42 @@ def _completed(out_dir: str) -> dict[int, dict]:
     return done
 
 
+def _run_one_bucket(work_dir: str, out_dir: str, pipeline_fn, b: int) -> dict:
+    import ray.data as rd
+
+    bucket_dir = os.path.join(work_dir, f"bucket={b}")
+    if not os.path.isdir(bucket_dir):
+        rec = {"bucket": b, "rows_in": 0, "rows_out": 0, "kept": 0, "sec": 0.0}
+        _append_manifest(out_dir, rec)
+        return rec
+    t0 = time.time()
+    ds = _fs_retry(lambda: rd.read_parquet(bucket_dir))
+    rows_in = ds.count()
+    out = pipeline_fn(ds)
+    tmp = os.path.join(out_dir, f"_tmp_bucket_{b}")
+    final = os.path.join(out_dir, f"bucket={b}")
+
+    def write():
+        # the race hits during datasink construction (before any execution),
+        # so a retried write restarts from an empty tmp dir
+        shutil.rmtree(tmp, ignore_errors=True)
+        out.write_parquet(tmp)
+
+    _fs_retry(write)
+    kept = _count_kept(tmp)
+    rows_out = _count_rows(tmp)
+    os.rename(tmp, final)  # atomic publish
+    rec = {
+        "bucket": b,
+        "rows_in": int(rows_in),
+        "rows_out": int(rows_out),
+        "kept": int(kept),
+        "sec": round(time.time() - t0, 3),
+    }
+    _append_manifest(out_dir, rec)
+    return rec
+
+
 def run_buckets(
     work_dir: str,
     out_dir: str,
@@ -78,19 +131,19 @@ def run_buckets(
     n_buckets: int = 8,
     resume: bool = True,
     max_buckets: int | None = None,
+    concurrency: int = 1,
 ) -> list[dict]:
     """Process every bucket not yet in the manifest. `pipeline_fn(ds) -> ds`
     is the per-bucket transform. `max_buckets` limits work (used by the
     kill/resume test to simulate an interrupted run).
 
-    Scale note: buckets run one at a time from the driver — each is
-    internally parallel, but inter-bucket idle tails add up when buckets
-    number in the thousands. At that scale either coarsen buckets so each
-    saturates the cluster, or overlap 2-3 buckets from driver threads
-    (manifest appends are line-atomic, so concurrent publishes are safe);
-    the resume/manifest protocol itself is unchanged either way."""
-    import ray.data as rd
-
+    `concurrency` > 1 overlaps that many buckets from driver threads —
+    each bucket is its own streaming Dataset execution, so one bucket's
+    write/commit tail no longer idles the cluster between buckets (the
+    inter-bucket bubble grows with bucket count at scale). The manifest
+    append is lock-serialized + line-atomic, so concurrent publishes are
+    safe and resume semantics are unchanged: a bucket is either fully
+    published (dir renamed + manifest line) or will be redone."""
     os.makedirs(out_dir, exist_ok=True)
     done = _completed(out_dir) if resume else {}
     if not resume:
@@ -98,50 +151,40 @@ def run_buckets(
             shutil.rmtree(os.path.join(out_dir, entry), ignore_errors=True)
         done = {}
 
-    records, processed = [], 0
+    pending = [b for b in range(n_buckets) if b not in done]
+    if max_buckets is not None:
+        pending = pending[:max_buckets]
+
+    fresh: dict[int, dict] = {}
+    if concurrency <= 1:
+        for b in pending:
+            fresh[b] = _run_one_bucket(work_dir, out_dir, pipeline_fn, b)
+    else:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=concurrency) as ex:
+            futs = {
+                b: ex.submit(_run_one_bucket, work_dir, out_dir, pipeline_fn, b)
+                for b in pending
+            }
+            fresh = {b: f.result() for b, f in futs.items()}
+
+    records = []
     for b in range(n_buckets):
         if b in done:
             records.append(done[b])
-            continue
-        if max_buckets is not None and processed >= max_buckets:
-            break
-        bucket_dir = os.path.join(work_dir, f"bucket={b}")
-        if not os.path.isdir(bucket_dir):
-            rec = {"bucket": b, "rows_in": 0, "rows_out": 0, "kept": 0, "sec": 0.0}
-            _append_manifest(out_dir, rec)
-            records.append(rec)
-            processed += 1
-            continue
-        t0 = time.time()
-        ds = rd.read_parquet(bucket_dir)
-        rows_in = ds.count()
-        out = pipeline_fn(ds)
-        tmp = os.path.join(out_dir, f"_tmp_bucket_{b}")
-        final = os.path.join(out_dir, f"bucket={b}")
-        shutil.rmtree(tmp, ignore_errors=True)
-        out.write_parquet(tmp)
-        kept = _count_kept(tmp)
-        rows_out = _count_rows(tmp)
-        os.rename(tmp, final)  # atomic publish
-        rec = {
-            "bucket": b,
-            "rows_in": int(rows_in),
-            "rows_out": int(rows_out),
-            "kept": int(kept),
-            "sec": round(time.time() - t0, 3),
-        }
-        _append_manifest(out_dir, rec)
-        records.append(rec)
-        processed += 1
+        elif b in fresh:
+            records.append(fresh[b])
     return records
 
 
 def _append_manifest(out_dir: str, rec: dict):
     path = os.path.join(out_dir, MANIFEST)
-    with open(path, "a") as f:
-        f.write(json.dumps(rec) + "\n")
-        f.flush()
-        os.fsync(f.fileno())
+    with _manifest_lock:
+        with open(path, "a") as f:
+            f.write(json.dumps(rec) + "\n")
+            f.flush()
+            os.fsync(f.fileno())
 
 
 def _count_rows(path: str) -> int:

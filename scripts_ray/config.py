@@ -37,12 +37,23 @@ def default_deny_conv_ids() -> tuple[str, ...]:
     )
 
 
+# KWIC pattern bank (M13 generalized): named keyword-in-context regexes,
+# config-replaceable; the oracle restates the DEFAULTS (a user-supplied
+# bank changes the query, as with the denylist).
+DEFAULT_KWIC_BANK: tuple[tuple[str, str], ...] = (
+    ("spark", ".{0,30}spark.{0,30}"),
+    ("join", ".{0,30}join.{0,30}"),
+    ("filter", ".{0,30}filter.{0,30}"),
+)
+
+
 @dataclass(frozen=True)
 class EngineConfig:
     protected_roles: tuple[str, ...] = ("system", "moderator")
     cascade: tuple[str, ...] = ("primary", "fallback")
     deny_conv_ids: tuple[str, ...] = field(default_factory=default_deny_conv_ids)
     scorer: str = "unigram"
+    kwic_bank: tuple[tuple[str, str], ...] = DEFAULT_KWIC_BANK
 
     @staticmethod
     def from_json(path: str) -> "EngineConfig":
@@ -54,6 +65,8 @@ class EngineConfig:
                 kwargs[k] = tuple(raw[k])
         if "scorer" in raw:
             kwargs["scorer"] = raw["scorer"]
+        if "kwic_bank" in raw:  # JSON object: {name: pattern}
+            kwargs["kwic_bank"] = tuple(raw["kwic_bank"].items())
         return EngineConfig(**kwargs)
 
 

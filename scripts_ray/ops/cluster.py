@@ -1,0 +1,177 @@
+"""Duplicate-cluster extraction: distributed connected components over a
+near-dup candidate-pair edge list, plus keep-one-per-cluster dedup.
+
+This is the final stage of the production dedup shape the engine already
+implements end-to-end (MinHash-LSH candidates -> exact verification ->
+**clusters -> keep one representative**): near-dup similarity is not
+transitive, so pairwise matches must be closed into components before any
+document can be dropped, or A~B, B~C keeps both B and C when only one of
+the trio should survive.
+
+Algorithm: Boruvka-style distributed contraction.
+
+1. **contract** (one hash exchange per level): edges are hash-partitioned
+   by one endpoint; each partition runs a LOCAL union-find over its edges
+   and emits one (node, local_root) spanning-forest row per node it saw.
+   A partition's forest connects exactly what its edges connected, and
+   every endpoint survives as a row, so the union of all partitions'
+   forests has the SAME components as the input graph while the row count
+   collapses from |pairs| to ~|endpoints| (near-dup graphs are dense —
+   at sf0.001 this is 90k pairs -> ~1k rows in one pass).
+2. **finish**: once the forest fits one task (`local_threshold`), a
+   single local union-find with union-by-min closes the components —
+   union-by-min makes each root the minimum doc_id of its component, the
+   canonical representative, with no relabeling pass.
+
+Contrast with per-round label propagation (the textbook dataflow CC):
+that needs O(diameter) rounds of distributed join + aggregate; measured
+here, its per-round fixed cost (~3 exchanges/round) dominated at every
+scale. Contraction does O(log) levels of ONE exchange each, and for real
+dedup graphs level 1 already fits locally. A pathological level that
+stops shrinking falls through to the guard rather than looping.
+
+Scale notes: the edge list is the CANDIDATE PAIR set, orders of
+magnitude smaller than the corpus, and each level's output is bounded by
+the endpoint count. `local_threshold` rows x 16 B must fit one worker
+heap (default 8M ~ 128 MB); raise `num_partitions` with edge volume.
+
+Reference analog: the reference's duplicate handling is pairwise-only
+(/root/reference/src/ck-duplicate-uuids.py:13-48 collects colliding-id
+groups; /root/reference/src/cur-prot/redetect.py:52 drop_duplicates) —
+component closure is the generalization its near-dup story needs.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from .hashagg import hash_join, map_partitions_by_key
+
+
+def _union_find(src: np.ndarray, dst: np.ndarray):
+    """Local union-find with union-by-min + path compression. Returns
+    (nodes, roots): every distinct endpoint and the minimum node id of
+    its local component. The edge loop is per-partition Python — edges
+    reaching any single task are bounded by the contraction design."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        r = x
+        p = parent.get(r, r)
+        while p != r:
+            r = p
+            p = parent.get(r, r)
+        while parent.get(x, x) != x:  # path compression
+            parent[x], x = r, parent[x]
+        return r
+
+    for a, b in zip(src.tolist(), dst.tolist()):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            if rb < ra:
+                ra, rb = rb, ra
+            parent[rb] = ra  # min root wins => root == component min
+
+    nodes = np.unique(np.concatenate([src, dst])).astype(np.int64)
+    roots = np.fromiter(
+        (find(int(n)) for n in nodes), dtype=np.int64, count=len(nodes)
+    )
+    return nodes, roots
+
+
+def _contract_part(part: pd.DataFrame) -> pd.DataFrame:
+    nodes, roots = _union_find(
+        part["src"].to_numpy(dtype=np.int64), part["dst"].to_numpy(dtype=np.int64)
+    )
+    return pd.DataFrame({"src": nodes, "dst": roots})
+
+
+def connected_components(
+    pairs_ds,
+    local_threshold: int = 8_000_000,
+    max_levels: int = 10,
+    num_partitions: int = 64,
+):
+    """Connected components of the undirected graph given by (doc_a, doc_b)
+    pair rows. Returns a Dataset of (doc_id, cluster_id) for every node
+    that appears in at least one pair, where cluster_id is the minimum
+    doc_id reachable from doc_id (the canonical component representative).
+    """
+
+    def as_edges(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "src": batch["doc_a"].to_numpy(dtype=np.int64),
+                "dst": batch["doc_b"].to_numpy(dtype=np.int64),
+            }
+        )
+
+    edges = pairs_ds.map_batches(as_edges, batch_format="pandas").materialize()
+    n = edges.count()
+    if n == 0:
+        import ray.data
+
+        return ray.data.from_pandas(
+            pd.DataFrame(
+                {
+                    "doc_id": pd.Series(dtype=np.int64),
+                    "cluster_id": pd.Series(dtype=np.int64),
+                }
+            )
+        )
+
+    for _ in range(max_levels):
+        if n <= local_threshold:
+            break
+        edges = map_partitions_by_key(
+            edges, "src", _contract_part, num_partitions=num_partitions
+        ).materialize()
+        n2 = edges.count()
+        if n2 >= n:  # no shrink — pathological; fall through to the guard
+            n = n2
+            break
+        n = n2
+    if n > local_threshold:
+        raise RuntimeError(
+            f"connected_components: forest still {n} rows after contraction "
+            f"(> local_threshold={local_threshold}); raise the threshold or "
+            "max_levels"
+        )
+
+    def finish(part: pd.DataFrame) -> pd.DataFrame:
+        nodes, roots = _union_find(
+            part["src"].to_numpy(dtype=np.int64),
+            part["dst"].to_numpy(dtype=np.int64),
+        )
+        return pd.DataFrame({"doc_id": nodes, "cluster_id": roots})
+
+    return edges.repartition(1).map_batches(
+        finish, batch_format="pandas", batch_size=None
+    )
+
+
+def keep_after_clustering(ids_ds, labels_ds, id_col: str = "doc_id"):
+    """Keep-one-per-cluster dedup: drop every clustered node except its
+    representative (min id). `ids_ds` is the full id universe (one column,
+    `id_col`); `labels_ds` is ``connected_components`` output. Distributed
+    left anti-join — both sides exchanged, no corpus-wide broadcast."""
+
+    def drops(batch: pd.DataFrame) -> pd.DataFrame:
+        out = batch.loc[batch["doc_id"] != batch["cluster_id"], ["doc_id"]]
+        return out.rename(columns={"doc_id": id_col}).assign(
+            _dropped=np.int8(1)
+        )
+
+    joined = hash_join(
+        ids_ds.select_columns([id_col]),
+        labels_ds.map_batches(drops, batch_format="pandas"),
+        on=id_col,
+        how="left",
+    )
+
+    def keep(batch: pd.DataFrame) -> pd.DataFrame:
+        out = batch.loc[batch["_dropped"].isna(), [id_col]]
+        return pd.DataFrame({id_col: out[id_col].to_numpy(dtype=np.int64)})
+
+    return joined.map_batches(keep, batch_format="pandas")

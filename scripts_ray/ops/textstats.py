@@ -68,6 +68,27 @@ def kwic(docs_ds, pattern: str):
     return docs_ds.map_batches(find, batch_format="pandas")
 
 
+def kwic_bank(docs_ds, bank):
+    """Config-driven KWIC (M13 + §2.9): run every named pattern of the
+    bank in ONE pass over the corpus, emitting (doc_id, pattern_name,
+    context). The loop is over the constant-size pattern bank, not rows;
+    each pattern's scan is the vectorized str.findall kernel. Patterns
+    compile once per task closure."""
+    bank = [(name, re.compile(p)) for name, p in bank]
+
+    def find(batch: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for name, rx in bank:
+            hits = batch["text"].str.findall(rx)
+            out = batch[["doc_id"]].assign(pattern_name=name, context=hits)
+            outs.append(
+                out.explode("context").dropna(subset=["context"])
+            )
+        return pd.concat(outs, ignore_index=True)
+
+    return docs_ds.map_batches(find, batch_format="pandas")
+
+
 def doc_stats(docs_ds):
     def stats(batch: pa.Table) -> pa.Table:
         text = batch["text"].combine_chunks()

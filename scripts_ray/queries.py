@@ -475,14 +475,7 @@ def q_simhash_pairs(sf_dir: str):
     )
 
 
-def q_minhash_verified(sf_dir: str):
-    """The dedup SCALE path, oracle-checked end-to-end: MinHash-LSH
-    candidate generation (unigram token sets, high-recall 2-row × 64-band
-    hasher) → exact token-set Jaccard verification of candidates only
-    (distributed hash joins, no corpus broadcast) → pairs with J ≥ 0.5.
-    The oracle is the all-pairs exact-Jaccard SQL — equality proves both
-    100% candidate recall on this corpus and exact verification."""
-
+def _minhash_verified_pairs(sf_dir: str):
     def docs():
         return _read(sf_dir, "documents", columns=["doc_id", "text"])
 
@@ -490,6 +483,43 @@ def q_minhash_verified(sf_dir: str):
     cands = dedup.minhash_candidates(docs(), hasher, shingle_n=1)
     return dedup.verify_pairs_exact(
         cands, dedup.doc_token_hash_sets(docs()), dedup.doc_token_hash_sets(docs())
+    )
+
+
+def q_minhash_verified(sf_dir: str):
+    """The dedup SCALE path, oracle-checked end-to-end: MinHash-LSH
+    candidate generation (unigram token sets, high-recall 2-row × 64-band
+    hasher) → exact token-set Jaccard verification of candidates only
+    (distributed hash joins, no corpus broadcast) → pairs with J ≥ 0.5.
+    The oracle is the all-pairs exact-Jaccard SQL — equality proves both
+    100% candidate recall on this corpus and exact verification."""
+    return _minhash_verified_pairs(sf_dir)
+
+
+def q_dup_clusters(sf_dir: str):
+    """Near-dup CLUSTERS, the stage after pairwise matching: MinHash-LSH →
+    exact verify (the oracle-checked scale pairs) → distributed
+    connected components (min-label propagation over hash exchanges).
+    Oracle: recursive-CTE transitive closure over the exact-Jaccard pair
+    graph — equality proves the whole sketch→verify→cluster chain."""
+    from .ops import cluster
+
+    return cluster.connected_components(
+        _minhash_verified_pairs(sf_dir).select_columns(["doc_a", "doc_b"])
+    )
+
+
+def q_dedup_keep_clustered(sf_dir: str):
+    """Keep-one-per-cluster near-dup dedup: the kept doc_id set after
+    dropping every clustered document except its minimum-id
+    representative (distributed anti-join; no corpus broadcast)."""
+    from .ops import cluster
+
+    labels = cluster.connected_components(
+        _minhash_verified_pairs(sf_dir).select_columns(["doc_a", "doc_b"])
+    )
+    return cluster.keep_after_clustering(
+        _read(sf_dir, "documents", columns=["doc_id"]), labels
     )
 
 
@@ -601,6 +631,19 @@ def q_kwic(sf_dir: str):
     )
 
 
+def q_kwic_bank(sf_dir: str):
+    """Config-driven KWIC pattern bank (M13 + §2.9): every named regex of
+    EngineConfig.kwic_bank scanned in one corpus pass. The oracle restates
+    the DEFAULT bank (a user config replaces the query, as with the
+    denylist)."""
+    from .config import DEFAULT_CONFIG
+
+    return textstats.kwic_bank(
+        _read(sf_dir, "documents", columns=["doc_id", "text"]),
+        DEFAULT_CONFIG.kwic_bank,
+    )
+
+
 def q_doc_stats(sf_dir: str):
     return textstats.doc_stats(_read(sf_dir, "documents", columns=["doc_id", "text"]))
 
@@ -619,6 +662,31 @@ def q_validate_docs(sf_dir: str):
     return textstats.validate_docs(
         _read(sf_dir, "documents", columns=["doc_id", "text"])
     )
+
+
+def q_dead_letter_docs(sf_dir: str):
+    """Dead-letter routing through the driver gate: documents failing the
+    M19 line-shape rules leave the pipeline as a side TABLE of
+    (doc_id, reason) — the scalable version of the reference's
+    print-and-skip error handling. The good fork is checked implicitly:
+    split() partitions the input, so dead ∪ good = input (pytest asserts
+    the partition; this oracle pins the dead side)."""
+    from .ops import deadletter
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def reasons(batch: pd.DataFrame) -> pd.Series:
+        text = batch["text"]
+        too_short = (text.str.len() < textstats.VALIDATE_MIN_CHARS).to_numpy()
+        unterm = (~text.str[-1:].fillna("").isin([".", "!", "?"])).to_numpy()
+        return pd.Series(
+            np.select([too_short, unterm], ["too_short", "unterminated"], default=None),
+            index=batch.index,
+            dtype=object,
+        )
+
+    _good, dead = deadletter.split(ds, reasons)
+    return dead.select_columns(["doc_id", "reason"])
 
 
 def q_binary_meta(sf_dir: str):
@@ -790,6 +858,8 @@ QUERIES = {
     "near_dup_jaccard": q_near_dup_jaccard,
     "near_dup_minhash": q_near_dup_minhash,
     "minhash_verified": q_minhash_verified,
+    "dup_clusters": q_dup_clusters,
+    "dedup_keep_clustered": q_dedup_keep_clustered,
     "simhash_docs": q_simhash_docs,
     "simhash_pairs": q_simhash_pairs,
     "simhash_coverage": q_simhash_coverage,
@@ -801,10 +871,12 @@ QUERIES = {
     "doc_winnow": q_doc_winnow,
     "word_freq": q_word_freq,
     "kwic": q_kwic,
+    "kwic_bank": q_kwic_bank,
     "doc_stats": q_doc_stats,
     "lang_docs": q_lang_docs,
     "quality_docs": q_quality_docs,
     "validate_docs": q_validate_docs,
+    "dead_letter_docs": q_dead_letter_docs,
     "binary_meta": q_binary_meta,
     "ann_cosine": q_ann_cosine,
     "near_dup_embedding": q_near_dup_embedding,
@@ -861,6 +933,8 @@ ORACLES = {
     "stratified_sample": sql_ops.STRATIFIED_SAMPLE_SQL,
     "near_dup_jaccard": sql_ops.NEAR_DUP_JACCARD_SQL,
     "minhash_verified": sql_ops.NEAR_DUP_JACCARD_SQL,
+    "dup_clusters": sql_ops.DUP_CLUSTERS_SQL,
+    "dedup_keep_clustered": sql_ops.DEDUP_KEEP_CLUSTERED_SQL,
     "simhash_coverage": sql_ops.SIMHASH_COVERAGE_SQL,
     "ts_repair": sql_ops.TS_REPAIR_SQL,
     "toc_extract": sql_ops.TOC_EXTRACT_SQL,
@@ -869,10 +943,12 @@ ORACLES = {
     "qc_keep_ci": sql_ops.QC_KEEP_CI_SQL,
     "word_freq": sql_ops.WORD_FREQ_SQL,
     "kwic": sql_ops.KWIC_SQL,
+    "kwic_bank": sql_ops.KWIC_BANK_SQL,
     "doc_stats": sql_ops.DOC_STATS_SQL,
     "lang_docs": sql_ops.LANG_DOCS_SQL,
     "quality_docs": sql_ops.QUALITY_DOCS_SQL,
     "validate_docs": sql_ops.VALIDATE_DOCS_SQL,
+    "dead_letter_docs": sql_ops.DEAD_LETTER_DOCS_SQL,
     "binary_meta": sql_ops.BINARY_META_SQL,
     "ann_cosine": sql_ops.ANN_COSINE_SQL,
     # ann_lsh's multi-table pool deterministically covers the exact top-k on

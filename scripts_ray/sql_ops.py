@@ -546,6 +546,16 @@ SELECT doc_id, unnest(regexp_extract_all(text, '{KWIC_PATTERN}')) AS context
 FROM documents
 """
 
+# Config-driven KWIC bank: one SELECT per DEFAULT bank pattern (generated
+# from the same config constant the engine reads).
+from .config import DEFAULT_KWIC_BANK as _KWIC_BANK  # noqa: E402
+
+KWIC_BANK_SQL = "\nUNION ALL\n".join(
+    f"SELECT doc_id, '{name}' AS pattern_name, "
+    f"unnest(regexp_extract_all(text, '{pat}')) AS context FROM documents"
+    for name, pat in _KWIC_BANK
+)
+
 DOC_STATS_SQL = f"""
 SELECT doc_id,
   CAST(length(text) AS BIGINT) AS n_chars,
@@ -599,6 +609,53 @@ JOIN counts cb ON cb.doc_id = doc_b
 WHERE 2 * inter >= ca.n + cb.n - inter
 """
 
+# Duplicate clustering: connected components of the Jaccard≥0.5 pair graph
+# via recursive transitive closure (cluster id = min reachable doc_id),
+# then keep-one-per-cluster. The engine side runs the SCALE pipeline
+# (MinHash-LSH candidates → exact verify → distributed min-label
+# propagation); equality to this closed-form SQL proves the whole chain.
+_JACCARD_EDGES_CTE = f"""
+tk AS (
+  SELECT DISTINCT doc_id, tok
+  FROM (SELECT doc_id, unnest({_DOC_TOKS}) AS tok FROM documents)
+),
+counts AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM tk GROUP BY doc_id),
+jp AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS inter
+  FROM tk a JOIN tk b ON a.tok = b.tok AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+jpairs AS (
+  SELECT doc_a, doc_b
+  FROM jp
+  JOIN counts ca ON ca.doc_id = doc_a
+  JOIN counts cb ON cb.doc_id = doc_b
+  WHERE 2 * inter >= ca.n + cb.n - inter
+),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM jpairs
+  UNION SELECT doc_b, doc_a FROM jpairs
+),
+reach(node, r) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.dst, re.r FROM reach re JOIN edges e ON e.src = re.node
+)"""
+
+DUP_CLUSTERS_SQL = f"""
+WITH RECURSIVE {_JACCARD_EDGES_CTE}
+SELECT CAST(node AS BIGINT) AS doc_id, CAST(min(r) AS BIGINT) AS cluster_id
+FROM reach GROUP BY node
+"""
+
+DEDUP_KEEP_CLUSTERED_SQL = f"""
+WITH RECURSIVE {_JACCARD_EDGES_CTE},
+labels AS (SELECT node, min(r) AS root FROM reach GROUP BY node)
+SELECT CAST(d.doc_id AS BIGINT) AS doc_id
+FROM documents d
+WHERE d.doc_id NOT IN (SELECT node FROM labels WHERE node <> root)
+"""
+
 # Token counting (whitespace + BPE-ish pretokenizer) — same RE2 patterns.
 from .ops.textstats import RE_BPE as _RE_BPE  # noqa: E402
 
@@ -627,6 +684,14 @@ SELECT doc_id,
        WHEN substr(text, length(text), 1) NOT IN ('.', '!', '?') THEN FALSE
        ELSE TRUE END AS valid
 FROM documents
+"""
+
+# Dead-letter side table: same M19 rules, reject side only.
+DEAD_LETTER_DOCS_SQL = """
+SELECT doc_id,
+  CASE WHEN length(text) < 50 THEN 'too_short' ELSE 'unterminated' END AS reason
+FROM documents
+WHERE length(text) < 50 OR substr(text, length(text), 1) NOT IN ('.', '!', '?')
 """
 
 BINARY_META_SQL = """

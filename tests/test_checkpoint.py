@@ -57,6 +57,38 @@ def test_resume_after_partial_run(ray_session, sf_dir, tmp_path):
     assert sum(r["kept"] for r in rows) == int(full["keep"].sum())
 
 
+def test_concurrent_buckets_match_sequential(ray_session, sf_dir, tmp_path):
+    work = str(tmp_path / "input")
+    counts_ref = ray_session.put(pipelines.build_model_counts(sf_dir))
+    checkpoint.prepare_input(sources.derive_transcripts_ds(sf_dir), work, N_BUCKETS)
+
+    def pipe(ds):
+        return pipelines.quality_filter(ds, counts_ref)
+
+    seq_dir = str(tmp_path / "seq")
+    checkpoint.run_buckets(work, seq_dir, pipe, n_buckets=N_BUCKETS, resume=False)
+
+    conc_dir = str(tmp_path / "conc")
+    recs = checkpoint.run_buckets(
+        work, conc_dir, pipe, n_buckets=N_BUCKETS, resume=False, concurrency=3
+    )
+    assert len(recs) == N_BUCKETS
+    manifest = os.path.join(conc_dir, checkpoint.MANIFEST)
+    assert sum(1 for _ in open(manifest)) == N_BUCKETS
+
+    pd.testing.assert_frame_equal(
+        _norm(checkpoint.read_output(conc_dir)),
+        _norm(checkpoint.read_output(seq_dir)),
+    )
+
+    # resume over a concurrent run is still a no-op
+    recs2 = checkpoint.run_buckets(
+        work, conc_dir, pipe, n_buckets=N_BUCKETS, resume=True, concurrency=3
+    )
+    assert len(recs2) == N_BUCKETS
+    assert sum(1 for _ in open(manifest)) == N_BUCKETS
+
+
 def test_rerun_is_noop(ray_session, sf_dir, tmp_path):
     work = str(tmp_path / "input")
     counts_ref = ray_session.put(pipelines.build_model_counts(sf_dir))
