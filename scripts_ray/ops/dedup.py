@@ -19,6 +19,7 @@ import hashlib
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from .hashagg import hash_aggregate, map_partitions_by_key
 
@@ -310,20 +311,61 @@ def simhash_candidates(docs_ds, bands: int = 4):
     )
 
 
-def winnow_fingerprints(docs_ds, shingle_n: int = 3, window: int = 4):
+# Winnowing uses a hash the SQL oracle can recompute exactly (unlike the
+# siphash streams elsewhere): token hash = sum of the first 8 codepoints
+# weighted by falling powers of 131, plus the char length (max ~8.3e16,
+# exact in int64 and in DuckDB BIGINT); shingle fp = modular combination
+# of 3 consecutive token hashes under M = 2^31-1 (every intermediate fits
+# uint64 on the numpy side and HUGEINT on the DuckDB side).
+WINNOW_POWS = tuple(int(131**e) for e in range(7, -1, -1))
+WINNOW_M = 2147483647  # 2^31 - 1
+WINNOW_MULTS = (1000003, 998244353, 69069)
+_WPOW = np.array(WINNOW_POWS, dtype=np.int64)
+
+
+def winnow_token_hashes(toks: np.ndarray) -> np.ndarray:
+    """SQL-reproducible per-token hash: codepoints of the first 8 chars
+    dotted with WINNOW_POWS, plus the full char length. Vectorized via a
+    fixed-width UCS4 view (no per-token Python)."""
+    if len(toks) == 0:
+        return np.array([], dtype=np.int64)
+    codes = np.asarray(toks, dtype="U8").view(np.uint32).reshape(len(toks), 8)
+    lens = pc.utf8_length(pa.array(toks, type=pa.string())).to_numpy(
+        zero_copy_only=False
+    )
+    return codes.astype(np.int64) @ _WPOW + lens.astype(np.int64)
+
+
+def winnow_shingle_fps(rows: np.ndarray, toks: np.ndarray):
+    """(row, fp) for every 3-token shingle fully inside one row, with the
+    modular SQL-reproducible combination of winnow_token_hashes."""
+    th = winnow_token_hashes(toks)
+    L = len(th)
+    if L < 3:
+        return np.array([], dtype=np.int64), np.array([], dtype=np.int64)
+    a = (th % WINNOW_M).astype(np.uint64)
+    m0, m1, m2 = (np.uint64(m) for m in WINNOW_MULTS)
+    fp = (a[: L - 2] * m0 + a[1 : L - 1] * m1 + a[2:] * m2) % np.uint64(WINNOW_M)
+    valid = rows[: L - 2] == rows[2:]
+    return rows[: L - 2][valid], fp[valid].astype(np.int64)
+
+
+def winnow_fingerprints(docs_ds, window: int = 4):
     """Document fingerprinting by winnowing (the MOSS scheme): rolling
-    hashes of token n-grams, then the minimum hash of every sliding window
+    hashes of token 3-grams, then the minimum hash of every sliding window
     of `window` consecutive shingles — guaranteeing any shared substring of
-    ≥ window+n-1 tokens contributes at least one common fingerprint.
-    Emits exploded (doc_id, fp) rows, deduplicated per doc. Hash-valued →
-    rows-only; the containment invariant (exact duplicate docs share the
-    exact fingerprint set) is asserted in tests."""
+    ≥ window+2 tokens contributes at least one common fingerprint.
+    Emits exploded (doc_id, fp) rows, deduplicated per doc. The hash is
+    SQL-expressible (winnow_token_hashes/winnow_shingle_fps), so the
+    DuckDB oracle (sql_ops.DOC_WINNOW_SQL) recomputes the identical
+    fingerprint set; the containment invariant (exact duplicate docs share
+    the exact fingerprint set) is additionally asserted in tests."""
 
     def winnow(batch: pd.DataFrame) -> pd.DataFrame:
         from ..tokens import explode
 
         rows, toks = explode(pa.array(batch["text"].tolist(), type=pa.string()))
-        srows, sh = shingle_hashes(rows, toks, shingle_n)
+        srows, sh = winnow_shingle_fps(rows, toks)
         ids = batch["doc_id"].to_numpy(dtype=np.int64)
         out_ids, out_fps = [], []
         if len(sh):

@@ -725,6 +725,20 @@ def q_ann_ivf(sf_dir: str):
     )
 
 
+def q_ann_ivf_full(sf_dir: str):
+    """IVF with nprobe = n_centroids: probes every inverted list, so the
+    scan is exact and the exact-ANN SQL is a true oracle — this validates
+    the IVF machinery (assignment, probe set, per-list scan, top-k merge)
+    end-to-end. The approximate operating point stays `ann_ivf` (rows-only
+    by design; recall measured in bench/tests)."""
+    qids, qvecs = similarity.load_queries(sf_dir)
+    cents = similarity.train_centroids(sf_dir)
+    return similarity.ann_ivf(
+        _read(sf_dir, "embeddings", columns=["vec_id", "embedding"]),
+        qids, qvecs, cents, nprobe=len(cents),
+    )
+
+
 def q_near_dup_emb_lsh(sf_dir: str):
     return similarity.near_dup_emb_lsh(
         lambda: _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
@@ -882,6 +896,7 @@ QUERIES = {
     "near_dup_embedding": q_near_dup_embedding,
     "near_dup_emb_lsh": q_near_dup_emb_lsh,
     "ann_ivf": q_ann_ivf,
+    "ann_ivf_full": q_ann_ivf_full,
     "image_decode": q_image_decode,
     "frame_sample": q_frame_sample,
     "lsh_buckets": q_lsh_buckets,
@@ -941,6 +956,7 @@ ORACLES = {
     "seeded_shuffle": sql_ops.SEEDED_SHUFFLE_SQL,
     "denylist": sql_ops.DENYLIST_SQL,
     "qc_keep_ci": sql_ops.QC_KEEP_CI_SQL,
+    "doc_winnow": sql_ops.DOC_WINNOW_SQL,
     "word_freq": sql_ops.WORD_FREQ_SQL,
     "kwic": sql_ops.KWIC_SQL,
     "kwic_bank": sql_ops.KWIC_BANK_SQL,
@@ -955,6 +971,9 @@ ORACLES = {
     # these corpora (validated at sf 0.001/0.01/0.1), so the exact-ANN SQL
     # is its oracle too; bench reports measured recall separately.
     "ann_lsh": sql_ops.ANN_COSINE_SQL,
+    # full-probe IVF (nprobe = n_centroids) scans every list → exact; the
+    # exact-ANN SQL oracle validates the IVF machinery end-to-end
+    "ann_ivf_full": sql_ops.ANN_COSINE_SQL,
     "near_dup_embedding": sql_ops.NEAR_DUP_EMBEDDING_SQL,
     # the LSH-pruned scale path deterministically covers every pair at
     # cos ≥ 0.40 (2 planes × 32 tables; see near_dup_emb_lsh docstring),

@@ -773,3 +773,50 @@ SELECT l_returnflag, l_linestatus,
        CAST(count(*) AS BIGINT) AS n
 FROM lineitem GROUP BY 1, 2
 """
+
+
+# ---- winnowing fingerprints (MOSS) -----------------------------------------
+# Exact SQL restatement of ops.dedup.winnow_fingerprints: the token hash
+# (first-8-codepoint polynomial + length) and the modular 3-shingle
+# combination are generated from the SAME constants the Ray side uses
+# (ops.dedup.WINNOW_*), so the fingerprint sets match value-for-value.
+
+from .ops.dedup import WINNOW_M, WINNOW_MULTS, WINNOW_POWS  # noqa: E402
+
+_WINNOW_TH = (
+    " + ".join(
+        f"CASE WHEN length(tok) >= {j + 1}"
+        f" THEN CAST(unicode(substr(tok, {j + 1}, 1)) AS BIGINT) * {WINNOW_POWS[j]}"
+        " ELSE 0 END"
+        for j in range(8)
+    )
+    + " + length(tok)"
+)
+
+DOC_WINNOW_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_DOC_TOKS}) AS tok,
+         generate_subscripts({_DOC_TOKS}, 1) AS p
+  FROM documents
+),
+th AS (SELECT doc_id, p, {_WINNOW_TH} AS h FROM toks),
+sh AS (
+  SELECT doc_id, p,
+    (   (h % {WINNOW_M})::HUGEINT * {WINNOW_MULTS[0]}
+      + ((lead(h, 1) OVER w) % {WINNOW_M})::HUGEINT * {WINNOW_MULTS[1]}
+      + ((lead(h, 2) OVER w) % {WINNOW_M})::HUGEINT * {WINNOW_MULTS[2]}
+    ) % {WINNOW_M} AS fp
+  FROM th WINDOW w AS (PARTITION BY doc_id ORDER BY p)
+),
+shv AS (SELECT doc_id, p, CAST(fp AS BIGINT) AS fp FROM sh WHERE fp IS NOT NULL),
+win AS (
+  SELECT doc_id,
+         min(fp) OVER (PARTITION BY doc_id ORDER BY p
+                       ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS fp,
+         row_number() OVER (PARTITION BY doc_id ORDER BY p) AS rn,
+         count(*) OVER (PARTITION BY doc_id) AS n_sh
+  FROM shv
+)
+SELECT DISTINCT CAST(doc_id AS BIGINT) AS doc_id, fp
+FROM win WHERE rn >= least(n_sh, 4)
+"""
