@@ -88,11 +88,9 @@ class MinHasher:
         self.b = rng.integers(0, 1 << 63, size=k, dtype=np.uint64)
 
     def signature(self, tok_hashes: np.ndarray) -> np.ndarray:
-        if len(tok_hashes) == 0:
-            return np.full(self.k, np.iinfo(np.uint64).max, dtype=np.uint64)
-        with np.errstate(over="ignore"):
-            perms = self.a[:, None] * tok_hashes[None, :] + self.b[:, None]
-        return perms.min(axis=1)
+        return self.signatures_from_hashes(
+            np.zeros(len(tok_hashes), dtype=np.int64), tok_hashes, 1
+        )[0]
 
     def signatures(self, rows: np.ndarray, toks: np.ndarray, n: int) -> np.ndarray:
         """(n, k) signature matrix for a whole batch in one vectorized pass.
@@ -105,13 +103,32 @@ class MinHasher:
     def signatures_from_hashes(
         self, rows: np.ndarray, th: np.ndarray, n: int
     ) -> np.ndarray:
+        # Per-permutation loop with one reused (t,) scratch buffer instead
+        # of the (t, k) perms matrix: this host charges ~0.5 ms/page for
+        # freshly faulted memory (hypervisor free-page reporting), so a
+        # ~100 MB fresh allocation per batch costs SECONDS; small reused
+        # buffers amortize to nothing. Arithmetic runs on int64 views
+        # (wraparound bits are identical to uint64); the unsigned min
+        # ordering is preserved by XOR-flipping the sign bit before the
+        # segmented min and flipping back after. Bit-exact with the old
+        # matrix formulation (asserted in tests).
         sigs = np.full((n, self.k), np.iinfo(np.uint64).max, dtype=np.uint64)
         if len(th) == 0:
             return sigs
-        with np.errstate(over="ignore"):
-            perms = th[:, None] * self.a[None, :] + self.b[None, :]  # (t, k)
         present, starts = np.unique(rows, return_index=True)
-        sigs[present] = np.minimum.reduceat(perms, starts, axis=0)
+        thi = th.view(np.int64)
+        ai = self.a.view(np.int64).tolist()
+        bi = self.b.view(np.int64).tolist()
+        sign = np.int64(-0x8000000000000000)
+        perm = np.empty(len(th), dtype=np.int64)
+        with np.errstate(over="ignore"):
+            for k in range(self.k):
+                np.multiply(thi, ai[k], out=perm)
+                np.add(perm, bi[k], out=perm)
+                np.bitwise_xor(perm, sign, out=perm)
+                m = np.minimum.reduceat(perm, starts)
+                np.bitwise_xor(m, sign, out=m)
+                sigs[present, k] = m.view(np.uint64)
         return sigs
 
     def band_keys_matrix(self, sigs: np.ndarray) -> np.ndarray:
@@ -260,15 +277,25 @@ def simhash_docs(docs_ds):
         rows, toks = explode(pa.array(batch["text"].tolist(), type=pa.string()))
         out = np.zeros(n, dtype=np.uint64)
         if len(toks):
-            hs = token_hashes(toks)  # (t,)
-            bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)) & 1).astype(
-                np.int64
-            )
-            contrib = 2 * bits - 1  # each token occurrence weights ±1
+            # per-bit loop with reused (t,) scratch instead of a (t, 64)
+            # bit matrix — fresh large allocations stall on this host
+            # (see signatures_from_hashes); identical results.
+            hs = token_hashes(toks).view(np.int64)  # (t,)
             present, starts = np.unique(rows, return_index=True)
-            acc = np.add.reduceat(contrib, starts, axis=0)  # (n_present, 64)
-            weights = (acc > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)
-            out[present] = weights.sum(axis=1, dtype=np.uint64)
+            bit = np.empty(len(hs), dtype=np.int64)
+            acc_out = np.zeros(len(present), dtype=np.uint64)
+            for j in range(64):
+                np.right_shift(hs, j, out=bit)
+                np.bitwise_and(bit, 1, out=bit)
+                np.multiply(bit, 2, out=bit)
+                np.subtract(bit, 1, out=bit)  # ±1 per occurrence
+                acc = np.add.reduceat(bit, starts)
+                np.bitwise_or(
+                    acc_out,
+                    (acc > 0).astype(np.uint64) << np.uint64(j),
+                    out=acc_out,
+                )
+            out[present] = acc_out
         return pd.DataFrame(
             {
                 "doc_id": batch["doc_id"].to_numpy(),
