@@ -1,0 +1,107 @@
+"""Exact distributed quantiles and per-group top-k.
+
+Both operators avoid a global sort: the wide data is reduced to a compact
+keyed intermediate with the two-level hash exchange, then finalized
+per group inside one partition task.
+
+- `group_quantiles`: exact quantiles of an INTEGER-valued column via a
+  distributed histogram — per-batch (keys, value) counts → hash aggregate
+  → re-exchange on the group keys → per-group cumsum + exact-rank pick.
+  The shuffle moves only the histogram (groups × distinct values), never
+  rows; at 100 TB a bounded-cardinality value column (lengths, counts,
+  scores in permille) keeps the histogram tiny regardless of row count.
+  Rank semantics are DuckDB's `quantile_disc`: value at 1-based rank
+  max(1, ceil(q·n)) with EXACT rational arithmetic — quantiles are passed
+  as integer permille so ceil(n·q_pm / 1000) is computed in int64, free of
+  the float-ceil hazard (0.9 × 10 → 9.000000000000002).
+
+- `group_topk`: top-k rows per group by (sort_col desc, tie asc) — the
+  grouped analog of sort+limit (SURVEY O4). One exchange on the group
+  keys, then a single vectorized lexsort + cumcount head(k) per partition.
+
+Reference parity: the reference computes per-group percentile/top tables
+in pandas inside single-process report scripts
+(/root/reference/src/stats-dashboard/mp-coverage.py:23-41 and the word
+frequency scripts at /root/reference/src/wordfreq/); here they are
+streaming operators.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from .hashagg import hash_aggregate, map_partitions_by_key
+
+
+def group_quantiles(
+    ds,
+    value_col: str,
+    keys: list[str],
+    quantiles_permille: list[int],
+    prefix: str = "p",
+):
+    """One row per group: `{prefix}{q}` columns hold the exact
+    `quantile_disc(value, q/1000)` of the int-valued `value_col`."""
+    qs = list(quantiles_permille)
+
+    def hist_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        out = (
+            batch.groupby(keys + [value_col], sort=False, observed=True)
+            .size()
+            .reset_index(name="n")
+        )
+        return out
+
+    hist = hash_aggregate(
+        ds.map_batches(hist_partial, batch_format="pandas"),
+        keys=keys + [value_col],
+        aggs={"n": ("n", "sum")},
+    )
+
+    def finalize(part: pd.DataFrame) -> pd.DataFrame:
+        part = part.sort_values(keys + [value_col], kind="mergesort").reset_index(
+            drop=True
+        )
+        vals = part[value_col].to_numpy()
+        cnts = part["n"].to_numpy(dtype=np.int64)
+        # group-change detection across all key columns
+        new = np.ones(len(part), dtype=bool)
+        if len(part) > 1:
+            change = np.zeros(len(part) - 1, dtype=bool)
+            for c in keys:
+                col = part[c].to_numpy()
+                change |= col[1:] != col[:-1]
+            new[1:] = change
+        starts = np.flatnonzero(new)
+        ends = np.append(starts[1:], len(part))
+        rows = []
+        for s, e in zip(starts, ends):
+            c = np.cumsum(cnts[s:e])
+            n = int(c[-1])
+            rec = {k: part.at[s, k] for k in keys}
+            for q in qs:
+                rank = max(1, -((-n * q) // 1000))  # exact ceil(n*q/1000)
+                idx = int(np.searchsorted(c, rank, side="left"))
+                rec[f"{prefix}{q}"] = vals[s + idx]
+            rows.append(rec)
+        return pd.DataFrame(rows, columns=keys + [f"{prefix}{q}" for q in qs])
+
+    return map_partitions_by_key(hist, keys, finalize)
+
+
+def group_topk(ds, keys: list[str], sort_col: str, k: int, tie_cols: list[str]):
+    """Top-k rows per group by (`sort_col` desc, `tie_cols` asc), with a
+    1-based `rank` column — grouped sort+limit without a global sort."""
+
+    def finalize(part: pd.DataFrame) -> pd.DataFrame:
+        part = part.sort_values(
+            keys + [sort_col] + tie_cols,
+            ascending=[True] * len(keys) + [False] + [True] * len(tie_cols),
+            kind="mergesort",
+        ).reset_index(drop=True)
+        rank = part.groupby(keys, sort=False, observed=True).cumcount() + 1
+        out = part.assign(rank=rank.astype(np.int64))
+        return out[out["rank"] <= k].reset_index(drop=True)
+
+    return map_partitions_by_key(ds, keys, finalize)

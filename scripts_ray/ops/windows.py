@@ -194,6 +194,21 @@ def first_last_flags_part(df: pd.DataFrame) -> pd.DataFrame:
     ]
 
 
+# ML4 "model" strategy: deterministic NSP-style linear pair scorer. The
+# weights/threshold are shared with the SQL oracle (sql_ops generates the
+# CASE expression from these same constants), so the decision function is
+# value-checked end-to-end. merge requires cur=system AND next=assistant
+# (70 of the 80 threshold) plus at least one textual continuation cue.
+NSP_WEIGHTS = {
+    "cur_system": 40,
+    "next_assistant": 30,
+    "hyphen_end": 20,
+    "short_next": 10,
+}
+NSP_THRESHOLD = 80
+NSP_SHORT_LEN = 120
+
+
 def merge_intro_pairs_part(df: pd.DataFrame, strategy: str = "rule") -> pd.DataFrame:
     """Pair-merge rewrite (reference: predicted intro pairs merged with
     hyphen-aware concatenation and the second element deleted,
@@ -207,15 +222,31 @@ def merge_intro_pairs_part(df: pd.DataFrame, strategy: str = "rule") -> pd.DataF
     which pairs merge, /root/reference/src/classify_join_intros.py:76-122 —
     here a pluggable predicate over the lead-window):
     - "rule"   — merge system→assistant pairs (default, oracle-checked)
+    - "model"  — NSP-style linear pair scorer over the same lead-window
+      (deterministic stand-in for the reference's next-sentence-prediction
+      model: fixed NSP_WEIGHTS over shape features, merge iff score ≥
+      NSP_THRESHOLD; SQL-restated from the same constants, oracle-checked)
     - "never"  — no merges (identity rewrite)
-    A model-backed strategy plugs in as another branch producing the same
-    boolean `absorbs` vector from (text, next_text)."""
+    A learned model plugs in as another branch producing the same boolean
+    `absorbs` vector from (text, next_text)."""
     df = _conv_sorted(df)
     same_next = df["conv_id"].eq(df["conv_id"].shift(-1))
     if strategy == "rule":
         absorbs = (
             df["role"].eq("system") & df["role"].shift(-1).eq("assistant") & same_next
         )
+    elif strategy == "model":
+        score = (
+            NSP_WEIGHTS["cur_system"] * df["role"].eq("system").astype(int)
+            + NSP_WEIGHTS["next_assistant"]
+            * df["role"].shift(-1).eq("assistant").astype(int)
+            + NSP_WEIGHTS["hyphen_end"] * df["text"].str.endswith("-").astype(int)
+            + NSP_WEIGHTS["short_next"]
+            * (df["text"].shift(-1).str.len() < NSP_SHORT_LEN)
+            .fillna(False)
+            .astype(int)
+        )
+        absorbs = (score >= NSP_THRESHOLD) & same_next
     elif strategy == "never":
         absorbs = pd.Series(False, index=df.index)
     else:

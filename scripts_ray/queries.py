@@ -252,8 +252,41 @@ def q_docs_by_source(sf_dir: str):
     )
 
 
+def q_docs_jsonl_by_source(sf_dir: str):
+    """S4 JSON reader, validated end-to-end: the same per-(source, lang)
+    aggregation as `docs_by_source`, but over the streaming JSONL read —
+    the shared DuckDB oracle (over Parquet) proves the JSONL round trip
+    loses nothing."""
+    from . import sources
+    from .ops.hashagg import hash_aggregate
+
+    return hash_aggregate(
+        sources.read_documents_jsonl(sf_dir).select_columns(
+            ["source", "lang", "n_chars"]
+        ),
+        keys=["source", "lang"],
+        aggs={
+            "n_docs": ("n_chars", "count"),
+            "sum_chars": ("n_chars", "sum"),
+            "max_chars": ("n_chars", "max"),
+        },
+    )
+
+
 def q_merge_intro_pairs(sf_dir: str):
     return _conv_grouped(sf_dir, windows.merge_intro_pairs_part)
+
+
+def q_merge_intro_model(sf_dir: str):
+    """ML4 model-strategy slot: same pair-merge rewrite driven by the
+    deterministic NSP-style linear scorer (windows.NSP_WEIGHTS), the
+    stand-in for the reference's next-sentence-prediction classifier."""
+    import functools
+
+    return _conv_grouped(
+        sf_dir,
+        functools.partial(windows.merge_intro_pairs_part, strategy="model"),
+    )
 
 
 def q_modal_role(sf_dir: str):
@@ -625,6 +658,52 @@ def q_word_freq(sf_dir: str):
     return textstats.word_freq(_read(sf_dir, "documents", columns=["text"]))
 
 
+def q_doc_len_quantiles(sf_dir: str):
+    """Exact per-source length quantiles via the distributed histogram —
+    no global sort; the shuffle moves only (source, n_chars, count)."""
+    from .ops.quantiles import group_quantiles
+
+    return group_quantiles(
+        _read(sf_dir, "documents", columns=["source", "n_chars"]),
+        value_col="n_chars",
+        keys=["source"],
+        quantiles_permille=[500, 900, 990],
+    )
+
+
+def q_top_terms_per_source(sf_dir: str):
+    """Per-source top-5 terms by (count desc, term asc): token-count
+    partials → hash aggregate → grouped top-k (no global sort)."""
+    import pyarrow as pa
+
+    from .ops.hashagg import hash_aggregate
+    from .ops.quantiles import group_topk
+
+    def partial(batch):
+        import pandas as pd
+
+        from .tokens import explode
+
+        rows, toks = explode(batch["text"].combine_chunks())
+        src = batch["source"].to_pandas().to_numpy(dtype=object)
+        df = (
+            pd.DataFrame({"source": src[rows], "term": toks})
+            .groupby(["source", "term"], sort=False)
+            .size()
+            .reset_index(name="n")
+        )
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    counts = hash_aggregate(
+        _read(sf_dir, "documents", columns=["source", "text"]).map_batches(
+            partial, batch_format="pyarrow"
+        ),
+        keys=["source", "term"],
+        aggs={"n": ("n", "sum")},
+    )
+    return group_topk(counts, keys=["source"], sort_col="n", k=5, tie_cols=["term"])
+
+
 def q_kwic(sf_dir: str):
     return textstats.kwic(
         _read(sf_dir, "documents", columns=["doc_id", "text"]), sql_ops.KWIC_PATTERN
@@ -849,6 +928,10 @@ QUERIES = {
     "sectionize": q_sectionize,
     "system_pairs": q_system_pairs,
     "merge_intro_pairs": q_merge_intro_pairs,
+    "merge_intro_model": q_merge_intro_model,
+    "docs_jsonl_by_source": q_docs_jsonl_by_source,
+    "doc_len_quantiles": q_doc_len_quantiles,
+    "top_terms_per_source": q_top_terms_per_source,
     "modal_role": q_modal_role,
     "first_last_flags": q_first_last_flags,
     "docs_by_source": q_docs_by_source,
@@ -926,6 +1009,10 @@ ORACLES = {
     "sectionize": sql_ops.SECTIONIZE_SQL,
     "system_pairs": sql_ops.SYSTEM_PAIRS_SQL,
     "merge_intro_pairs": sql_ops.MERGE_INTRO_PAIRS_SQL,
+    "merge_intro_model": sql_ops.MERGE_INTRO_MODEL_SQL,
+    "docs_jsonl_by_source": sql_ops.DOCS_BY_SOURCE_SQL,
+    "doc_len_quantiles": sql_ops.DOC_LEN_QUANTILES_SQL,
+    "top_terms_per_source": sql_ops.TOP_TERMS_PER_SOURCE_SQL,
     "modal_role": sql_ops.MODAL_ROLE_SQL,
     "first_last_flags": sql_ops.FIRST_LAST_FLAGS_SQL,
     "docs_by_source": sql_ops.DOCS_BY_SOURCE_SQL,

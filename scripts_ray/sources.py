@@ -258,3 +258,38 @@ def synth_transcripts(
             "ts": pa.array(tss, type=pa.timestamp("us")),
         }
     )
+
+
+# ---- JSONL source (S4) -----------------------------------------------------
+
+
+def documents_jsonl_path(sf_dir: str) -> str:
+    """Materialize the documents table as sharded JSONL once (cached under
+    /tmp, atomic rename). The JSON reader analog of the reference's
+    line-delimited document inputs (/root/reference/src: JSON page/doc
+    readers); at scale the shards would live in object storage and
+    `read_json` streams them exactly like Parquet."""
+    import os
+
+    import ray.data as rd
+
+    tag = sf_dir.strip("/").replace("/", "_")
+    path = f"/tmp/docs_jsonl_{tag}"
+    if not os.path.exists(path):
+        tmp = path + ".tmp"
+        (
+            rd.read_parquet(f"{sf_dir}/documents.parquet")
+            .repartition(8)
+            .write_json(tmp)
+        )
+        os.rename(tmp, path)
+    return path
+
+
+def read_documents_jsonl(sf_dir: str):
+    """Streaming JSONL read of the documents corpus (S4). Returns a Dataset
+    schema-identical to the Parquet read, so every documents operator can
+    run over either source."""
+    import ray.data as rd
+
+    return rd.read_json(documents_jsonl_path(sf_dir))

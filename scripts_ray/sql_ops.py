@@ -230,6 +230,51 @@ WHERE NOT (role = 'assistant' AND COALESCE(prev_role, '') = 'system')
 """
 )
 
+# ML4 model strategy: the NSP-style linear scorer restated from the SAME
+# constants the Ray side uses (ops.windows.NSP_*), so the merge decision
+# function is value-checked, not just the rewrite plumbing.
+from .ops.windows import NSP_SHORT_LEN, NSP_THRESHOLD, NSP_WEIGHTS  # noqa: E402
+
+_NSP_SCORE = (
+    f"({NSP_WEIGHTS['cur_system']} * CASE WHEN role = 'system' THEN 1 ELSE 0 END"
+    f" + {NSP_WEIGHTS['next_assistant']} * CASE WHEN next_role = 'assistant'"
+    " THEN 1 ELSE 0 END"
+    f" + {NSP_WEIGHTS['hyphen_end']} * CASE WHEN text LIKE '%-' THEN 1 ELSE 0 END"
+    f" + {NSP_WEIGHTS['short_next']} * CASE WHEN length(next_text) < {NSP_SHORT_LEN}"
+    " THEN 1 ELSE 0 END)"
+)
+
+MERGE_INTRO_MODEL_SQL = (
+    _with(TRANSCRIPTS_CTE)
+    + f"""
+, l AS (
+  SELECT conv_id, turn_idx, role, text,
+         lead(role) OVER w AS next_role,
+         lead(text) OVER w AS next_text
+  FROM transcripts
+  WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
+),
+s AS (
+  SELECT *,
+         CASE WHEN next_role IS NOT NULL
+              AND {_NSP_SCORE} >= {NSP_THRESHOLD}
+              THEN 1 ELSE 0 END AS absorbs
+  FROM l
+),
+a AS (
+  SELECT *, COALESCE(lag(absorbs) OVER (PARTITION BY conv_id ORDER BY turn_idx), 0)
+            AS absorbed
+  FROM s
+)
+SELECT conv_id, turn_idx, role,
+  CASE WHEN absorbs = 1
+       THEN text || (CASE WHEN text LIKE '%-' THEN '' ELSE ' ' END) || next_text
+       ELSE text END AS text
+FROM a
+WHERE absorbed = 0
+"""
+)
+
 MODAL_ROLE_SQL = (
     _with(TRANSCRIPTS_CTE)
     + """
@@ -819,4 +864,29 @@ win AS (
 )
 SELECT DISTINCT CAST(doc_id AS BIGINT) AS doc_id, fp
 FROM win WHERE rn >= least(n_sh, 4)
+"""
+
+
+# ---- exact distributed quantiles + grouped top-k ---------------------------
+
+DOC_LEN_QUANTILES_SQL = """
+SELECT source,
+       CAST(quantile_disc(n_chars, 0.500) AS BIGINT) AS p500,
+       CAST(quantile_disc(n_chars, 0.900) AS BIGINT) AS p900,
+       CAST(quantile_disc(n_chars, 0.990) AS BIGINT) AS p990
+FROM documents GROUP BY source
+"""
+
+TOP_TERMS_PER_SOURCE_SQL = f"""
+WITH tc AS (
+  SELECT source, tok AS term, CAST(count(*) AS BIGINT) AS n
+  FROM (SELECT source, unnest({_DOC_TOKS}) AS tok FROM documents)
+  GROUP BY 1, 2
+),
+r AS (
+  SELECT *, CAST(row_number() OVER (PARTITION BY source ORDER BY n DESC, term)
+                 AS BIGINT) AS rank
+  FROM tc
+)
+SELECT source, term, n, rank FROM r WHERE rank <= 5
 """

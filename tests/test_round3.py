@@ -42,3 +42,64 @@ def test_kwic_bank_config_override(ray_session, sf_dir, tmp_path):
     assert (out["pattern_name"] == "win").all()
     assert out["context"].str.contains("window").all()
     assert len(out) > 0
+
+
+# ---- exact distributed quantiles + grouped top-k ---------------------------
+
+
+def test_group_quantiles_matches_duckdb_adversarial(ray_session):
+    """Exact-rational rank (ceil(n*q/1000) in int64) must match DuckDB's
+    quantile_disc at the float-hazard points (0.9*10 = 9.000000000000002)."""
+    import duckdb
+    import ray.data as rd
+
+    from scripts_ray.ops.quantiles import group_quantiles
+
+    rows = []
+    for g, n in [("a", 10), ("b", 7), ("c", 200), ("d", 1)]:
+        rows += [{"g": g, "v": i + 1} for i in range(n)]
+    df = pd.DataFrame(rows)
+    got = (
+        group_quantiles(
+            rd.from_pandas(df), "v", ["g"], [500, 900, 990]
+        )
+        .to_pandas()
+        .sort_values("g")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("t", df)
+    exp = con.execute(
+        """SELECT g, quantile_disc(v, 0.500) AS p500,
+                  quantile_disc(v, 0.900) AS p900,
+                  quantile_disc(v, 0.990) AS p990
+           FROM t GROUP BY g ORDER BY g"""
+    ).df()
+    for c in ["p500", "p900", "p990"]:
+        assert got[c].astype(int).tolist() == exp[c].astype(int).tolist(), c
+
+
+def test_group_topk_tie_break(ray_session):
+    import ray.data as rd
+
+    from scripts_ray.ops.quantiles import group_topk
+
+    df = pd.DataFrame(
+        {
+            "g": ["x"] * 4 + ["y"] * 2,
+            "term": ["b", "a", "c", "d", "q", "p"],
+            "n": [5, 5, 9, 1, 3, 3],
+        }
+    )
+    out = (
+        group_topk(rd.from_pandas(df), ["g"], "n", 2, ["term"])
+        .to_pandas()
+        .sort_values(["g", "rank"])
+        .reset_index(drop=True)
+    )
+    assert out[["g", "term", "rank"]].values.tolist() == [
+        ["x", "c", 1],
+        ["x", "a", 2],
+        ["y", "p", 1],
+        ["y", "q", 2],
+    ]
