@@ -292,6 +292,8 @@ def run_bench() -> dict:
             "ann_cosine",
             "turn_attribution",
             "sectionize",
+            "doc_len_quantiles",
+            "top_terms_per_source",
         ]
     )
     for name in secondary:

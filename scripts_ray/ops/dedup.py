@@ -266,9 +266,34 @@ def minhash_candidates(docs_ds, hasher: MinHasher | None = None, shingle_n: int 
     return band_pairs(docs_ds.map_batches(to_bands, batch_format="pandas"))
 
 
+SQLMIX_ADD = 0x9E3779B97F4A7C15
+SQLMIX_M1 = 0xBF58476D1CE4E5B9
+SQLMIX_M2 = 0x94D049BB133111EB
+
+
+def sql_mix64(t: np.ndarray) -> np.ndarray:
+    """splitmix64 finalizer (public-domain constants) over non-negative
+    int64 inputs — full-avalanche 64-bit mixing that the SQL oracle
+    reproduces exactly (sql_ops generates the identical chain in HUGEINT
+    arithmetic: add/mulmod 2^64 + sign-bit-safe xorshift)."""
+    z = t.astype(np.uint64)
+    with np.errstate(over="ignore"):
+        z += np.uint64(SQLMIX_ADD)
+        z ^= z >> np.uint64(30)
+        z *= np.uint64(SQLMIX_M1)
+        z ^= z >> np.uint64(27)
+        z *= np.uint64(SQLMIX_M2)
+        z ^= z >> np.uint64(31)
+    return z
+
+
 def simhash_docs(docs_ds):
-    """64-bit SimHash per document (token siphash bits, count-weighted),
-    vectorized across the whole batch."""
+    """64-bit SimHash per document (count-weighted ±1 votes per token
+    occurrence), vectorized across the whole batch. The token hash is
+    sql_mix64(winnow_token_hashes(...)) — fully SQL-reproducible, so the
+    DuckDB oracle (sql_ops.SIMHASH_DOCS_SQL) recomputes the identical
+    simhash value per document, and the band-bucket candidate pairs
+    (sql_ops.SIMHASH_PAIRS_SQL) are value-checked too."""
 
     def sim(batch: pd.DataFrame) -> pd.DataFrame:
         from ..tokens import explode
@@ -280,7 +305,7 @@ def simhash_docs(docs_ds):
             # per-bit loop with reused (t,) scratch instead of a (t, 64)
             # bit matrix — fresh large allocations stall on this host
             # (see signatures_from_hashes); identical results.
-            hs = token_hashes(toks).view(np.int64)  # (t,)
+            hs = sql_mix64(winnow_token_hashes(toks)).view(np.int64)  # (t,)
             present, starts = np.unique(rows, return_index=True)
             bit = np.empty(len(hs), dtype=np.int64)
             acc_out = np.zeros(len(present), dtype=np.uint64)

@@ -19,6 +19,23 @@ All keys of one group land in exactly one partition, so results are exact.
 ``num_partitions`` bounds the per-task working set: at 100 TB scale raise
 it so (distinct keys / num_partitions) × row width fits a worker heap.
 
+Skew strategy (north rule "salting for hot keys"), by operator class:
+
+- **Associative aggregates** (this module): the per-batch partial IS the
+  salt — a key hot in raw rows arrives at its partition as at most one
+  row per upstream block, so no explicit salt column is ever needed.
+- **Monotone reductions** (top-k): per-batch pre-prune bounds a hot
+  group's shuffle volume at k rows per block (`quantiles.group_topk`).
+- **Order-dependent per-key transforms** (conversation windows): salting
+  would break within-key ordering by construction; the mitigation is the
+  flagship's broadcast-window mode (`pipelines.quality_filter
+  mode="broadcast"`), which removes the full-row exchange entirely, and
+  the hash exchange path is validated against a 2000-turn heavy-tail
+  conversation in tests/test_skew.py.
+- **Inherent quadratic hot spots** (LSH band buckets): output volume is
+  the skew (m-doc bucket → m(m-1)/2 pairs); `dedup.band_pairs` documents
+  the pre-dedup + partition-count controls.
+
 Reference analog: the per-batch partial counting the reference does before
 its global tallies (/root/reference/src/mk-wf-dict.py:38-42,
 /root/reference/src/stats-dashboard/generate-markdown.py:103-156).

@@ -92,9 +92,15 @@ def group_quantiles(
 
 def group_topk(ds, keys: list[str], sort_col: str, k: int, tie_cols: list[str]):
     """Top-k rows per group by (`sort_col` desc, `tie_cols` asc), with a
-    1-based `rank` column — grouped sort+limit without a global sort."""
+    1-based `rank` column — grouped sort+limit without a global sort.
 
-    def finalize(part: pd.DataFrame) -> pd.DataFrame:
+    Skew: a hot group would otherwise ship ALL its rows to one partition;
+    the per-batch pre-prune below is top-k's combiner (each batch's
+    non-top-k rows can never reach the final top-k), bounding the exchange
+    at k rows per (group, batch) — the same role salting plays for
+    non-combining shuffles."""
+
+    def head_k(part: pd.DataFrame) -> pd.DataFrame:
         part = part.sort_values(
             keys + [sort_col] + tie_cols,
             ascending=[True] * len(keys) + [False] + [True] * len(tie_cols),
@@ -104,4 +110,7 @@ def group_topk(ds, keys: list[str], sort_col: str, k: int, tie_cols: list[str]):
         out = part.assign(rank=rank.astype(np.int64))
         return out[out["rank"] <= k].reset_index(drop=True)
 
-    return map_partitions_by_key(ds, keys, finalize)
+    pruned = ds.map_batches(
+        lambda b: head_k(b).drop(columns=["rank"]), batch_format="pandas"
+    )
+    return map_partitions_by_key(pruned, keys, head_k)

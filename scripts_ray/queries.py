@@ -1044,6 +1044,10 @@ ORACLES = {
     "denylist": sql_ops.DENYLIST_SQL,
     "qc_keep_ci": sql_ops.QC_KEEP_CI_SQL,
     "doc_winnow": sql_ops.DOC_WINNOW_SQL,
+    # simhash value + candidate pairs are SQL-recomputed from the same
+    # splitmix64(winnow-token-hash) constants — full value check
+    "simhash_docs": sql_ops.SIMHASH_DOCS_SQL,
+    "simhash_pairs": sql_ops.SIMHASH_PAIRS_SQL,
     "word_freq": sql_ops.WORD_FREQ_SQL,
     "kwic": sql_ops.KWIC_SQL,
     "kwic_bank": sql_ops.KWIC_BANK_SQL,

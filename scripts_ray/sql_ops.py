@@ -890,3 +890,96 @@ r AS (
 )
 SELECT source, term, n, rank FROM r WHERE rank <= 5
 """
+
+
+# ---- SQL-reproducible SimHash (value-checked sketch) -----------------------
+# The simhash token hash is sql_mix64(winnow_token_hashes(tok)): the
+# splitmix64 chain below is generated in HUGEINT arithmetic (add / mulmod
+# 2^64, xorshift via sign-bit-safe BIGINT xor) from the SAME constants the
+# numpy kernel uses, so per-document simhash values — and the bit-band
+# candidate pairs derived from them — are value-checked, not just
+# invariant-checked.
+
+from .ops.dedup import SQLMIX_ADD, SQLMIX_M1, SQLMIX_M2  # noqa: E402
+
+_TWO64 = 18446744073709551616
+_TWO63 = 9223372036854775808
+
+
+def _sx(u: str) -> str:
+    """unsigned HUGEINT expr -> bit-identical signed BIGINT expr"""
+    return (
+        f"CAST(({u}) - (CASE WHEN ({u}) >= {_TWO63} THEN {_TWO64}::HUGEINT"
+        " ELSE 0::HUGEINT END) AS BIGINT)"
+    )
+
+
+def _ux(s: str) -> str:
+    """signed BIGINT expr -> bit-identical unsigned HUGEINT expr"""
+    return (
+        f"(CAST(({s}) AS HUGEINT) + (CASE WHEN ({s}) < 0 THEN {_TWO64}::HUGEINT"
+        " ELSE 0::HUGEINT END))"
+    )
+
+
+def _xorshift(col: str, k: int) -> str:
+    return _ux(f"xor({_sx(col)}, {_sx(f'(({col}) >> {k})')})")
+
+
+def _mulmod(col: str, m: int) -> str:
+    """(col * m) mod 2^64 without overflowing HUGEINT: 32-bit lo/hi split."""
+    return (
+        f"((((({col}) % 4294967296) * {m}) % {_TWO64}::HUGEINT"
+        f" + (((({col}) >> 32) * {m}) % 4294967296) * 4294967296)"
+        f" % {_TWO64}::HUGEINT)"
+    )
+
+
+_SIMHASH_BITS = ", ".join(
+    f"SUM(CASE WHEN ((z >> {j}) & 1) = 1 THEN 1 ELSE -1 END) AS s{j}"
+    for j in range(64)
+)
+_SIMHASH_VAL = " + ".join(
+    f"CASE WHEN s{j} > 0 THEN {1 << j}::HUGEINT ELSE 0::HUGEINT END"
+    for j in range(64)
+)
+
+# shared CTE chain: documents -> per-token mixed hash -> per-doc simhash v
+_SIMHASH_CTE = f"""
+toks AS (
+  SELECT doc_id, unnest({_DOC_TOKS}) AS tok FROM documents
+),
+h0 AS (SELECT doc_id, {_WINNOW_TH} AS h FROM toks),
+s0 AS (SELECT doc_id, (CAST(h AS HUGEINT) + {SQLMIX_ADD}) % {_TWO64}::HUGEINT AS z FROM h0),
+s1 AS (SELECT doc_id, {_xorshift('z', 30)} AS z FROM s0),
+s2 AS (SELECT doc_id, {_mulmod('z', SQLMIX_M1)} AS z FROM s1),
+s3 AS (SELECT doc_id, {_xorshift('z', 27)} AS z FROM s2),
+s4 AS (SELECT doc_id, {_mulmod('z', SQLMIX_M2)} AS z FROM s3),
+s5 AS (SELECT doc_id, {_xorshift('z', 31)} AS z FROM s4),
+bits AS (SELECT doc_id, {_SIMHASH_BITS} FROM s5 GROUP BY doc_id),
+simv AS (
+  SELECT d.doc_id, COALESCE(({_SIMHASH_VAL}), 0::HUGEINT) AS v
+  FROM documents d LEFT JOIN bits ON d.doc_id = bits.doc_id
+)
+"""
+
+SIMHASH_DOCS_SQL = f"""
+WITH {_SIMHASH_CTE}
+SELECT CAST(doc_id AS BIGINT) AS doc_id, printf('%016x', {_sx('v')}) AS simhash
+FROM simv
+"""
+
+SIMHASH_PAIRS_SQL = f"""
+WITH {_SIMHASH_CTE},
+bandk AS (
+  SELECT doc_id, j AS band_id,
+         CAST((v >> (j * 16)) & 65535 AS BIGINT) AS band_hash
+  FROM simv, (SELECT unnest([0, 1, 2, 3]) AS j)
+)
+SELECT CAST(a.doc_id AS BIGINT) AS doc_a, CAST(b.doc_id AS BIGINT) AS doc_b,
+       CAST(count(*) AS BIGINT) AS n_bands
+FROM bandk a JOIN bandk b
+  ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+ AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+"""

@@ -103,3 +103,35 @@ def test_group_topk_tie_break(ray_session):
         ["y", "p", 1],
         ["y", "q", 2],
     ]
+
+
+def test_group_topk_hot_group_preprune(ray_session):
+    """A hot group (most rows in one key) must survive the per-batch
+    pre-prune combiner with exact results: compare against pandas."""
+    import numpy as np
+    import ray.data as rd
+
+    from scripts_ray.ops.quantiles import group_topk
+
+    rng = np.random.default_rng(5)
+    df = pd.DataFrame(
+        {
+            "g": ["hot"] * 5000 + [f"g{i}" for i in rng.integers(0, 20, 500)],
+            "term": [f"t{i}" for i in rng.integers(0, 4000, 5500)],
+            "n": rng.integers(1, 1000, 5500),
+        }
+    ).drop_duplicates(["g", "term"])
+    got = (
+        group_topk(rd.from_pandas(df).repartition(16), ["g"], "n", 3, ["term"])
+        .to_pandas()
+        .sort_values(["g", "rank"])
+        .reset_index(drop=True)
+    )
+    exp = (
+        df.sort_values(["g", "n", "term"], ascending=[True, False, True])
+        .groupby("g", sort=True)
+        .head(3)
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(exp)
+    assert got[["g", "term", "n"]].values.tolist() == exp[["g", "term", "n"]].values.tolist()
