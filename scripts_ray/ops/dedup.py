@@ -132,12 +132,26 @@ class MinHasher:
         return sigs
 
     def band_keys_matrix(self, sigs: np.ndarray) -> np.ndarray:
-        """(n, bands) uint64 band-bucket keys: one siphash per band slice."""
+        """(n, bands) band-bucket keys: modular combination of the band's
+        signature rows under M = 2^31-1 — SQL-reproducible (the oracle
+        recomputes the identical keys), collision odds ~2^-31 per pair per
+        band, and any false bucket collision only ADDS a candidate pair,
+        which downstream exact verification removes. Accumulation applies
+        % M after every addition so uint64 never overflows."""
+        assert self.rows <= len(BAND_MULTS)
         n = sigs.shape[0]
+        M = np.uint64(WINNOW_M)
         out = np.empty((n, self.bands), dtype=np.uint64)
+        acc = np.empty(n, dtype=np.uint64)
+        term = np.empty(n, dtype=np.uint64)
         for b in range(self.bands):
-            sl = np.ascontiguousarray(sigs[:, b * self.rows : (b + 1) * self.rows])
-            out[:, b] = pd.util.hash_array(sl.view(f"V{8 * self.rows}").ravel())
+            acc[:] = 0
+            for r in range(self.rows):
+                np.mod(sigs[:, b * self.rows + r], M, out=term)
+                np.multiply(term, np.uint64(BAND_MULTS[r]), out=term)
+                np.add(acc, term, out=acc)
+                np.mod(acc, M, out=acc)
+            out[:, b] = acc
         return out
 
 
@@ -242,7 +256,16 @@ def minhash_candidates(docs_ds, hasher: MinHasher | None = None, shingle_n: int 
         from ..tokens import explode
 
         rows, toks = explode(pa.array(batch["text"].tolist(), type=pa.string()))
-        if shingle_n > 1:
+        if shingle_n == 3:
+            # SQL-reproducible 3-shingle fingerprints (same scheme as
+            # winnowing) so the oracle can recompute signatures exactly
+            srows, sh = winnow_shingle_fps(rows, toks)
+            sh = sh.view(np.uint64)
+            if len(sh):
+                uniq = pd.DataFrame({"r": srows, "h": sh}).drop_duplicates()
+                srows, sh = uniq["r"].to_numpy(), uniq["h"].to_numpy()
+            sigs = hasher.signatures_from_hashes(srows, sh, len(batch))
+        elif shingle_n > 1:
             srows, sh = shingle_hashes(rows, toks, shingle_n)
             if len(sh):
                 uniq = pd.DataFrame({"r": srows, "h": sh}).drop_duplicates()
@@ -372,6 +395,9 @@ def simhash_candidates(docs_ds, bands: int = 4):
 WINNOW_POWS = tuple(int(131**e) for e in range(7, -1, -1))
 WINNOW_M = 2147483647  # 2^31 - 1
 WINNOW_MULTS = (1000003, 998244353, 69069)
+# per-row multipliers for MinHasher.band_keys_matrix (all < 2^31 so each
+# (sig % M) * mult term stays < 2^62 in uint64)
+BAND_MULTS = (1000003, 998244353, 69069, 1299721, 7772777, 65537, 1073741827, 179424673)
 _WPOW = np.array(WINNOW_POWS, dtype=np.int64)
 
 

@@ -1048,6 +1048,9 @@ ORACLES = {
     # splitmix64(winnow-token-hash) constants — full value check
     "simhash_docs": sql_ops.SIMHASH_DOCS_SQL,
     "simhash_pairs": sql_ops.SIMHASH_PAIRS_SQL,
+    # minhash candidates: signatures + band keys recomputed in SQL from the
+    # same seeded permutation constants — full value check
+    "near_dup_minhash": sql_ops.NEAR_DUP_MINHASH_SQL,
     "word_freq": sql_ops.WORD_FREQ_SQL,
     "kwic": sql_ops.KWIC_SQL,
     "kwic_bank": sql_ops.KWIC_BANK_SQL,

@@ -838,8 +838,9 @@ _WINNOW_TH = (
     + " + length(tok)"
 )
 
-DOC_WINNOW_SQL = f"""
-WITH toks AS (
+# shared shingle-fingerprint chain (documents → (doc_id, p, fp) per
+# 3-token shingle) — used by DOC_WINNOW_SQL and NEAR_DUP_MINHASH_SQL
+_WINNOW_SHV_CTE = f"""toks AS (
   SELECT doc_id, unnest({_DOC_TOKS}) AS tok,
          generate_subscripts({_DOC_TOKS}, 1) AS p
   FROM documents
@@ -853,7 +854,10 @@ sh AS (
     ) % {WINNOW_M} AS fp
   FROM th WINDOW w AS (PARTITION BY doc_id ORDER BY p)
 ),
-shv AS (SELECT doc_id, p, CAST(fp AS BIGINT) AS fp FROM sh WHERE fp IS NOT NULL),
+shv AS (SELECT doc_id, p, CAST(fp AS BIGINT) AS fp FROM sh WHERE fp IS NOT NULL)"""
+
+DOC_WINNOW_SQL = f"""
+WITH {_WINNOW_SHV_CTE},
 win AS (
   SELECT doc_id,
          min(fp) OVER (PARTITION BY doc_id ORDER BY p
@@ -975,6 +979,68 @@ bandk AS (
   SELECT doc_id, j AS band_id,
          CAST((v >> (j * 16)) & 65535 AS BIGINT) AS band_hash
   FROM simv, (SELECT unnest([0, 1, 2, 3]) AS j)
+)
+SELECT CAST(a.doc_id AS BIGINT) AS doc_a, CAST(b.doc_id AS BIGINT) AS doc_b,
+       CAST(count(*) AS BIGINT) AS n_bands
+FROM bandk a JOIN bandk b
+  ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+ AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+"""
+
+
+# ---- SQL-reproducible MinHash-LSH candidates (value-checked) ---------------
+# near_dup_minhash's default operating point (3-token shingles, k=64,
+# bands=16, seed=12345) is restated exactly: shingle fingerprints come
+# from the shared winnow chain, the 64 permutation constants are read
+# from the SAME seeded MinHasher the engine uses, signature minima are
+# unsigned (HUGEINT in [0, 2^64)), and band-bucket keys are the modular
+# combination from dedup.BAND_MULTS. Any candidate-pair difference —
+# one permutation constant, one min, one band key — fails the hash check.
+
+from .ops.dedup import BAND_MULTS, MinHasher  # noqa: E402
+
+_MH = MinHasher()  # default seed/k/bands — must match q_near_dup_minhash
+_MH_A = _MH.a.tolist()
+_MH_B = _MH.b.tolist()
+
+_MINHASH_SIGS = ", ".join(
+    # fp < 2^31 so fp*a + b < 2^94: fits HUGEINT without the lo/hi split
+    f"MIN((CAST(fp AS HUGEINT) * {_MH_A[k]} + {_MH_B[k]})"
+    f" % {_TWO64}::HUGEINT) AS s{k}"
+    for k in range(_MH.k)
+)
+
+# docs with < 3 tokens have NO shingles: LEFT JOIN + COALESCE to the empty
+# signature (2^64-1 per slot), matching the numpy initializer exactly
+_MINHASH_COALESCE = ", ".join(
+    f"COALESCE(sigp.s{k}, {_TWO64 - 1}::HUGEINT) AS s{k}" for k in range(_MH.k)
+)
+
+
+def _mh_band_key(b: int) -> str:
+    terms = " + ".join(
+        f"(s{b * _MH.rows + r} % {WINNOW_M}) * {BAND_MULTS[r]}"
+        for r in range(_MH.rows)
+    )
+    return f"CAST(({terms}) % {WINNOW_M} AS BIGINT)"
+
+
+_MH_BANDS = "\nUNION ALL\n".join(
+    f"SELECT doc_id, {b} AS band_id, {_mh_band_key(b)} AS band_hash FROM sig"
+    for b in range(_MH.bands)
+)
+
+NEAR_DUP_MINHASH_SQL = f"""
+WITH {_WINNOW_SHV_CTE},
+shd AS (SELECT DISTINCT doc_id, fp FROM shv),
+sigp AS (SELECT doc_id, {_MINHASH_SIGS} FROM shd GROUP BY doc_id),
+sig AS (
+  SELECT d.doc_id, {_MINHASH_COALESCE}
+  FROM documents d LEFT JOIN sigp ON d.doc_id = sigp.doc_id
+),
+bandk AS (
+{_MH_BANDS}
 )
 SELECT CAST(a.doc_id AS BIGINT) AS doc_a, CAST(b.doc_id AS BIGINT) AS doc_b,
        CAST(count(*) AS BIGINT) AS n_bands
