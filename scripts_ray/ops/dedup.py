@@ -680,3 +680,149 @@ def _rows_to_matrix(texts: list[str], vocab_index: dict, width: int) -> np.ndarr
         if j is not None:
             mat[r, j] = 1
     return mat
+
+
+# ---- Corpus-frequent shingle boilerplate filter ----------------------------
+
+BOILER_MIN_DOCS = 3  # a shingle in >= this many docs is "boilerplate"
+BOILER_MAX_PERMILLE = 500  # drop docs with >= this fraction boilerplate
+
+
+def doc_shingle_set(docs_ds):
+    """Distinct (doc_id, fp) per document over the SQL-reproducible
+    3-token winnow shingle fingerprints. A document's shingles all live in
+    its own batch row, so within-doc dedup is local — no exchange."""
+
+    def emit(batch: pd.DataFrame) -> pd.DataFrame:
+        from ..tokens import explode
+
+        rows, toks = explode(pa.array(batch["text"].tolist(), type=pa.string()))
+        srows, fps = winnow_shingle_fps(rows, toks)
+        if len(fps) == 0:
+            return pd.DataFrame(
+                {"doc_id": np.array([], dtype=np.int64),
+                 "fp": np.array([], dtype=np.int64)}
+            )
+        ids = batch["doc_id"].to_numpy(dtype=np.int64)
+        return pd.DataFrame({"doc_id": ids[srows], "fp": fps}).drop_duplicates(
+            ignore_index=True
+        )
+
+    return docs_ds.map_batches(emit, batch_format="pandas")
+
+
+def boilerplate_docs(
+    docs_ds,
+    min_docs: int = BOILER_MIN_DOCS,
+    max_permille: int = BOILER_MAX_PERMILLE,
+):
+    """Corpus-level boilerplate filter (the line-dedup analog of CCNet /
+    RefinedWeb-style curation, over shingles since this corpus has no line
+    structure): a document's boilerplate fraction is the share of its
+    DISTINCT 3-token shingles that occur in >= `min_docs` distinct
+    documents corpus-wide; docs at or above `max_permille` are flagged
+    drop. Reference analog: corpus-frequency-driven curation decisions
+    (/root/reference/src/mk-wf-dict.py:17-42 builds the corpus-frequency
+    dict; the reference filters on per-doc shares downstream).
+
+    Fully distributed — no broadcast of the frequent set (its cardinality
+    is corpus-dependent and unbounded at 100 TB): frequency count is a
+    two-level hash aggregate over (fp), membership is a distributed hash
+    join back to the per-doc shingle stream, per-doc tallies are hash
+    aggregates at document cardinality. Output: one row per document
+    (docs with < 3 tokens have n_sh = 0 and keep = 1)."""
+    from .hashagg import hash_join
+
+    shv = doc_shingle_set(docs_ds)
+    freq = hash_aggregate(shv, keys="fp", aggs={"n_docs": ("doc_id", "count")})
+    freq = freq.map_batches(
+        lambda b: b.loc[b["n_docs"] >= min_docs, ["fp"]], batch_format="pandas"
+    )
+    hits = hash_join(shv, freq, on="fp", how="inner")
+    n_freq = hash_aggregate(hits, keys="doc_id", aggs={"n_freq": ("fp", "count")})
+    n_tot = hash_aggregate(shv, keys="doc_id", aggs={"n_sh": ("fp", "count")})
+    per = hash_join(n_tot, n_freq, on="doc_id", how="left")
+    out = hash_join(docs_ds.select_columns(["doc_id"]), per, on="doc_id", how="left")
+
+    def finish(batch: pd.DataFrame) -> pd.DataFrame:
+        n_sh = batch["n_sh"].fillna(0).to_numpy(dtype=np.int64)
+        nf = batch["n_freq"].fillna(0).to_numpy(dtype=np.int64)
+        pm = np.zeros(len(batch), dtype=np.int64)
+        nz = n_sh > 0
+        pm[nz] = (1000 * nf[nz]) // n_sh[nz]
+        return pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"].to_numpy(dtype=np.int64),
+                "n_sh": n_sh,
+                "n_freq": nf,
+                "boiler_permille": pm,
+                "keep": (pm < max_permille).astype(np.int64),
+            }
+        )
+
+    return out.map_batches(finish, batch_format="pandas")
+
+
+# ---- Benchmark decontamination ---------------------------------------------
+
+CONTAM_EVAL_MOD = 97  # eval-set stand-in: docs with doc_id % mod == 0
+CONTAM_MIN_HITS = 3  # contaminated at >= this many shared shingles
+
+
+def decontaminate(
+    docs_ds, eval_mod: int = CONTAM_EVAL_MOD, min_hits: int = CONTAM_MIN_HITS
+):
+    """Benchmark decontamination: flag training documents whose 3-token
+    shingle sets overlap an evaluation suite — the standard pre-training
+    hygiene step (n-gram overlap decontamination). The eval set here is
+    the deterministic slice doc_id % `eval_mod` == 0, standing in for a
+    benchmark suite.
+
+    Unlike `boilerplate_docs` (whose frequent-shingle set is unbounded),
+    an eval suite is small by construction, so the BROADCAST pattern is
+    correct: its distinct shingle fingerprints are collected once on the
+    driver, shipped once via ``ray.put``, and every batch resolves
+    membership with a sorted-array ``searchsorted`` — no shuffle at all
+    on the (huge) training side. Output: one row per NON-eval document
+    with overlap tallies and the contaminated verdict."""
+    import ray
+
+    def is_eval(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch[batch["doc_id"] % eval_mod == 0]
+
+    eval_fps = (
+        doc_shingle_set(docs_ds.map_batches(is_eval, batch_format="pandas"))
+        .to_pandas()["fp"]
+        .unique()
+    )
+    ref = ray.put(np.sort(eval_fps))
+
+    def score(batch: pd.DataFrame) -> pd.DataFrame:
+        from ..tokens import explode
+
+        fps_sorted = ray.get(ref)
+        batch = batch[batch["doc_id"] % eval_mod != 0]
+        n = len(batch)
+        rows, toks = explode(pa.array(batch["text"].tolist(), type=pa.string()))
+        srows, fps = winnow_shingle_fps(rows, toks)
+        n_sh = np.zeros(n, dtype=np.int64)
+        n_hit = np.zeros(n, dtype=np.int64)
+        if len(fps):
+            dd = pd.DataFrame({"r": srows, "f": fps}).drop_duplicates()
+            r, f = dd["r"].to_numpy(), dd["f"].to_numpy()
+            n_sh = np.bincount(r, minlength=n).astype(np.int64)
+            if len(fps_sorted):
+                pos = np.searchsorted(fps_sorted, f)
+                pos[pos >= len(fps_sorted)] = len(fps_sorted) - 1
+                hit = fps_sorted[pos] == f
+                n_hit = np.bincount(r[hit], minlength=n).astype(np.int64)
+        return pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"].to_numpy(dtype=np.int64),
+                "n_sh": n_sh,
+                "n_hit": n_hit,
+                "contaminated": (n_hit >= min_hits).astype(np.int64),
+            }
+        )
+
+    return docs_ds.map_batches(score, batch_format="pandas")

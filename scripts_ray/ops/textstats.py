@@ -224,3 +224,71 @@ def binary_meta(docs_ds, chunk_bytes: int = 256):
         )
 
     return docs_ds.map_batches(meta, batch_format="pyarrow")
+
+
+# ---- Within-doc repetition signals (Gopher-style quality heuristics) -------
+
+REP_SHINGLE_MAX_PERMILLE = 20  # drop if >= this fraction duplicate shingles
+TOP_TOKEN_MAX_PERMILLE = 150  # drop if the modal token covers >= this share
+
+
+def doc_repetition(docs_ds):
+    """Within-document repetition quality signals in the Gopher /
+    MassiveText style: the fraction of 3-token shingle positions that
+    repeat an earlier shingle of the SAME document (phrase repetition) and
+    the share of token positions taken by the single most frequent token
+    (token skew). Both are integer permille over the SQL-reproducible
+    winnow shingle chain, so the oracle recomputes them exactly.
+    Embarrassingly parallel: every signal is per-document, computed inside
+    one `map_batches` with no exchange. Reference analog: the keep/drop
+    quality gate family (/root/reference/src/cur-prot/reclassify.py:23-38)
+    extended with corpus-curation repetition rules."""
+    from ..tokens import explode
+    from .dedup import winnow_shingle_fps
+
+    def rep(batch: pd.DataFrame) -> pd.DataFrame:
+        rows, toks = explode(pa.array(batch["text"].tolist(), type=pa.string()))
+        n = len(batch)
+        n_toks = np.bincount(rows, minlength=n).astype(np.int64) if len(toks) \
+            else np.zeros(n, dtype=np.int64)
+        top = np.zeros(n, dtype=np.int64)
+        if len(toks):
+            cnt = (
+                pd.DataFrame({"r": rows, "t": toks})
+                .groupby(["r", "t"], sort=False)
+                .size()
+            )
+            m = cnt.groupby(level=0).max()
+            top[m.index.to_numpy()] = m.to_numpy()
+        srows, fps = winnow_shingle_fps(rows, toks)
+        n_sh = np.zeros(n, dtype=np.int64)
+        n_dist = np.zeros(n, dtype=np.int64)
+        if len(fps):
+            n_sh = np.bincount(srows, minlength=n).astype(np.int64)
+            d = (
+                pd.DataFrame({"r": srows, "f": fps})
+                .drop_duplicates()
+                .groupby("r")
+                .size()
+            )
+            n_dist[d.index.to_numpy()] = d.to_numpy()
+        rep_pm = np.zeros(n, dtype=np.int64)
+        nz = n_sh > 0
+        rep_pm[nz] = (1000 * (n_sh[nz] - n_dist[nz])) // n_sh[nz]
+        top_pm = np.zeros(n, dtype=np.int64)
+        nz = n_toks > 0
+        top_pm[nz] = (1000 * top[nz]) // n_toks[nz]
+        keep = (rep_pm < REP_SHINGLE_MAX_PERMILLE) & (
+            top_pm < TOP_TOKEN_MAX_PERMILLE
+        )
+        return pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"].to_numpy(dtype=np.int64),
+                "n_tokens": n_toks,
+                "top_tok_permille": top_pm,
+                "dup_shingle_permille": rep_pm,
+                "keep": keep.astype(np.int64),
+            }
+        )
+
+    return docs_ds.map_batches(rep, batch_format="pandas")

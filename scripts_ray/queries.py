@@ -737,6 +737,36 @@ def q_quality_docs(sf_dir: str):
     )
 
 
+def q_boilerplate_docs(sf_dir: str):
+    """Corpus-frequent shingle boilerplate filter (CCNet/RefinedWeb-style
+    line dedup re-expressed over shingles): per-doc share of distinct
+    3-token shingles occurring in >= BOILER_MIN_DOCS distinct docs.
+    Distributed end to end — frequency via two-level hash aggregate,
+    membership via distributed hash join (no broadcast of the frequent
+    set, whose cardinality is unbounded at corpus scale)."""
+    return dedup.boilerplate_docs(
+        _read(sf_dir, "documents", columns=["doc_id", "text"])
+    )
+
+
+def q_doc_repetition(sf_dir: str):
+    """Within-doc Gopher-style repetition signals: duplicate-shingle share
+    and modal-token share, integer permille, one map_batches pass."""
+    return textstats.doc_repetition(
+        _read(sf_dir, "documents", columns=["doc_id", "text"])
+    )
+
+
+def q_decontaminate(sf_dir: str):
+    """Benchmark decontamination: training docs sharing >= CONTAM_MIN_HITS
+    shingles with the deterministic eval slice are flagged. Eval shingle
+    set is benchmark-sized, so it is broadcast (ray.put once), and the
+    training side never shuffles."""
+    return dedup.decontaminate(
+        _read(sf_dir, "documents", columns=["doc_id", "text"])
+    )
+
+
 def q_validate_docs(sf_dir: str):
     return textstats.validate_docs(
         _read(sf_dir, "documents", columns=["doc_id", "text"])
@@ -972,6 +1002,9 @@ QUERIES = {
     "doc_stats": q_doc_stats,
     "lang_docs": q_lang_docs,
     "quality_docs": q_quality_docs,
+    "boilerplate_docs": q_boilerplate_docs,
+    "doc_repetition": q_doc_repetition,
+    "decontaminate": q_decontaminate,
     "validate_docs": q_validate_docs,
     "dead_letter_docs": q_dead_letter_docs,
     "binary_meta": q_binary_meta,
@@ -1057,6 +1090,9 @@ ORACLES = {
     "doc_stats": sql_ops.DOC_STATS_SQL,
     "lang_docs": sql_ops.LANG_DOCS_SQL,
     "quality_docs": sql_ops.QUALITY_DOCS_SQL,
+    "boilerplate_docs": sql_ops.BOILERPLATE_DOCS_SQL,
+    "doc_repetition": sql_ops.DOC_REPETITION_SQL,
+    "decontaminate": sql_ops.DECONTAMINATE_SQL,
     "validate_docs": sql_ops.VALIDATE_DOCS_SQL,
     "dead_letter_docs": sql_ops.DEAD_LETTER_DOCS_SQL,
     "binary_meta": sql_ops.BINARY_META_SQL,

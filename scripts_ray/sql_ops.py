@@ -1049,3 +1049,84 @@ FROM bandk a JOIN bandk b
  AND a.doc_id < b.doc_id
 GROUP BY 1, 2
 """
+
+
+# ---- Corpus-frequent shingle boilerplate filter ----------------------------
+# Restates ops.dedup.boilerplate_docs exactly: distinct winnow 3-shingle
+# fingerprints per doc, corpus document-frequency per fingerprint, per-doc
+# boilerplate share in floor-division integer permille.
+
+from .ops.dedup import BOILER_MAX_PERMILLE, BOILER_MIN_DOCS  # noqa: E402
+
+BOILERPLATE_DOCS_SQL = f"""
+WITH {_WINNOW_SHV_CTE},
+shd AS (SELECT DISTINCT doc_id, fp FROM shv),
+freq AS (SELECT fp FROM shd GROUP BY fp HAVING count(*) >= {BOILER_MIN_DOCS}),
+per AS (
+  SELECT doc_id, count(*) AS n_sh,
+         count(*) FILTER (WHERE fp IN (SELECT fp FROM freq)) AS n_freq
+  FROM shd GROUP BY doc_id
+)
+SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+       CAST(COALESCE(p.n_sh, 0) AS BIGINT) AS n_sh,
+       CAST(COALESCE(p.n_freq, 0) AS BIGINT) AS n_freq,
+       CAST(COALESCE((1000 * p.n_freq) // p.n_sh, 0) AS BIGINT)
+         AS boiler_permille,
+       CAST(CASE WHEN COALESCE((1000 * p.n_freq) // p.n_sh, 0)
+                      < {BOILER_MAX_PERMILLE}
+            THEN 1 ELSE 0 END AS BIGINT) AS keep
+FROM documents d LEFT JOIN per p USING (doc_id)
+"""
+
+
+# ---- Within-doc repetition signals (Gopher-style) --------------------------
+
+from .ops.textstats import (  # noqa: E402
+    REP_SHINGLE_MAX_PERMILLE,
+    TOP_TOKEN_MAX_PERMILLE,
+)
+
+DOC_REPETITION_SQL = f"""
+WITH {_WINNOW_SHV_CTE},
+tc AS (SELECT doc_id, tok, count(*) AS c FROM toks GROUP BY doc_id, tok),
+tt AS (SELECT doc_id, sum(c) AS n_tok, max(c) AS top FROM tc GROUP BY doc_id),
+sd AS (SELECT doc_id, count(*) AS n_sh, count(DISTINCT fp) AS n_dist
+       FROM shv GROUP BY doc_id)
+SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+       CAST(COALESCE(t.n_tok, 0) AS BIGINT) AS n_tokens,
+       CAST(COALESCE((1000 * t.top) // t.n_tok, 0) AS BIGINT)
+         AS top_tok_permille,
+       CAST(COALESCE((1000 * (s.n_sh - s.n_dist)) // s.n_sh, 0) AS BIGINT)
+         AS dup_shingle_permille,
+       CAST(CASE WHEN COALESCE((1000 * (s.n_sh - s.n_dist)) // s.n_sh, 0)
+                      < {REP_SHINGLE_MAX_PERMILLE}
+                  AND COALESCE((1000 * t.top) // t.n_tok, 0)
+                      < {TOP_TOKEN_MAX_PERMILLE}
+            THEN 1 ELSE 0 END AS BIGINT) AS keep
+FROM documents d
+LEFT JOIN tt t USING (doc_id)
+LEFT JOIN sd s USING (doc_id)
+"""
+
+
+# ---- Benchmark decontamination ---------------------------------------------
+
+from .ops.dedup import CONTAM_EVAL_MOD, CONTAM_MIN_HITS  # noqa: E402
+
+DECONTAMINATE_SQL = f"""
+WITH {_WINNOW_SHV_CTE},
+shd AS (SELECT DISTINCT doc_id, fp FROM shv),
+ev AS (SELECT DISTINCT fp FROM shd WHERE doc_id % {CONTAM_EVAL_MOD} = 0),
+per AS (
+  SELECT doc_id, count(*) AS n_sh,
+         count(*) FILTER (WHERE fp IN (SELECT fp FROM ev)) AS n_hit
+  FROM shd WHERE doc_id % {CONTAM_EVAL_MOD} <> 0 GROUP BY doc_id
+)
+SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+       CAST(COALESCE(p.n_sh, 0) AS BIGINT) AS n_sh,
+       CAST(COALESCE(p.n_hit, 0) AS BIGINT) AS n_hit,
+       CAST(CASE WHEN COALESCE(p.n_hit, 0) >= {CONTAM_MIN_HITS}
+            THEN 1 ELSE 0 END AS BIGINT) AS contaminated
+FROM documents d LEFT JOIN per p USING (doc_id)
+WHERE d.doc_id % {CONTAM_EVAL_MOD} <> 0
+"""

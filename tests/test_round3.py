@@ -135,3 +135,129 @@ def test_group_topk_hot_group_preprune(ray_session):
     )
     assert len(got) == len(exp)
     assert got[["g", "term", "n"]].values.tolist() == exp[["g", "term", "n"]].values.tolist()
+
+
+def test_boilerplate_docs_matches_oracle(ray_session, sf_dir, duck):
+    from scripts_ray import queries, sql_ops
+
+    _cmp(
+        queries.QUERIES["boilerplate_docs"](sf_dir),
+        duck,
+        sql_ops.BOILERPLATE_DOCS_SQL,
+        ["doc_id"],
+    )
+
+
+def test_doc_repetition_matches_oracle(ray_session, sf_dir, duck):
+    from scripts_ray import queries, sql_ops
+
+    _cmp(
+        queries.QUERIES["doc_repetition"](sf_dir),
+        duck,
+        sql_ops.DOC_REPETITION_SQL,
+        ["doc_id"],
+    )
+
+
+def test_boilerplate_planted(ray_session):
+    """Planted boilerplate: a phrase shared by >= BOILER_MIN_DOCS docs is
+    flagged in every carrier; unique docs and sub-3-token docs keep."""
+    import ray.data as rd
+
+    from scripts_ray.ops.dedup import BOILER_MIN_DOCS, boilerplate_docs
+
+    shared = "all rights reserved contact the operator"
+    docs = pd.DataFrame(
+        {
+            "doc_id": range(6),
+            "text": [
+                shared,                        # pure boilerplate x3
+                shared,
+                shared,
+                shared + " plus a very different unique tail entirely here",
+                "completely unique text with no shared phrases at all ok",
+                "tiny doc",                    # < 3 tokens: no shingles
+            ],
+        }
+    )
+    assert BOILER_MIN_DOCS <= 3
+    out = (
+        boilerplate_docs(rd.from_pandas(docs).repartition(4))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert out.loc[0, "boiler_permille"] == 1000 and out.loc[0, "keep"] == 0
+    assert out.loc[2, "keep"] == 0
+    assert 0 < out.loc[3, "boiler_permille"] < 1000
+    assert out.loc[4, "boiler_permille"] == 0 and out.loc[4, "keep"] == 1
+    assert out.loc[5, "n_sh"] == 0 and out.loc[5, "keep"] == 1
+
+
+def test_doc_repetition_planted(ray_session):
+    """A looping doc trips the duplicate-shingle gate; modal-token skew
+    trips the top-token gate; a plain doc keeps."""
+    import ray.data as rd
+
+    from scripts_ray.ops.textstats import doc_repetition
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2],
+            "text": [
+                "buy now " * 50,                       # phrase loop
+                "spam " * 40 + "one two three four",   # modal-token skew
+                "a perfectly ordinary sentence with distinct words only",
+            ],
+        }
+    )
+    out = (
+        doc_repetition(rd.from_pandas(docs).repartition(3))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert out.loc[0, "dup_shingle_permille"] > 900 and out.loc[0, "keep"] == 0
+    assert out.loc[1, "top_tok_permille"] > 800 and out.loc[1, "keep"] == 0
+    assert out.loc[2, "dup_shingle_permille"] == 0 and out.loc[2, "keep"] == 1
+
+
+def test_decontaminate_matches_oracle(ray_session, sf_dir, duck):
+    from scripts_ray import queries, sql_ops
+
+    _cmp(
+        queries.QUERIES["decontaminate"](sf_dir),
+        duck,
+        sql_ops.DECONTAMINATE_SQL,
+        ["doc_id"],
+    )
+
+
+def test_decontaminate_planted(ray_session):
+    """A training doc embedding an eval doc's phrase is flagged; eval docs
+    themselves never appear in the output."""
+    import ray.data as rd
+
+    from scripts_ray.ops.dedup import decontaminate
+
+    leak = "the secret benchmark answer is forty two exactly"
+    docs = pd.DataFrame(
+        {
+            "doc_id": [0, 97, 5, 7],  # 0 and 97 are eval (mod 97)
+            "text": [
+                leak,
+                "another eval doc with its own distinct phrasing here",
+                leak + " copied into a training document verbatim",
+                "clean training doc sharing nothing with the eval suite",
+            ],
+        }
+    )
+    out = (
+        decontaminate(rd.from_pandas(docs).repartition(2), min_hits=3)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert out["doc_id"].tolist() == [5, 7]
+    assert out.loc[0, "contaminated"] == 1 and out.loc[0, "n_hit"] >= 3
+    assert out.loc[1, "n_hit"] == 0 and out.loc[1, "contaminated"] == 0
