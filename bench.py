@@ -294,6 +294,8 @@ def run_bench() -> dict:
             "sectionize",
             "doc_len_quantiles",
             "top_terms_per_source",
+            "boilerplate_docs",
+            "decontaminate",
         ]
     )
     for name in secondary:

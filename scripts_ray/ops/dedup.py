@@ -726,23 +726,46 @@ def boilerplate_docs(
     dict; the reference filters on per-doc shares downstream).
 
     Fully distributed — no broadcast of the frequent set (its cardinality
-    is corpus-dependent and unbounded at 100 TB): frequency count is a
-    two-level hash aggregate over (fp), membership is a distributed hash
-    join back to the per-doc shingle stream, per-doc tallies are hash
-    aggregates at document cardinality. Output: one row per document
-    (docs with < 3 tokens have n_sh = 0 and keep = 1)."""
-    from .hashagg import hash_join
+    is corpus-dependent and unbounded at 100 TB). ONE shingle-scale
+    exchange: rows are hash-partitioned by fp and each partition — which
+    holds COMPLETE fp-groups — computes document frequency and filters to
+    frequent-shingle hit rows in the same pass (folding the aggregate and
+    the membership join that a naive plan would run as two more
+    exchanges; a lazy shingle stream consumed by several downstream
+    exchanges also re-executes per consumer, which made the first version
+    of this operator ~10x slower). Per-doc totals need no exchange at
+    all (a doc's shingles are local to its batch row), and the remaining
+    aggregate + left join move only document-cardinality rows. Output:
+    one row per document (docs with < 3 tokens have n_sh = 0, keep = 1)."""
+    from .hashagg import hash_join, map_partitions_by_key
 
-    shv = doc_shingle_set(docs_ds)
-    freq = hash_aggregate(shv, keys="fp", aggs={"n_docs": ("doc_id", "count")})
-    freq = freq.map_batches(
-        lambda b: b.loc[b["n_docs"] >= min_docs, ["fp"]], batch_format="pandas"
+    def freq_hits_part(part: pd.DataFrame) -> pd.DataFrame:
+        # rows are distinct (doc_id, fp), so group size == document freq
+        n_docs = part.groupby("fp", sort=False)["doc_id"].transform("size")
+        return part.loc[n_docs.to_numpy() >= min_docs, ["doc_id"]]
+
+    hits = map_partitions_by_key(doc_shingle_set(docs_ds), "fp", freq_hits_part)
+    n_freq = hash_aggregate(
+        hits, keys="doc_id", aggs={"n_freq": ("doc_id", "count")}
     )
-    hits = hash_join(shv, freq, on="fp", how="inner")
-    n_freq = hash_aggregate(hits, keys="doc_id", aggs={"n_freq": ("fp", "count")})
-    n_tot = hash_aggregate(shv, keys="doc_id", aggs={"n_sh": ("fp", "count")})
-    per = hash_join(n_tot, n_freq, on="doc_id", how="left")
-    out = hash_join(docs_ds.select_columns(["doc_id"]), per, on="doc_id", how="left")
+
+    def totals(batch: pd.DataFrame) -> pd.DataFrame:
+        from ..tokens import explode
+
+        rows, toks = explode(pa.array(batch["text"].tolist(), type=pa.string()))
+        srows, fps = winnow_shingle_fps(rows, toks)
+        n_sh = np.zeros(len(batch), dtype=np.int64)
+        if len(fps):
+            dd = pd.DataFrame({"r": srows, "f": fps}).drop_duplicates()
+            n_sh = np.bincount(dd["r"].to_numpy(), minlength=len(batch)).astype(
+                np.int64
+            )
+        return pd.DataFrame(
+            {"doc_id": batch["doc_id"].to_numpy(dtype=np.int64), "n_sh": n_sh}
+        )
+
+    n_tot = docs_ds.map_batches(totals, batch_format="pandas")
+    out = hash_join(n_tot, n_freq, on="doc_id", how="left")
 
     def finish(batch: pd.DataFrame) -> pd.DataFrame:
         n_sh = batch["n_sh"].fillna(0).to_numpy(dtype=np.int64)
