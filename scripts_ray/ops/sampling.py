@@ -104,3 +104,57 @@ def turn_ids_unique(ds):
     n_rows = ids.count()
     n_ids = distinct(ids, "id").count()
     return _pd.DataFrame({"n_rows": [np.int64(n_rows)], "n_ids": [np.int64(n_ids)]})
+
+
+# ---- Mixture sampling to per-source token budgets --------------------------
+
+MIX_TOKEN_BUDGET = 600  # tokens selected per source
+MIX_HASH_MULT = 1000003
+MIX_HASH_ADD = 12345
+MIX_HASH_M = 2147483647  # 2^31 - 1
+
+
+def mixture_sample(docs_ds, budget: int = MIX_TOKEN_BUDGET):
+    """Domain-mixture sampling: deterministically select documents per
+    source until each source's token budget is met — the data-mixture
+    step of a pre-training pipeline (per-domain token quotas). Selection
+    order is a seeded affine hash of doc_id (order-independent, no RNG
+    state), and a document is taken while the tokens selected BEFORE it
+    are under budget, so every source overshoots by less than one
+    document. Per-doc token counts are local (one map_batches); the
+    selection itself is one hash exchange on `source` whose partitions
+    hold complete source groups — sources are bounded (domains, not
+    documents), the same partitioning assumption as every other grouped
+    scan here. Output: (source, doc_id, n_tok) of selected docs."""
+    from .hashagg import map_partitions_by_key
+
+    def counts(batch: pd.DataFrame) -> pd.DataFrame:
+        import pyarrow as pa
+
+        from ..tokens import explode
+
+        rows, toks = explode(pa.array(batch["text"].tolist(), type=pa.string()))
+        n_tok = (
+            np.bincount(rows, minlength=len(batch)).astype(np.int64)
+            if len(toks)
+            else np.zeros(len(batch), dtype=np.int64)
+        )
+        return pd.DataFrame(
+            {
+                "source": batch["source"].to_numpy(),
+                "doc_id": batch["doc_id"].to_numpy(dtype=np.int64),
+                "n_tok": n_tok,
+            }
+        )
+
+    per_doc = docs_ds.map_batches(counts, batch_format="pandas")
+
+    def pick(part: pd.DataFrame) -> pd.DataFrame:
+        d = part.copy()
+        ids = d["doc_id"].to_numpy(dtype=np.int64)
+        d["_h"] = ((ids % MIX_HASH_M) * MIX_HASH_MULT + MIX_HASH_ADD) % MIX_HASH_M
+        d = d.sort_values(["source", "_h", "doc_id"], kind="mergesort")
+        before = d.groupby("source", sort=False)["n_tok"].cumsum() - d["n_tok"]
+        return d.loc[(before < budget).to_numpy(), ["source", "doc_id", "n_tok"]]
+
+    return map_partitions_by_key(per_doc, "source", pick)

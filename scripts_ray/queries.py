@@ -757,6 +757,15 @@ def q_doc_repetition(sf_dir: str):
     )
 
 
+def q_mixture_sample(sf_dir: str):
+    """Domain-mixture selection: deterministic per-source doc picks until
+    each source meets its token budget (one bounded-cardinality source
+    exchange; counts computed locally)."""
+    return sampling.mixture_sample(
+        _read(sf_dir, "documents", columns=["doc_id", "source", "text"])
+    )
+
+
 def q_decontaminate(sf_dir: str):
     """Benchmark decontamination: training docs sharing >= CONTAM_MIN_HITS
     shingles with the deterministic eval slice are flagged. Eval shingle
@@ -1005,6 +1014,7 @@ QUERIES = {
     "boilerplate_docs": q_boilerplate_docs,
     "doc_repetition": q_doc_repetition,
     "decontaminate": q_decontaminate,
+    "mixture_sample": q_mixture_sample,
     "validate_docs": q_validate_docs,
     "dead_letter_docs": q_dead_letter_docs,
     "binary_meta": q_binary_meta,
@@ -1093,6 +1103,7 @@ ORACLES = {
     "boilerplate_docs": sql_ops.BOILERPLATE_DOCS_SQL,
     "doc_repetition": sql_ops.DOC_REPETITION_SQL,
     "decontaminate": sql_ops.DECONTAMINATE_SQL,
+    "mixture_sample": sql_ops.MIXTURE_SAMPLE_SQL,
     "validate_docs": sql_ops.VALIDATE_DOCS_SQL,
     "dead_letter_docs": sql_ops.DEAD_LETTER_DOCS_SQL,
     "binary_meta": sql_ops.BINARY_META_SQL,

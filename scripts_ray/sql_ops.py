@@ -1130,3 +1130,30 @@ SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
 FROM documents d LEFT JOIN per p USING (doc_id)
 WHERE d.doc_id % {CONTAM_EVAL_MOD} <> 0
 """
+
+
+# ---- Mixture sampling to per-source token budgets --------------------------
+
+from .ops.sampling import (  # noqa: E402
+    MIX_HASH_ADD,
+    MIX_HASH_M,
+    MIX_HASH_MULT,
+    MIX_TOKEN_BUDGET,
+)
+
+MIXTURE_SAMPLE_SQL = f"""
+WITH tt AS (
+  SELECT source, doc_id, len({_DOC_TOKS}) AS n_tok FROM documents
+),
+sel AS (
+  SELECT source, doc_id, n_tok,
+         sum(n_tok) OVER (
+           PARTITION BY source
+           ORDER BY ((doc_id % {MIX_HASH_M}) * {MIX_HASH_MULT}
+                     + {MIX_HASH_ADD}) % {MIX_HASH_M}, doc_id
+         ) AS cum
+  FROM tt
+)
+SELECT source, CAST(doc_id AS BIGINT) AS doc_id, CAST(n_tok AS BIGINT) AS n_tok
+FROM sel WHERE cum - n_tok < {MIX_TOKEN_BUDGET}
+"""

@@ -261,3 +261,36 @@ def test_decontaminate_planted(ray_session):
     assert out["doc_id"].tolist() == [5, 7]
     assert out.loc[0, "contaminated"] == 1 and out.loc[0, "n_hit"] >= 3
     assert out.loc[1, "n_hit"] == 0 and out.loc[1, "contaminated"] == 0
+
+
+def test_mixture_sample_matches_oracle(ray_session, sf_dir, duck):
+    from scripts_ray import queries, sql_ops
+
+    _cmp(
+        queries.QUERIES["mixture_sample"](sf_dir),
+        duck,
+        sql_ops.MIXTURE_SAMPLE_SQL,
+        ["source", "doc_id"],
+    )
+
+
+def test_mixture_sample_budget_invariants(ray_session, sf_dir):
+    """Each source lands in [budget, budget + max selected doc) tokens
+    unless it ran out of docs, and the selection is partition-invariant."""
+    import ray.data as rd
+
+    from scripts_ray.ops.sampling import MIX_TOKEN_BUDGET, mixture_sample
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "source", "text"]
+    )
+    a = mixture_sample(ds).to_pandas().sort_values(["source", "doc_id"])
+    b = (
+        mixture_sample(ds.repartition(7))
+        .to_pandas()
+        .sort_values(["source", "doc_id"])
+    )
+    assert a.reset_index(drop=True).equals(b.reset_index(drop=True))
+    per = a.groupby("source").agg(tot=("n_tok", "sum"), mx=("n_tok", "max"))
+    assert (per["tot"] >= MIX_TOKEN_BUDGET).all()
+    assert (per["tot"] - per["mx"] < MIX_TOKEN_BUDGET).all()
