@@ -776,6 +776,35 @@ def q_decontaminate(sf_dir: str):
     )
 
 
+def q_curate_mix(sf_dir: str):
+    """End-to-end documents curation pipeline — the pre-training data
+    flow composed from this engine's own operators: within-doc repetition
+    gate AND corpus boilerplate gate AND benchmark decontamination, then
+    domain-mixture sampling of the survivors to per-source token budgets.
+    Every stage keeps its own scale shape (flag frames are doc-cardinality
+    projections joined on doc_id; the only text-bearing exchange is the
+    final survivors join). Oracle = the three gate oracles composed as
+    nested CTEs feeding the mixture window."""
+    from .ops.hashagg import hash_join
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "source", "text"])
+    rep = textstats.doc_repetition(docs).map_batches(
+        lambda b: b.loc[b["keep"] == 1, ["doc_id"]], batch_format="pandas"
+    )
+    boil = dedup.boilerplate_docs(docs).map_batches(
+        lambda b: b.loc[b["keep"] == 1, ["doc_id"]], batch_format="pandas"
+    )
+    cont = dedup.decontaminate(docs).map_batches(
+        lambda b: b.loc[b["contaminated"] == 0, ["doc_id"]], batch_format="pandas"
+    )
+    keep = hash_join(
+        hash_join(rep, boil, on="doc_id", how="inner"), cont, on="doc_id",
+        how="inner",
+    )
+    survivors = hash_join(docs, keep, on="doc_id", how="inner")
+    return sampling.mixture_sample(survivors)
+
+
 def q_validate_docs(sf_dir: str):
     return textstats.validate_docs(
         _read(sf_dir, "documents", columns=["doc_id", "text"])
@@ -1015,6 +1044,7 @@ QUERIES = {
     "doc_repetition": q_doc_repetition,
     "decontaminate": q_decontaminate,
     "mixture_sample": q_mixture_sample,
+    "curate_mix": q_curate_mix,
     "validate_docs": q_validate_docs,
     "dead_letter_docs": q_dead_letter_docs,
     "binary_meta": q_binary_meta,
@@ -1104,6 +1134,7 @@ ORACLES = {
     "doc_repetition": sql_ops.DOC_REPETITION_SQL,
     "decontaminate": sql_ops.DECONTAMINATE_SQL,
     "mixture_sample": sql_ops.MIXTURE_SAMPLE_SQL,
+    "curate_mix": sql_ops.CURATE_MIX_SQL,
     "validate_docs": sql_ops.VALIDATE_DOCS_SQL,
     "dead_letter_docs": sql_ops.DEAD_LETTER_DOCS_SQL,
     "binary_meta": sql_ops.BINARY_META_SQL,

@@ -1157,3 +1157,34 @@ sel AS (
 SELECT source, CAST(doc_id AS BIGINT) AS doc_id, CAST(n_tok AS BIGINT) AS n_tok
 FROM sel WHERE cum - n_tok < {MIX_TOKEN_BUDGET}
 """
+
+
+# ---- End-to-end curation pipeline: gates -> decontaminate -> mixture -------
+# Composition of the three curation oracles (nested-CTE scoped, so their
+# internal chains don't collide) feeding the mixture-sampling window.
+
+CURATE_MIX_SQL = f"""
+WITH rep AS ({DOC_REPETITION_SQL}),
+boil AS ({BOILERPLATE_DOCS_SQL}),
+cont AS ({DECONTAMINATE_SQL}),
+keepset AS (
+  SELECT r.doc_id FROM rep r
+  JOIN boil b USING (doc_id) JOIN cont c USING (doc_id)
+  WHERE r.keep = 1 AND b.keep = 1 AND c.contaminated = 0
+),
+tt AS (
+  SELECT d.source, d.doc_id, len({_DOC_TOKS}) AS n_tok
+  FROM documents d JOIN keepset USING (doc_id)
+),
+sel AS (
+  SELECT source, doc_id, n_tok,
+         sum(n_tok) OVER (
+           PARTITION BY source
+           ORDER BY ((doc_id % {MIX_HASH_M}) * {MIX_HASH_MULT}
+                     + {MIX_HASH_ADD}) % {MIX_HASH_M}, doc_id
+         ) AS cum
+  FROM tt
+)
+SELECT source, CAST(doc_id AS BIGINT) AS doc_id, CAST(n_tok AS BIGINT) AS n_tok
+FROM sel WHERE cum - n_tok < {MIX_TOKEN_BUDGET}
+"""

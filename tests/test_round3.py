@@ -294,3 +294,29 @@ def test_mixture_sample_budget_invariants(ray_session, sf_dir):
     per = a.groupby("source").agg(tot=("n_tok", "sum"), mx=("n_tok", "max"))
     assert (per["tot"] >= MIX_TOKEN_BUDGET).all()
     assert (per["tot"] - per["mx"] < MIX_TOKEN_BUDGET).all()
+
+
+def test_curate_mix_matches_oracle(ray_session, sf_dir, duck):
+    from scripts_ray import queries, sql_ops
+
+    _cmp(
+        queries.QUERIES["curate_mix"](sf_dir),
+        duck,
+        sql_ops.CURATE_MIX_SQL,
+        ["source", "doc_id"],
+    )
+
+
+def test_curate_mix_subset_of_gates(ray_session, sf_dir):
+    """Every curated doc passes all three gates and is absent from the
+    eval slice."""
+    from scripts_ray import queries
+    from scripts_ray.ops.dedup import CONTAM_EVAL_MOD
+
+    sel = queries.QUERIES["curate_mix"](sf_dir).to_pandas()
+    rep = queries.QUERIES["doc_repetition"](sf_dir).to_pandas()
+    boil = queries.QUERIES["boilerplate_docs"](sf_dir).to_pandas()
+    ids = set(sel["doc_id"])
+    assert not any(i % CONTAM_EVAL_MOD == 0 for i in ids)
+    assert ids <= set(rep.loc[rep["keep"] == 1, "doc_id"])
+    assert ids <= set(boil.loc[boil["keep"] == 1, "doc_id"])
