@@ -313,19 +313,38 @@ def _bucket_of(vecs: np.ndarray, planes: np.ndarray) -> np.ndarray:
     return (bits * (1 << np.arange(planes.shape[1]))).sum(axis=1).astype(np.int64)
 
 
+LSH_Q_SCALE = 1 << 20  # multiply-by-2^20 is an exact float64 op; floor -> int
+
+
+def _plane_int_matrix(dim: int, n_planes: int, seed: int) -> np.ndarray:
+    """Quantized Gaussian hyperplanes: floor(N(0,1) * 2^20) as int64. The
+    sign projection then runs in exact integer arithmetic — identical
+    under any summation order, so a SQL oracle can recompute buckets
+    bit-for-bit (floats would differ by reduction order)."""
+    return np.floor(
+        np.random.default_rng(seed).standard_normal((dim, n_planes)) * LSH_Q_SCALE
+    ).astype(np.int64)
+
+
 def lsh_buckets(emb_ds, n_planes: int = 8, seed: int = 99):
     """Random-hyperplane LSH bucketing (the candidate-pruning scale path):
     emits (bucket, vec_id); vectors sharing a bucket are near-dup/ANN
     candidates. Deterministic planes from the seed; plane matrix broadcast
-    via closure capture (tiny)."""
+    via closure capture (tiny). Both the vectors and the planes are
+    quantized to integers (floor(x * 2^20)), making the bucket codes
+    exactly reproducible in SQL (sql_ops.LSH_BUCKETS_SQL inlines the same
+    plane matrix) — sign-LSH geometry is unchanged up to the 2^-20
+    quantization of the decision boundary."""
     planes: dict[int, np.ndarray] = {}
 
     def bucketize(batch: pa.Table) -> pd.DataFrame:
-        vecs = _to_matrix(batch["embedding"].combine_chunks())
+        vecs = _to_matrix(batch["embedding"].combine_chunks()).astype(np.float64)
+        q = np.floor(vecs * LSH_Q_SCALE).astype(np.int64)
         dim = vecs.shape[1]
         if dim not in planes:
-            planes[dim] = _plane_matrix(dim, n_planes, seed)
-        bucket = _bucket_of(vecs, planes[dim])
+            planes[dim] = _plane_int_matrix(dim, n_planes, seed)
+        bits = (q @ planes[dim]) >= 0
+        bucket = (bits * (1 << np.arange(n_planes))).sum(axis=1).astype(np.int64)
         return pd.DataFrame(
             {"bucket": bucket,
              "vec_id": batch["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)}

@@ -1165,9 +1165,10 @@ ORACLES = {
     "orders_by_segment": sql_ops.ORDERS_BY_SEGMENT_SQL,
     "orders_join_dist": sql_ops.ORDERS_JOIN_DIST_SQL,
     "q1_counts": sql_ops.Q1_COUNTS_SQL,
-    # rows-only (hash-valued outputs, not SQL-expressible): near_dup_minhash,
-    # simhash_docs, simhash_pairs, lsh_buckets. Their semantics ARE
-    # oracle-checked through the invariant/verified twins: minhash_verified
-    # (exact-Jaccard equality), simhash_coverage (pigeonhole candidate
-    # coverage), ann_lsh (exact-ANN equality).
+    # quantized hyperplane projection — full value check (same inlined
+    # plane matrix on both sides)
+    "lsh_buckets": sql_ops.LSH_BUCKETS_SQL,
+    # rows-only: ann_ivf (approximate nprobe path; its full-probe twin
+    # ann_ivf_full is value-checked, and bench reports measured
+    # ann_ivf_recall_at_5 vs the exact baseline).
 }

@@ -1188,3 +1188,39 @@ sel AS (
 SELECT source, CAST(doc_id AS BIGINT) AS doc_id, CAST(n_tok AS BIGINT) AS n_tok
 FROM sel WHERE cum - n_tok < {MIX_TOKEN_BUDGET}
 """
+
+
+# ---- Value-checked hyperplane LSH buckets ----------------------------------
+# Restates ops.similarity.lsh_buckets at the testdata operating point
+# (dim = 64, n_planes = 8, seed = 99): the SAME quantized plane matrix is
+# inlined as a VALUES table, vectors quantize identically
+# (floor(v * 2^20) is exact in double), and the projection is an integer
+# sum — order-independent, so the bucket codes match bit-for-bit.
+
+from .ops.similarity import LSH_Q_SCALE, _plane_int_matrix  # noqa: E402
+
+_LSH_DIM = 64  # testdata embeddings dim (oracle pinned; engine is generic)
+_LSH_PLANES = _plane_int_matrix(_LSH_DIM, 8, 99)
+_LSH_VALS = ", ".join(
+    f"({i + 1}, {j}, {int(_LSH_PLANES[i, j])})"
+    for i in range(_LSH_DIM)
+    for j in range(8)
+)
+
+LSH_BUCKETS_SQL = f"""
+WITH e AS (
+  SELECT vec_id,
+         CAST(floor(CAST(unnest(embedding) AS DOUBLE) * {LSH_Q_SCALE})
+              AS BIGINT) AS qv,
+         generate_subscripts(embedding, 1) AS i
+  FROM embeddings
+),
+p (i, j, s) AS (VALUES {_LSH_VALS}),
+proj AS (
+  SELECT e.vec_id, p.j, sum(p.s * e.qv) AS dot
+  FROM e JOIN p USING (i) GROUP BY 1, 2
+)
+SELECT CAST(sum(CASE WHEN dot >= 0 THEN 1 << j ELSE 0 END) AS BIGINT) AS bucket,
+       CAST(vec_id AS BIGINT) AS vec_id
+FROM proj GROUP BY vec_id
+"""
