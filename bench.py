@@ -296,6 +296,7 @@ def run_bench() -> dict:
             "top_terms_per_source",
             "boilerplate_docs",
             "decontaminate",
+            "curate_mix",
         ]
     )
     for name in secondary:

@@ -684,7 +684,8 @@ def _rows_to_matrix(texts: list[str], vocab_index: dict, width: int) -> np.ndarr
 
 # ---- Corpus-frequent shingle boilerplate filter ----------------------------
 
-BOILER_MIN_DOCS = 3  # a shingle in >= this many docs is "boilerplate"
+BOILER_MIN_DOCS = 3  # absolute floor for "boilerplate" document frequency
+BOILER_MIN_DF_PERMILLE = 6  # ...and at least this fraction of the corpus
 BOILER_MAX_PERMILLE = 500  # drop docs with >= this fraction boilerplate
 
 
@@ -714,14 +715,20 @@ def doc_shingle_set(docs_ds):
 def boilerplate_docs(
     docs_ds,
     min_docs: int = BOILER_MIN_DOCS,
+    min_df_permille: int = BOILER_MIN_DF_PERMILLE,
     max_permille: int = BOILER_MAX_PERMILLE,
 ):
     """Corpus-level boilerplate filter (the line-dedup analog of CCNet /
     RefinedWeb-style curation, over shingles since this corpus has no line
     structure): a document's boilerplate fraction is the share of its
-    DISTINCT 3-token shingles that occur in >= `min_docs` distinct
-    documents corpus-wide; docs at or above `max_permille` are flagged
-    drop. Reference analog: corpus-frequency-driven curation decisions
+    DISTINCT 3-token shingles whose corpus document frequency reaches
+    max(`min_docs`, ceil(`min_df_permille`/1000 of all docs)); docs at or
+    above `max_permille` are flagged drop. The RELATIVE threshold is what
+    scales: a fixed absolute count saturates as the corpus grows (at 10x
+    docs every common phrase trips it and the gate drops everything),
+    while a df ratio keeps "boilerplate" meaning "unusually widespread".
+    The absolute floor keeps tiny test corpora from flagging every
+    singleton. Reference analog: corpus-frequency-driven curation
     (/root/reference/src/mk-wf-dict.py:17-42 builds the corpus-frequency
     dict; the reference filters on per-doc shares downstream).
 
@@ -739,10 +746,14 @@ def boilerplate_docs(
     one row per document (docs with < 3 tokens have n_sh = 0, keep = 1)."""
     from .hashagg import hash_join, map_partitions_by_key
 
+    # total doc count: parquet metadata / block counts only, no data read
+    n_total = docs_ds.count()
+    df_floor = max(min_docs, (min_df_permille * n_total + 999) // 1000)
+
     def freq_hits_part(part: pd.DataFrame) -> pd.DataFrame:
         # rows are distinct (doc_id, fp), so group size == document freq
         n_docs = part.groupby("fp", sort=False)["doc_id"].transform("size")
-        return part.loc[n_docs.to_numpy() >= min_docs, ["doc_id"]]
+        return part.loc[n_docs.to_numpy() >= df_floor, ["doc_id"]]
 
     hits = map_partitions_by_key(doc_shingle_set(docs_ds), "fp", freq_hits_part)
     n_freq = hash_aggregate(
@@ -765,7 +776,9 @@ def boilerplate_docs(
         )
 
     n_tot = docs_ds.map_batches(totals, batch_format="pandas")
-    out = hash_join(n_tot, n_freq, on="doc_id", how="left")
+    out = hash_join(
+        n_tot, n_freq, on="doc_id", how="left", empty_right_cols=["n_freq"]
+    )
 
     def finish(batch: pd.DataFrame) -> pd.DataFrame:
         n_sh = batch["n_sh"].fillna(0).to_numpy(dtype=np.int64)
@@ -789,17 +802,26 @@ def boilerplate_docs(
 # ---- Benchmark decontamination ---------------------------------------------
 
 CONTAM_EVAL_MOD = 97  # eval-set stand-in: docs with doc_id % mod == 0
-CONTAM_MIN_HITS = 3  # contaminated at >= this many shared shingles
+CONTAM_MIN_HITS = 3  # contaminated at >= this many shared shingles...
+CONTAM_MIN_PERMILLE = 50  # ...covering >= this fraction of the doc's shingles
 
 
 def decontaminate(
-    docs_ds, eval_mod: int = CONTAM_EVAL_MOD, min_hits: int = CONTAM_MIN_HITS
+    docs_ds,
+    eval_mod: int = CONTAM_EVAL_MOD,
+    min_hits: int = CONTAM_MIN_HITS,
+    min_permille: int = CONTAM_MIN_PERMILLE,
 ):
     """Benchmark decontamination: flag training documents whose 3-token
     shingle sets overlap an evaluation suite — the standard pre-training
     hygiene step (n-gram overlap decontamination). The eval set here is
     the deterministic slice doc_id % `eval_mod` == 0, standing in for a
-    benchmark suite.
+    benchmark suite. The verdict needs BOTH an absolute hit floor
+    (`min_hits` shared shingles — one shared phrase is chance) and a
+    relative one (`min_permille` of the doc's own shingles — as the eval
+    suite grows with the corpus, any long document accumulates a few
+    absolute hits by brute coverage, so an absolute-only rule degrades to
+    flagging everything at scale).
 
     Unlike `boilerplate_docs` (whose frequent-shingle set is unbounded),
     an eval suite is small by construction, so the BROADCAST pattern is
@@ -844,7 +866,11 @@ def decontaminate(
                 "doc_id": batch["doc_id"].to_numpy(dtype=np.int64),
                 "n_sh": n_sh,
                 "n_hit": n_hit,
-                "contaminated": (n_hit >= min_hits).astype(np.int64),
+                "contaminated": (
+                    (n_hit >= min_hits)
+                    & (1000 * n_hit >= min_permille * n_sh)
+                    & (n_sh > 0)
+                ).astype(np.int64),
             }
         )
 

@@ -186,6 +186,7 @@ def hash_join(
     right_on: str | list[str] | None = None,
     how: str = "inner",
     num_partitions: int = DEFAULT_PARTITIONS,
+    empty_right_cols: list[str] | None = None,
 ):
     """Distributed hash join on the same two-level exchange (Ray 2.49's
     native ``Dataset.join`` relies on the hash-shuffle backend that hangs
@@ -193,7 +194,14 @@ def hash_join(
     partition id and a side marker, unioned, exchanged once, and merged
     per partition with a vectorized pandas merge. Use ONLY when both sides
     are large — a dimension-sized right side should be broadcast
-    (``ray.put`` + map-side lookup) instead of shuffled."""
+    (``ray.put`` + map-side lookup) instead of shuffled.
+
+    `empty_right_cols`: a FULLY-FILTERED Ray Dataset drops its blocks and
+    with them its schema (``schema()`` is None), which a caller whose
+    right side can legitimately come up empty (e.g. "no corpus-frequent
+    shingles") must anticipate: pass the right side's non-key column
+    names and the join degrades gracefully — 'left' appends them as
+    nulls, 'inner' yields a typed empty result."""
     on = [on] if isinstance(on, str) else list(on)
     right_on = on if right_on is None else (
         [right_on] if isinstance(right_on, str) else list(right_on)
@@ -202,7 +210,22 @@ def hash_join(
         raise ValueError(f"unsupported join type: {how!r}")
 
     left_cols = left_ds.schema().names
-    right_cols = right_ds.schema().names
+    rschema = right_ds.schema(fetch_if_missing=True)
+    if rschema is None:
+        if empty_right_cols is None:
+            raise ValueError(
+                "hash_join: right side is empty and lost its schema; pass "
+                "empty_right_cols=[...] if an empty right side is expected"
+            )
+
+        def pad(batch: pd.DataFrame) -> pd.DataFrame:
+            out = batch.convert_dtypes().reindex(
+                columns=list(batch.columns) + list(empty_right_cols)
+            )
+            return out if how == "left" else out.head(0)
+
+        return left_ds.map_batches(pad, batch_format="pandas")
+    right_cols = rschema.names
     # the tagged union collapses same-named columns, so non-key columns
     # must be disjoint (rename before joining) and the internal tag
     # columns must be free

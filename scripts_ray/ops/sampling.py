@@ -147,7 +147,17 @@ def mixture_sample(docs_ds, budget: int = MIX_TOKEN_BUDGET):
             }
         )
 
-    per_doc = docs_ds.map_batches(counts, batch_format="pandas")
+    return mixture_pick(
+        docs_ds.map_batches(counts, batch_format="pandas"), budget
+    )
+
+
+def mixture_pick(per_doc_ds, budget: int = MIX_TOKEN_BUDGET):
+    """The selection half of `mixture_sample`, over precomputed
+    (source, doc_id, n_tok) rows — reused by pipelines that already carry
+    token counts (e.g. the fused curation pipeline), so no text re-read
+    is needed. One hash exchange on `source`."""
+    from .hashagg import map_partitions_by_key
 
     def pick(part: pd.DataFrame) -> pd.DataFrame:
         d = part.copy()
@@ -157,4 +167,4 @@ def mixture_sample(docs_ds, budget: int = MIX_TOKEN_BUDGET):
         before = d.groupby("source", sort=False)["n_tok"].cumsum() - d["n_tok"]
         return d.loc[(before < budget).to_numpy(), ["source", "doc_id", "n_tok"]]
 
-    return map_partitions_by_key(per_doc, "source", pick)
+    return map_partitions_by_key(per_doc_ds, "source", pick)

@@ -778,31 +778,115 @@ def q_decontaminate(sf_dir: str):
 
 def q_curate_mix(sf_dir: str):
     """End-to-end documents curation pipeline — the pre-training data
-    flow composed from this engine's own operators: within-doc repetition
-    gate AND corpus boilerplate gate AND benchmark decontamination, then
-    domain-mixture sampling of the survivors to per-source token budgets.
-    Every stage keeps its own scale shape (flag frames are doc-cardinality
-    projections joined on doc_id; the only text-bearing exchange is the
-    final survivors join). Oracle = the three gate oracles composed as
-    nested CTEs feeding the mixture window."""
+    flow: within-doc repetition gate AND corpus boilerplate gate AND
+    benchmark decontamination, then domain-mixture sampling of the
+    survivors to per-source token budgets.
+
+    Fused for scale: the two gates that need no exchange (repetition is
+    per-doc; decontamination probes a broadcast benchmark-sized shingle
+    set) run in ONE local pass sharing one tokenize/shingle kernel, which
+    also emits the per-doc token counts the mixture stage needs — so NO
+    text ever crosses an exchange. The corpus-frequency boilerplate gate
+    keeps its one fingerprint exchange; the two remaining exchanges (flag
+    join, mixture pick) move doc-cardinality rows only. Output is
+    identical to composing the standalone operators; oracle = the three
+    gate oracles as nested CTEs feeding the mixture window."""
+    import ray
+
+    from .ops.dedup import (
+        CONTAM_EVAL_MOD,
+        CONTAM_MIN_HITS,
+        CONTAM_MIN_PERMILLE,
+        doc_shingle_set,
+        winnow_shingle_fps,
+    )
     from .ops.hashagg import hash_join
+    from .ops.sampling import mixture_pick
+    from .ops.textstats import (
+        REP_SHINGLE_MAX_PERMILLE,
+        TOP_TOKEN_MAX_PERMILLE,
+    )
 
     docs = _read(sf_dir, "documents", columns=["doc_id", "source", "text"])
-    rep = textstats.doc_repetition(docs).map_batches(
+
+    def is_eval(b: pd.DataFrame) -> pd.DataFrame:
+        return b[b["doc_id"] % CONTAM_EVAL_MOD == 0]
+
+    eval_fps = np.sort(
+        doc_shingle_set(docs.map_batches(is_eval, batch_format="pandas"))
+        .to_pandas()["fp"]
+        .unique()
+    )
+    ref = ray.put(eval_fps)
+
+    def local_gates(batch: pd.DataFrame) -> pd.DataFrame:
+        from .tokens import explode
+
+        fps_sorted = ray.get(ref)
+        n = len(batch)
+        rows, toks = explode(pa.array(batch["text"].tolist(), type=pa.string()))
+        n_tok = (
+            np.bincount(rows, minlength=n).astype(np.int64)
+            if len(toks)
+            else np.zeros(n, dtype=np.int64)
+        )
+        top = np.zeros(n, dtype=np.int64)
+        if len(toks):
+            cnt = (
+                pd.DataFrame({"r": rows, "t": toks})
+                .groupby(["r", "t"], sort=False)
+                .size()
+            )
+            m = cnt.groupby(level=0).max()
+            top[m.index.to_numpy()] = m.to_numpy()
+        srows, fps = winnow_shingle_fps(rows, toks)
+        n_sh = np.zeros(n, dtype=np.int64)
+        n_dist = np.zeros(n, dtype=np.int64)
+        n_hit = np.zeros(n, dtype=np.int64)
+        if len(fps):
+            n_sh = np.bincount(srows, minlength=n).astype(np.int64)
+            dd = pd.DataFrame({"r": srows, "f": fps}).drop_duplicates()
+            r, f = dd["r"].to_numpy(), dd["f"].to_numpy()
+            d = dd.groupby("r").size()
+            n_dist[d.index.to_numpy()] = d.to_numpy()
+            if len(fps_sorted):
+                pos = np.searchsorted(fps_sorted, f)
+                pos[pos >= len(fps_sorted)] = len(fps_sorted) - 1
+                n_hit = np.bincount(
+                    r[fps_sorted[pos] == f], minlength=n
+                ).astype(np.int64)
+        rep_pm = np.zeros(n, dtype=np.int64)
+        nz = n_sh > 0
+        rep_pm[nz] = (1000 * (n_sh[nz] - n_dist[nz])) // n_sh[nz]
+        top_pm = np.zeros(n, dtype=np.int64)
+        nz = n_tok > 0
+        top_pm[nz] = (1000 * top[nz]) // n_tok[nz]
+        ids = batch["doc_id"].to_numpy(dtype=np.int64)
+        contaminated = (
+            (n_hit >= CONTAM_MIN_HITS)
+            & (1000 * n_hit >= CONTAM_MIN_PERMILLE * n_sh)
+            & (n_sh > 0)
+        )
+        keep = (
+            (rep_pm < REP_SHINGLE_MAX_PERMILLE)
+            & (top_pm < TOP_TOKEN_MAX_PERMILLE)
+            & ~contaminated
+            & (ids % CONTAM_EVAL_MOD != 0)
+        )
+        return pd.DataFrame(
+            {
+                "doc_id": ids[keep],
+                "source": batch["source"].to_numpy()[keep],
+                "n_tok": n_tok[keep],
+            }
+        )
+
+    passing = docs.map_batches(local_gates, batch_format="pandas")
+    boil_keep = dedup.boilerplate_docs(docs).map_batches(
         lambda b: b.loc[b["keep"] == 1, ["doc_id"]], batch_format="pandas"
     )
-    boil = dedup.boilerplate_docs(docs).map_batches(
-        lambda b: b.loc[b["keep"] == 1, ["doc_id"]], batch_format="pandas"
-    )
-    cont = dedup.decontaminate(docs).map_batches(
-        lambda b: b.loc[b["contaminated"] == 0, ["doc_id"]], batch_format="pandas"
-    )
-    keep = hash_join(
-        hash_join(rep, boil, on="doc_id", how="inner"), cont, on="doc_id",
-        how="inner",
-    )
-    survivors = hash_join(docs, keep, on="doc_id", how="inner")
-    return sampling.mixture_sample(survivors)
+    survivors = hash_join(passing, boil_keep, on="doc_id", how="inner")
+    return mixture_pick(survivors)
 
 
 def q_validate_docs(sf_dir: str):

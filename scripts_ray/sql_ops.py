@@ -1056,12 +1056,19 @@ GROUP BY 1, 2
 # fingerprints per doc, corpus document-frequency per fingerprint, per-doc
 # boilerplate share in floor-division integer permille.
 
-from .ops.dedup import BOILER_MAX_PERMILLE, BOILER_MIN_DOCS  # noqa: E402
+from .ops.dedup import (  # noqa: E402
+    BOILER_MAX_PERMILLE,
+    BOILER_MIN_DF_PERMILLE,
+    BOILER_MIN_DOCS,
+)
 
 BOILERPLATE_DOCS_SQL = f"""
 WITH {_WINNOW_SHV_CTE},
 shd AS (SELECT DISTINCT doc_id, fp FROM shv),
-freq AS (SELECT fp FROM shd GROUP BY fp HAVING count(*) >= {BOILER_MIN_DOCS}),
+freq AS (SELECT fp FROM shd GROUP BY fp
+         HAVING count(*) >= greatest({BOILER_MIN_DOCS},
+           ({BOILER_MIN_DF_PERMILLE} * (SELECT count(*) FROM documents)
+            + 999) // 1000)),
 per AS (
   SELECT doc_id, count(*) AS n_sh,
          count(*) FILTER (WHERE fp IN (SELECT fp FROM freq)) AS n_freq
@@ -1111,7 +1118,11 @@ LEFT JOIN sd s USING (doc_id)
 
 # ---- Benchmark decontamination ---------------------------------------------
 
-from .ops.dedup import CONTAM_EVAL_MOD, CONTAM_MIN_HITS  # noqa: E402
+from .ops.dedup import (  # noqa: E402
+    CONTAM_EVAL_MOD,
+    CONTAM_MIN_HITS,
+    CONTAM_MIN_PERMILLE,
+)
 
 DECONTAMINATE_SQL = f"""
 WITH {_WINNOW_SHV_CTE},
@@ -1126,6 +1137,9 @@ SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
        CAST(COALESCE(p.n_sh, 0) AS BIGINT) AS n_sh,
        CAST(COALESCE(p.n_hit, 0) AS BIGINT) AS n_hit,
        CAST(CASE WHEN COALESCE(p.n_hit, 0) >= {CONTAM_MIN_HITS}
+                  AND 1000 * COALESCE(p.n_hit, 0)
+                      >= {CONTAM_MIN_PERMILLE} * COALESCE(p.n_sh, 0)
+                  AND COALESCE(p.n_sh, 0) > 0
             THEN 1 ELSE 0 END AS BIGINT) AS contaminated
 FROM documents d LEFT JOIN per p USING (doc_id)
 WHERE d.doc_id % {CONTAM_EVAL_MOD} <> 0

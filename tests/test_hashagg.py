@@ -96,3 +96,26 @@ def test_map_partitions_groups_complete(ray_session):
     # one output row per key proves no key straddled two partitions
     assert len(got) == len(exp)
     assert (got["n"].to_numpy() == exp["n"].to_numpy()).all()
+
+
+def test_hash_join_empty_right_declared(ray_session):
+    """A fully-filtered right side loses its schema; with declared
+    empty_right_cols the join degrades gracefully for both modes."""
+    import pandas as pd
+    import ray.data as rd
+
+    from scripts_ray.ops.hashagg import hash_join
+
+    left = rd.from_pandas(pd.DataFrame({"k": [1, 2, 3], "a": [10, 20, 30]}))
+    right = rd.from_pandas(pd.DataFrame({"k": [9], "b": [99]})).map_batches(
+        lambda df: df[df["k"] < 0], batch_format="pandas"
+    )
+    out = hash_join(
+        left, right, on="k", how="left", empty_right_cols=["b"]
+    ).to_pandas()
+    assert sorted(out.columns) == ["a", "b", "k"]
+    assert len(out) == 3 and out["b"].isna().all()
+    inner = hash_join(
+        left, right, on="k", how="inner", empty_right_cols=["b"]
+    ).to_pandas()
+    assert len(inner) == 0
