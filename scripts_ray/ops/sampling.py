@@ -168,3 +168,56 @@ def mixture_pick(per_doc_ds, budget: int = MIX_TOKEN_BUDGET):
         return d.loc[(before < budget).to_numpy(), ["source", "doc_id", "n_tok"]]
 
     return map_partitions_by_key(per_doc_ds, "source", pick)
+
+
+# ---- Packing documents into ~fixed-token training shards -------------------
+
+SHARD_TOKENS = 500  # target tokens per output shard
+SHARD_BUCKETS = 8  # independent packing streams (parallelism/skew knob)
+
+
+def shard_pack(docs_ds, shard_tokens: int = SHARD_TOKENS,
+               n_buckets: int = SHARD_BUCKETS):
+    """Assign each document to a training shard of ~`shard_tokens` tokens
+    — the output-packing step that turns a curated corpus into
+    fixed-size training files. Documents are split into `n_buckets`
+    independent packing streams by doc_id (global order is NOT required
+    for shard packing, so no global sort: each bucket packs its own
+    deterministic affine-hash order and shard ids are namespaced per
+    bucket). One exchange on the bucket id; `n_buckets` is the
+    parallelism knob and should scale with the cluster. A document
+    starts a new shard when the tokens packed before it in its bucket
+    reach the next shard boundary — every shard except a bucket's last
+    holds >= shard_tokens - (max doc) and < shard_tokens + (max doc)
+    tokens. Output: (doc_id, n_tok, shard_id)."""
+    from .hashagg import map_partitions_by_key
+
+    def counts(batch: pd.DataFrame) -> pd.DataFrame:
+        import pyarrow as pa
+
+        from ..tokens import explode
+
+        rows, toks = explode(pa.array(batch["text"].tolist(), type=pa.string()))
+        n_tok = (
+            np.bincount(rows, minlength=len(batch)).astype(np.int64)
+            if len(toks)
+            else np.zeros(len(batch), dtype=np.int64)
+        )
+        ids = batch["doc_id"].to_numpy(dtype=np.int64)
+        return pd.DataFrame(
+            {"doc_id": ids, "n_tok": n_tok, "bucket": ids % n_buckets}
+        )
+
+    per_doc = docs_ds.map_batches(counts, batch_format="pandas")
+
+    def pack(part: pd.DataFrame) -> pd.DataFrame:
+        d = part.copy()
+        ids = d["doc_id"].to_numpy(dtype=np.int64)
+        d["_h"] = ((ids % MIX_HASH_M) * MIX_HASH_MULT + MIX_HASH_ADD) % MIX_HASH_M
+        d = d.sort_values(["bucket", "_h", "doc_id"], kind="mergesort")
+        before = d.groupby("bucket", sort=False)["n_tok"].cumsum() - d["n_tok"]
+        local = before.to_numpy() // shard_tokens
+        d["shard_id"] = d["bucket"].to_numpy(dtype=np.int64) * 1_000_000 + local
+        return d[["doc_id", "n_tok", "shard_id"]]
+
+    return map_partitions_by_key(per_doc, "bucket", pack)

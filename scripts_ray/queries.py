@@ -766,6 +766,14 @@ def q_mixture_sample(sf_dir: str):
     )
 
 
+def q_shard_pack(sf_dir: str):
+    """Training-shard packing: assign docs to ~SHARD_TOKENS shards inside
+    independent doc_id buckets (no global sort; one bounded exchange)."""
+    return sampling.shard_pack(
+        _read(sf_dir, "documents", columns=["doc_id", "text"])
+    )
+
+
 def q_decontaminate(sf_dir: str):
     """Benchmark decontamination: training docs sharing >= CONTAM_MIN_HITS
     shingles with the deterministic eval slice are flagged. Eval shingle
@@ -1128,6 +1136,7 @@ QUERIES = {
     "doc_repetition": q_doc_repetition,
     "decontaminate": q_decontaminate,
     "mixture_sample": q_mixture_sample,
+    "shard_pack": q_shard_pack,
     "curate_mix": q_curate_mix,
     "validate_docs": q_validate_docs,
     "dead_letter_docs": q_dead_letter_docs,
@@ -1218,6 +1227,7 @@ ORACLES = {
     "doc_repetition": sql_ops.DOC_REPETITION_SQL,
     "decontaminate": sql_ops.DECONTAMINATE_SQL,
     "mixture_sample": sql_ops.MIXTURE_SAMPLE_SQL,
+    "shard_pack": sql_ops.SHARD_PACK_SQL,
     "curate_mix": sql_ops.CURATE_MIX_SQL,
     "validate_docs": sql_ops.VALIDATE_DOCS_SQL,
     "dead_letter_docs": sql_ops.DEAD_LETTER_DOCS_SQL,

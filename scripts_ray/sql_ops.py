@@ -1238,3 +1238,29 @@ SELECT CAST(sum(CASE WHEN dot >= 0 THEN 1 << j ELSE 0 END) AS BIGINT) AS bucket,
        CAST(vec_id AS BIGINT) AS vec_id
 FROM proj GROUP BY vec_id
 """
+
+
+# ---- Training-shard packing ------------------------------------------------
+
+from .ops.sampling import SHARD_BUCKETS, SHARD_TOKENS  # noqa: E402
+
+SHARD_PACK_SQL = f"""
+WITH tt AS (
+  SELECT doc_id, len({_DOC_TOKS}) AS n_tok,
+         doc_id % {SHARD_BUCKETS} AS bucket
+  FROM documents
+),
+sel AS (
+  SELECT doc_id, n_tok, bucket,
+         sum(n_tok) OVER (
+           PARTITION BY bucket
+           ORDER BY ((doc_id % {MIX_HASH_M}) * {MIX_HASH_MULT}
+                     + {MIX_HASH_ADD}) % {MIX_HASH_M}, doc_id
+         ) AS cum
+  FROM tt
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(n_tok AS BIGINT) AS n_tok,
+       CAST(bucket * 1000000 + (cum - n_tok) // {SHARD_TOKENS} AS BIGINT)
+         AS shard_id
+FROM sel
+"""

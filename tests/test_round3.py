@@ -322,3 +322,43 @@ def test_curate_mix_subset_of_gates(ray_session, sf_dir):
     assert not any(i % CONTAM_EVAL_MOD == 0 for i in ids)
     assert ids <= set(rep.loc[rep["keep"] == 1, "doc_id"])
     assert ids <= set(boil.loc[boil["keep"] == 1, "doc_id"])
+
+
+def test_shard_pack_matches_oracle(ray_session, sf_dir, duck):
+    from scripts_ray import queries, sql_ops
+
+    _cmp(
+        queries.QUERIES["shard_pack"](sf_dir),
+        duck,
+        sql_ops.SHARD_PACK_SQL,
+        ["doc_id"],
+    )
+
+
+def test_shard_pack_invariants(ray_session, sf_dir):
+    """Every doc lands in exactly one shard; every non-final shard of a
+    bucket stops within one document of the target; partition-invariant."""
+    import ray.data as rd
+
+    from scripts_ray.ops.sampling import SHARD_TOKENS, shard_pack
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    a = shard_pack(ds).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    b = (
+        shard_pack(ds.repartition(5))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert a.equals(b)
+    assert a["doc_id"].is_unique
+    g = a.groupby("shard_id").agg(tot=("n_tok", "sum"), mx=("n_tok", "max"))
+    bucket = g.index.to_numpy() // 1_000_000
+    import numpy as np
+
+    last_of_bucket = np.zeros(len(g), dtype=bool)
+    for bk in np.unique(bucket):
+        idx = np.nonzero(bucket == bk)[0]
+        last_of_bucket[idx[g.index.to_numpy()[idx].argmax()]] = True
+    full = g[~last_of_bucket]
+    assert (full["tot"] + full["mx"] > SHARD_TOKENS).all()
