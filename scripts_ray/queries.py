@@ -766,6 +766,17 @@ def q_mixture_sample(sf_dir: str):
     )
 
 
+def q_hll_users(sf_dir: str):
+    """HyperLogLog register sketch of distinct event users — mergeable
+    approximate count-distinct; registers (not just the estimate) are
+    value-checked because the mix is deterministic splitmix64."""
+    from .ops import sketch
+
+    return sketch.hll_registers(
+        _read(sf_dir, "events", columns=["user_id"]), "user_id"
+    )
+
+
 def q_shard_pack(sf_dir: str):
     """Training-shard packing: assign docs to ~SHARD_TOKENS shards inside
     independent doc_id buckets (no global sort; one bounded exchange)."""
@@ -1136,6 +1147,7 @@ QUERIES = {
     "doc_repetition": q_doc_repetition,
     "decontaminate": q_decontaminate,
     "mixture_sample": q_mixture_sample,
+    "hll_users": q_hll_users,
     "shard_pack": q_shard_pack,
     "curate_mix": q_curate_mix,
     "validate_docs": q_validate_docs,
@@ -1227,6 +1239,7 @@ ORACLES = {
     "doc_repetition": sql_ops.DOC_REPETITION_SQL,
     "decontaminate": sql_ops.DECONTAMINATE_SQL,
     "mixture_sample": sql_ops.MIXTURE_SAMPLE_SQL,
+    "hll_users": sql_ops.HLL_USERS_SQL,
     "shard_pack": sql_ops.SHARD_PACK_SQL,
     "curate_mix": sql_ops.CURATE_MIX_SQL,
     "validate_docs": sql_ops.VALIDATE_DOCS_SQL,

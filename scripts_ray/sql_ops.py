@@ -1264,3 +1264,25 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(n_tok AS BIGINT) AS n_tok,
          AS shard_id
 FROM sel
 """
+
+
+# ---- HyperLogLog register sketch (value-checked) ---------------------------
+# The sketch is deterministic (splitmix64), so the REGISTERS are a full
+# value check: the oracle recomputes the identical mix chain in HUGEINT
+# arithmetic and derives each register's max leading-zero rank. p = 6.
+
+HLL_USERS_SQL = f"""
+WITH s0 AS (SELECT (CAST(user_id AS HUGEINT) + {SQLMIX_ADD})
+                   % {_TWO64}::HUGEINT AS z FROM events),
+s1 AS (SELECT {_xorshift('z', 30)} AS z FROM s0),
+s2 AS (SELECT {_mulmod('z', SQLMIX_M1)} AS z FROM s1),
+s3 AS (SELECT {_xorshift('z', 27)} AS z FROM s2),
+s4 AS (SELECT {_mulmod('z', SQLMIX_M2)} AS z FROM s3),
+s5 AS (SELECT {_xorshift('z', 31)} AS z FROM s4),
+hm AS (SELECT CAST(z % 64 AS BIGINT) AS register,
+              CAST(z // 64 AS BIGINT) AS rem FROM s5)
+SELECT register,
+       CAST(max(59 - CASE WHEN rem = 0 THEN 0 ELSE length(bin(rem)) END)
+            AS BIGINT) AS rho_max
+FROM hm GROUP BY register
+"""

@@ -362,3 +362,32 @@ def test_shard_pack_invariants(ray_session, sf_dir):
         last_of_bucket[idx[g.index.to_numpy()[idx].argmax()]] = True
     full = g[~last_of_bucket]
     assert (full["tot"] + full["mx"] > SHARD_TOKENS).all()
+
+
+def test_hll_users_matches_oracle(ray_session, sf_dir, duck):
+    from scripts_ray import queries, sql_ops
+
+    _cmp(
+        queries.QUERIES["hll_users"](sf_dir),
+        duck,
+        sql_ops.HLL_USERS_SQL,
+        ["register"],
+    )
+
+
+def test_hll_estimate_accuracy(ray_session, sf_dir, duck):
+    """Deterministic HLL estimate lands within the m=64 error envelope of
+    the exact distinct count, and is partition-invariant."""
+    import ray.data as rd
+
+    from scripts_ray.ops.sketch import hll_estimate, hll_registers
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
+    regs = hll_registers(ds, "user_id").to_pandas()
+    regs2 = hll_registers(ds.repartition(9), "user_id").to_pandas()
+    assert regs.sort_values("register").reset_index(drop=True).equals(
+        regs2.sort_values("register").reset_index(drop=True)
+    )
+    exact = duck.execute("SELECT count(DISTINCT user_id) FROM events").fetchone()[0]
+    est = hll_estimate(regs)
+    assert 0.6 * exact < est < 1.4 * exact
