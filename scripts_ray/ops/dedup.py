@@ -396,8 +396,13 @@ WINNOW_POWS = tuple(int(131**e) for e in range(7, -1, -1))
 WINNOW_M = 2147483647  # 2^31 - 1
 WINNOW_MULTS = (1000003, 998244353, 69069)
 # per-row multipliers for MinHasher.band_keys_matrix (all < 2^31 so each
-# (sig % M) * mult term stays < 2^62 in uint64)
-BAND_MULTS = (1000003, 998244353, 69069, 1299721, 7772777, 65537, 1073741827, 179424673)
+# (sig % M) * mult term stays < 2^62 in uint64); 16 entries cover every
+# legal MinHasher config up to rows-per-band = 16 (e.g. k=64, bands=4)
+BAND_MULTS = (
+    1000003, 998244353, 69069, 1299721, 7772777, 65537, 1073741827, 179424673,
+    15485863, 32452843, 49979687, 67867967, 86028121, 104395301, 122949823,
+    141650939,
+)
 _WPOW = np.array(WINNOW_POWS, dtype=np.int64)
 
 
@@ -712,6 +717,79 @@ def doc_shingle_set(docs_ds):
     return docs_ds.map_batches(emit, batch_format="pandas")
 
 
+def curation_signals(
+    texts, eval_fps_sorted: np.ndarray | None = None
+) -> dict[str, np.ndarray]:
+    """ONE explode + shingle pass returning every per-doc array the
+    curation gates consume — the single source of truth shared by
+    `textstats.doc_repetition`, `decontaminate` and the fused
+    `curate_mix` pipeline (duplicated kernels drift: an early fused copy
+    used the positional shingle count in the contamination ratio where
+    the standalone gate uses the distinct count).
+
+    Returns: n_tok (token positions), top_tok (modal token count),
+    n_sh_pos (shingle positions), n_sh_dist (distinct shingles), n_hit
+    (distinct shingles present in the sorted `eval_fps_sorted`; zeros
+    when not supplied)."""
+    from ..tokens import explode
+
+    n = len(texts)
+    rows, toks = explode(pa.array(list(texts), type=pa.string()))
+    n_tok = (
+        np.bincount(rows, minlength=n).astype(np.int64)
+        if len(toks)
+        else np.zeros(n, dtype=np.int64)
+    )
+    top_tok = np.zeros(n, dtype=np.int64)
+    if len(toks):
+        cnt = (
+            pd.DataFrame({"r": rows, "t": toks})
+            .groupby(["r", "t"], sort=False)
+            .size()
+        )
+        m = cnt.groupby(level=0).max()
+        top_tok[m.index.to_numpy()] = m.to_numpy()
+    srows, fps = winnow_shingle_fps(rows, toks)
+    n_sh_pos = np.zeros(n, dtype=np.int64)
+    n_sh_dist = np.zeros(n, dtype=np.int64)
+    n_hit = np.zeros(n, dtype=np.int64)
+    if len(fps):
+        n_sh_pos = np.bincount(srows, minlength=n).astype(np.int64)
+        dd = pd.DataFrame({"r": srows, "f": fps}).drop_duplicates()
+        r, f = dd["r"].to_numpy(), dd["f"].to_numpy()
+        c = dd.groupby("r").size()
+        n_sh_dist[c.index.to_numpy()] = c.to_numpy()
+        if eval_fps_sorted is not None and len(eval_fps_sorted):
+            pos = np.searchsorted(eval_fps_sorted, f)
+            pos[pos >= len(eval_fps_sorted)] = len(eval_fps_sorted) - 1
+            hit = eval_fps_sorted[pos] == f
+            n_hit = np.bincount(r[hit], minlength=n).astype(np.int64)
+    return {
+        "n_tok": n_tok,
+        "top_tok": top_tok,
+        "n_sh_pos": n_sh_pos,
+        "n_sh_dist": n_sh_dist,
+        "n_hit": n_hit,
+    }
+
+
+def eval_shingle_fps(docs_ds, eval_mod: int = 97) -> np.ndarray:
+    """Sorted distinct shingle fingerprints of the eval slice. The
+    distinct runs IN-CLUSTER (two-level hash distinct on fp) so the
+    driver receives one row per DISTINCT fingerprint — not one per
+    (eval doc, shingle) pair, which at corpus scale multiplies the
+    transfer by the docs-per-fp factor."""
+    from .hashagg import distinct
+
+    def is_eval(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch[batch["doc_id"] % eval_mod == 0]
+
+    shv = doc_shingle_set(docs_ds.map_batches(is_eval, batch_format="pandas"))
+    return np.sort(
+        distinct(shv.select_columns(["fp"]), "fp").to_pandas()["fp"].to_numpy()
+    )
+
+
 def boilerplate_docs(
     docs_ds,
     min_docs: int = BOILER_MIN_DOCS,
@@ -832,35 +910,13 @@ def decontaminate(
     with overlap tallies and the contaminated verdict."""
     import ray
 
-    def is_eval(batch: pd.DataFrame) -> pd.DataFrame:
-        return batch[batch["doc_id"] % eval_mod == 0]
-
-    eval_fps = (
-        doc_shingle_set(docs_ds.map_batches(is_eval, batch_format="pandas"))
-        .to_pandas()["fp"]
-        .unique()
-    )
-    ref = ray.put(np.sort(eval_fps))
+    ref = ray.put(eval_shingle_fps(docs_ds, eval_mod))
 
     def score(batch: pd.DataFrame) -> pd.DataFrame:
-        from ..tokens import explode
-
         fps_sorted = ray.get(ref)
         batch = batch[batch["doc_id"] % eval_mod != 0]
-        n = len(batch)
-        rows, toks = explode(pa.array(batch["text"].tolist(), type=pa.string()))
-        srows, fps = winnow_shingle_fps(rows, toks)
-        n_sh = np.zeros(n, dtype=np.int64)
-        n_hit = np.zeros(n, dtype=np.int64)
-        if len(fps):
-            dd = pd.DataFrame({"r": srows, "f": fps}).drop_duplicates()
-            r, f = dd["r"].to_numpy(), dd["f"].to_numpy()
-            n_sh = np.bincount(r, minlength=n).astype(np.int64)
-            if len(fps_sorted):
-                pos = np.searchsorted(fps_sorted, f)
-                pos[pos >= len(fps_sorted)] = len(fps_sorted) - 1
-                hit = fps_sorted[pos] == f
-                n_hit = np.bincount(r[hit], minlength=n).astype(np.int64)
+        sig = curation_signals(batch["text"].tolist(), fps_sorted)
+        n_sh, n_hit = sig["n_sh_dist"], sig["n_hit"]
         return pd.DataFrame(
             {
                 "doc_id": batch["doc_id"].to_numpy(dtype=np.int64),

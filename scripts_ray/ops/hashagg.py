@@ -187,6 +187,7 @@ def hash_join(
     how: str = "inner",
     num_partitions: int = DEFAULT_PARTITIONS,
     empty_right_cols: list[str] | None = None,
+    empty_left_cols: list[str] | None = None,
 ):
     """Distributed hash join on the same two-level exchange (Ray 2.49's
     native ``Dataset.join`` relies on the hash-shuffle backend that hangs
@@ -196,12 +197,13 @@ def hash_join(
     are large — a dimension-sized right side should be broadcast
     (``ray.put`` + map-side lookup) instead of shuffled.
 
-    `empty_right_cols`: a FULLY-FILTERED Ray Dataset drops its blocks and
-    with them its schema (``schema()`` is None), which a caller whose
-    right side can legitimately come up empty (e.g. "no corpus-frequent
-    shingles") must anticipate: pass the right side's non-key column
-    names and the join degrades gracefully — 'left' appends them as
-    nulls, 'inner' yields a typed empty result."""
+    `empty_right_cols` / `empty_left_cols`: a FULLY-FILTERED Ray Dataset
+    drops its blocks and with them its schema (``schema()`` is None),
+    which a caller whose side can legitimately come up empty (e.g. "no
+    corpus-frequent shingles", "every doc gated out") must anticipate:
+    pass that side's column names and the join degrades gracefully — an
+    empty right under 'left' appends its columns as nulls, any other
+    empty side yields a typed empty result."""
     on = [on] if isinstance(on, str) else list(on)
     right_on = on if right_on is None else (
         [right_on] if isinstance(right_on, str) else list(right_on)
@@ -209,7 +211,27 @@ def hash_join(
     if how not in ("inner", "left"):
         raise ValueError(f"unsupported join type: {how!r}")
 
-    left_cols = left_ds.schema().names
+    lschema = left_ds.schema(fetch_if_missing=True)
+    if lschema is None:
+        if empty_left_cols is None:
+            raise ValueError(
+                "hash_join: left side is empty and lost its schema; pass "
+                "empty_left_cols=[...] if an empty left side is expected"
+            )
+        # empty left: inner and left joins are both empty — emit a typed
+        # empty frame per right block so downstream keeps the column set
+        rcols_hint = empty_right_cols or []
+
+        def empty_out(batch: pd.DataFrame) -> pd.DataFrame:
+            cols = list(
+                dict.fromkeys(
+                    list(empty_left_cols) + list(batch.columns) + list(rcols_hint)
+                )
+            )
+            return batch.convert_dtypes().reindex(columns=cols).head(0)
+
+        return right_ds.map_batches(empty_out, batch_format="pandas")
+    left_cols = lschema.names
     rschema = right_ds.schema(fetch_if_missing=True)
     if rschema is None:
         if empty_right_cols is None:

@@ -126,29 +126,34 @@ def mixture_sample(docs_ds, budget: int = MIX_TOKEN_BUDGET):
     hold complete source groups — sources are bounded (domains, not
     documents), the same partitioning assumption as every other grouped
     scan here. Output: (source, doc_id, n_tok) of selected docs."""
-    from .hashagg import map_partitions_by_key
 
     def counts(batch: pd.DataFrame) -> pd.DataFrame:
-        import pyarrow as pa
-
-        from ..tokens import explode
-
-        rows, toks = explode(pa.array(batch["text"].tolist(), type=pa.string()))
-        n_tok = (
-            np.bincount(rows, minlength=len(batch)).astype(np.int64)
-            if len(toks)
-            else np.zeros(len(batch), dtype=np.int64)
-        )
         return pd.DataFrame(
             {
                 "source": batch["source"].to_numpy(),
                 "doc_id": batch["doc_id"].to_numpy(dtype=np.int64),
-                "n_tok": n_tok,
+                "n_tok": doc_token_counts(batch),
             }
         )
 
     return mixture_pick(
         docs_ds.map_batches(counts, batch_format="pandas"), budget
+    )
+
+
+def doc_token_counts(batch: pd.DataFrame) -> np.ndarray:
+    """Per-row token counts (same tokenization as the SQL oracles'
+    `_DOC_TOKS`) — the one kernel shared by mixture_sample and
+    shard_pack so the two value-checked paths cannot drift."""
+    import pyarrow as pa
+
+    from ..tokens import explode
+
+    rows, toks = explode(pa.array(batch["text"].tolist(), type=pa.string()))
+    return (
+        np.bincount(rows, minlength=len(batch)).astype(np.int64)
+        if len(toks)
+        else np.zeros(len(batch), dtype=np.int64)
     )
 
 
@@ -189,23 +194,20 @@ def shard_pack(docs_ds, shard_tokens: int = SHARD_TOKENS,
     starts a new shard when the tokens packed before it in its bucket
     reach the next shard boundary — every shard except a bucket's last
     holds >= shard_tokens - (max doc) and < shard_tokens + (max doc)
-    tokens. Output: (doc_id, n_tok, shard_id)."""
+    tokens. shard_id = local_seq * n_buckets + bucket: injective for ANY
+    per-bucket shard count (a fixed per-bucket namespace width would
+    collide once a bucket exceeds it — at 100 TB a bucket packs billions
+    of shards). Output: (doc_id, n_tok, shard_id)."""
     from .hashagg import map_partitions_by_key
 
     def counts(batch: pd.DataFrame) -> pd.DataFrame:
-        import pyarrow as pa
-
-        from ..tokens import explode
-
-        rows, toks = explode(pa.array(batch["text"].tolist(), type=pa.string()))
-        n_tok = (
-            np.bincount(rows, minlength=len(batch)).astype(np.int64)
-            if len(toks)
-            else np.zeros(len(batch), dtype=np.int64)
-        )
         ids = batch["doc_id"].to_numpy(dtype=np.int64)
         return pd.DataFrame(
-            {"doc_id": ids, "n_tok": n_tok, "bucket": ids % n_buckets}
+            {
+                "doc_id": ids,
+                "n_tok": doc_token_counts(batch),
+                "bucket": ids % n_buckets,
+            }
         )
 
     per_doc = docs_ds.map_batches(counts, batch_format="pandas")
@@ -217,7 +219,7 @@ def shard_pack(docs_ds, shard_tokens: int = SHARD_TOKENS,
         d = d.sort_values(["bucket", "_h", "doc_id"], kind="mergesort")
         before = d.groupby("bucket", sort=False)["n_tok"].cumsum() - d["n_tok"]
         local = before.to_numpy() // shard_tokens
-        d["shard_id"] = d["bucket"].to_numpy(dtype=np.int64) * 1_000_000 + local
+        d["shard_id"] = local * n_buckets + d["bucket"].to_numpy(dtype=np.int64)
         return d[["doc_id", "n_tok", "shard_id"]]
 
     return map_partitions_by_key(per_doc, "bucket", pack)

@@ -240,51 +240,22 @@ def doc_repetition(docs_ds):
     (token skew). Both are integer permille over the SQL-reproducible
     winnow shingle chain, so the oracle recomputes them exactly.
     Embarrassingly parallel: every signal is per-document, computed inside
-    one `map_batches` with no exchange. Reference analog: the keep/drop
+    one `map_batches` with no exchange, via the shared
+    `dedup.curation_signals` kernel. Reference analog: the keep/drop
     quality gate family (/root/reference/src/cur-prot/reclassify.py:23-38)
     extended with corpus-curation repetition rules."""
-    from ..tokens import explode
-    from .dedup import winnow_shingle_fps
+    from .dedup import curation_signals
 
     def rep(batch: pd.DataFrame) -> pd.DataFrame:
-        rows, toks = explode(pa.array(batch["text"].tolist(), type=pa.string()))
-        n = len(batch)
-        n_toks = np.bincount(rows, minlength=n).astype(np.int64) if len(toks) \
-            else np.zeros(n, dtype=np.int64)
-        top = np.zeros(n, dtype=np.int64)
-        if len(toks):
-            cnt = (
-                pd.DataFrame({"r": rows, "t": toks})
-                .groupby(["r", "t"], sort=False)
-                .size()
-            )
-            m = cnt.groupby(level=0).max()
-            top[m.index.to_numpy()] = m.to_numpy()
-        srows, fps = winnow_shingle_fps(rows, toks)
-        n_sh = np.zeros(n, dtype=np.int64)
-        n_dist = np.zeros(n, dtype=np.int64)
-        if len(fps):
-            n_sh = np.bincount(srows, minlength=n).astype(np.int64)
-            d = (
-                pd.DataFrame({"r": srows, "f": fps})
-                .drop_duplicates()
-                .groupby("r")
-                .size()
-            )
-            n_dist[d.index.to_numpy()] = d.to_numpy()
-        rep_pm = np.zeros(n, dtype=np.int64)
-        nz = n_sh > 0
-        rep_pm[nz] = (1000 * (n_sh[nz] - n_dist[nz])) // n_sh[nz]
-        top_pm = np.zeros(n, dtype=np.int64)
-        nz = n_toks > 0
-        top_pm[nz] = (1000 * top[nz]) // n_toks[nz]
+        sig = curation_signals(batch["text"].tolist())
+        rep_pm, top_pm = repetition_permilles(sig)
         keep = (rep_pm < REP_SHINGLE_MAX_PERMILLE) & (
             top_pm < TOP_TOKEN_MAX_PERMILLE
         )
         return pd.DataFrame(
             {
                 "doc_id": batch["doc_id"].to_numpy(dtype=np.int64),
-                "n_tokens": n_toks,
+                "n_tokens": sig["n_tok"],
                 "top_tok_permille": top_pm,
                 "dup_shingle_permille": rep_pm,
                 "keep": keep.astype(np.int64),
@@ -292,3 +263,17 @@ def doc_repetition(docs_ds):
         )
 
     return docs_ds.map_batches(rep, batch_format="pandas")
+
+
+def repetition_permilles(sig: dict) -> tuple[np.ndarray, np.ndarray]:
+    """(dup_shingle_permille, top_tok_permille) from a
+    `dedup.curation_signals` dict — shared with the fused pipeline."""
+    n_sh, n_dist = sig["n_sh_pos"], sig["n_sh_dist"]
+    rep_pm = np.zeros(len(n_sh), dtype=np.int64)
+    nz = n_sh > 0
+    rep_pm[nz] = (1000 * (n_sh[nz] - n_dist[nz])) // n_sh[nz]
+    n_tok, top = sig["n_tok"], sig["top_tok"]
+    top_pm = np.zeros(len(n_tok), dtype=np.int64)
+    nz = n_tok > 0
+    top_pm[nz] = (1000 * top[nz]) // n_tok[nz]
+    return rep_pm, top_pm

@@ -816,70 +816,24 @@ def q_curate_mix(sf_dir: str):
         CONTAM_EVAL_MOD,
         CONTAM_MIN_HITS,
         CONTAM_MIN_PERMILLE,
-        doc_shingle_set,
-        winnow_shingle_fps,
+        curation_signals,
+        eval_shingle_fps,
     )
     from .ops.hashagg import hash_join
     from .ops.sampling import mixture_pick
     from .ops.textstats import (
         REP_SHINGLE_MAX_PERMILLE,
         TOP_TOKEN_MAX_PERMILLE,
+        repetition_permilles,
     )
 
     docs = _read(sf_dir, "documents", columns=["doc_id", "source", "text"])
-
-    def is_eval(b: pd.DataFrame) -> pd.DataFrame:
-        return b[b["doc_id"] % CONTAM_EVAL_MOD == 0]
-
-    eval_fps = np.sort(
-        doc_shingle_set(docs.map_batches(is_eval, batch_format="pandas"))
-        .to_pandas()["fp"]
-        .unique()
-    )
-    ref = ray.put(eval_fps)
+    ref = ray.put(eval_shingle_fps(docs, CONTAM_EVAL_MOD))
 
     def local_gates(batch: pd.DataFrame) -> pd.DataFrame:
-        from .tokens import explode
-
-        fps_sorted = ray.get(ref)
-        n = len(batch)
-        rows, toks = explode(pa.array(batch["text"].tolist(), type=pa.string()))
-        n_tok = (
-            np.bincount(rows, minlength=n).astype(np.int64)
-            if len(toks)
-            else np.zeros(n, dtype=np.int64)
-        )
-        top = np.zeros(n, dtype=np.int64)
-        if len(toks):
-            cnt = (
-                pd.DataFrame({"r": rows, "t": toks})
-                .groupby(["r", "t"], sort=False)
-                .size()
-            )
-            m = cnt.groupby(level=0).max()
-            top[m.index.to_numpy()] = m.to_numpy()
-        srows, fps = winnow_shingle_fps(rows, toks)
-        n_sh = np.zeros(n, dtype=np.int64)
-        n_dist = np.zeros(n, dtype=np.int64)
-        n_hit = np.zeros(n, dtype=np.int64)
-        if len(fps):
-            n_sh = np.bincount(srows, minlength=n).astype(np.int64)
-            dd = pd.DataFrame({"r": srows, "f": fps}).drop_duplicates()
-            r, f = dd["r"].to_numpy(), dd["f"].to_numpy()
-            d = dd.groupby("r").size()
-            n_dist[d.index.to_numpy()] = d.to_numpy()
-            if len(fps_sorted):
-                pos = np.searchsorted(fps_sorted, f)
-                pos[pos >= len(fps_sorted)] = len(fps_sorted) - 1
-                n_hit = np.bincount(
-                    r[fps_sorted[pos] == f], minlength=n
-                ).astype(np.int64)
-        rep_pm = np.zeros(n, dtype=np.int64)
-        nz = n_sh > 0
-        rep_pm[nz] = (1000 * (n_sh[nz] - n_dist[nz])) // n_sh[nz]
-        top_pm = np.zeros(n, dtype=np.int64)
-        nz = n_tok > 0
-        top_pm[nz] = (1000 * top[nz]) // n_tok[nz]
+        sig = curation_signals(batch["text"].tolist(), ray.get(ref))
+        rep_pm, top_pm = repetition_permilles(sig)
+        n_sh, n_hit = sig["n_sh_dist"], sig["n_hit"]
         ids = batch["doc_id"].to_numpy(dtype=np.int64)
         contaminated = (
             (n_hit >= CONTAM_MIN_HITS)
@@ -896,7 +850,7 @@ def q_curate_mix(sf_dir: str):
             {
                 "doc_id": ids[keep],
                 "source": batch["source"].to_numpy()[keep],
-                "n_tok": n_tok[keep],
+                "n_tok": sig["n_tok"][keep],
             }
         )
 
@@ -904,7 +858,10 @@ def q_curate_mix(sf_dir: str):
     boil_keep = dedup.boilerplate_docs(docs).map_batches(
         lambda b: b.loc[b["keep"] == 1, ["doc_id"]], batch_format="pandas"
     )
-    survivors = hash_join(passing, boil_keep, on="doc_id", how="inner")
+    survivors = hash_join(
+        passing, boil_keep, on="doc_id", how="inner",
+        empty_left_cols=["doc_id", "source", "n_tok"],
+    )
     return mixture_pick(survivors)
 
 

@@ -1260,8 +1260,8 @@ sel AS (
   FROM tt
 )
 SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(n_tok AS BIGINT) AS n_tok,
-       CAST(bucket * 1000000 + (cum - n_tok) // {SHARD_TOKENS} AS BIGINT)
-         AS shard_id
+       CAST(((cum - n_tok) // {SHARD_TOKENS}) * {SHARD_BUCKETS} + bucket
+            AS BIGINT) AS shard_id
 FROM sel
 """
 

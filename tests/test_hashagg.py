@@ -119,3 +119,19 @@ def test_hash_join_empty_right_declared(ray_session):
         left, right, on="k", how="inner", empty_right_cols=["b"]
     ).to_pandas()
     assert len(inner) == 0
+
+
+def test_hash_join_empty_left_declared(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from scripts_ray.ops.hashagg import hash_join
+
+    left = rd.from_pandas(pd.DataFrame({"k": [1], "a": [10]})).map_batches(
+        lambda df: df[df["k"] < 0], batch_format="pandas"
+    )
+    right = rd.from_pandas(pd.DataFrame({"k": [1, 2], "b": [7, 8]}))
+    out = hash_join(
+        left, right, on="k", how="inner", empty_left_cols=["k", "a"]
+    ).to_pandas()
+    assert len(out) == 0

@@ -293,8 +293,16 @@ def test_mixture_sample_budget_invariants(ray_session, sf_dir):
         .sort_values(["source", "doc_id"])
     )
     assert a.reset_index(drop=True).equals(b.reset_index(drop=True))
-    per = a.groupby("source").agg(tot=("n_tok", "sum"), mx=("n_tok", "max"))
-    assert (per["tot"] >= MIX_TOKEN_BUDGET).all()
+    per = a.groupby("source").agg(
+        tot=("n_tok", "sum"), mx=("n_tok", "max"), n_sel=("doc_id", "count")
+    )
+    n_docs = (
+        pd.read_parquet(f"{sf_dir}/documents.parquet", columns=["source"])
+        .groupby("source")
+        .size()
+    )
+    exhausted = per["n_sel"] == n_docs.reindex(per.index)
+    assert ((per["tot"] >= MIX_TOKEN_BUDGET) | exhausted).all()
     assert (per["tot"] - per["mx"] < MIX_TOKEN_BUDGET).all()
 
 
@@ -340,7 +348,7 @@ def test_shard_pack_invariants(ray_session, sf_dir):
     bucket stops within one document of the target; partition-invariant."""
     import ray.data as rd
 
-    from scripts_ray.ops.sampling import SHARD_TOKENS, shard_pack
+    from scripts_ray.ops.sampling import SHARD_BUCKETS, SHARD_TOKENS, shard_pack
 
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     a = shard_pack(ds).to_pandas().sort_values("doc_id").reset_index(drop=True)
@@ -353,7 +361,7 @@ def test_shard_pack_invariants(ray_session, sf_dir):
     assert a.equals(b)
     assert a["doc_id"].is_unique
     g = a.groupby("shard_id").agg(tot=("n_tok", "sum"), mx=("n_tok", "max"))
-    bucket = g.index.to_numpy() // 1_000_000
+    bucket = g.index.to_numpy() % SHARD_BUCKETS
     import numpy as np
 
     last_of_bucket = np.zeros(len(g), dtype=bool)
