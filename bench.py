@@ -297,6 +297,9 @@ def run_bench() -> dict:
             "boilerplate_docs",
             "decontaminate",
             "curate_mix",
+            "page_align",
+            "asof_events",
+            "q3_shipping",
         ]
     )
     for name in secondary:

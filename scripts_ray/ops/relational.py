@@ -11,6 +11,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 
 def event_agg(events_ds):
@@ -141,3 +142,60 @@ def event_windows(events_ds):
             "max_value": ("value", "max"),
         },
     )
+
+
+def q3_shipping(orders_ds, lineitem_ds, sf_dir: str, segment: str = "BUILDING",
+                k: int = 10):
+    """TPC-H-Q3-shaped composition: dimension-filter broadcast into the
+    fact stream, then a distributed fact-by-fact shuffle join, then a
+    two-level aggregate and top-k — the canonical mixed join plan
+    (broadcast where one side is dimension-sized, exchange where both
+    sides scale).
+
+    Revenue is summed in integer cents (floor) so the Ray and SQL sides
+    agree bit-for-bit regardless of summation order.
+    """
+    import pyarrow.parquet as pq
+    import ray
+
+    from .hashagg import hash_aggregate, hash_join
+
+    cust = pq.read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    )
+    keys = cust.filter(
+        pc.equal(cust["c_mktsegment"], segment)
+    )["c_custkey"].to_numpy(zero_copy_only=False)
+    keys_ref = ray.put(np.sort(keys))
+
+    def probe_orders(batch: pd.DataFrame) -> pd.DataFrame:
+        ks = ray.get(keys_ref)
+        idx = np.searchsorted(ks, batch["o_custkey"].to_numpy())
+        idx = np.minimum(idx, len(ks) - 1)
+        hit = ks[idx] == batch["o_custkey"].to_numpy()
+        return batch.loc[hit, ["o_orderkey", "o_orderdate"]]
+
+    def line_revenue(batch: pd.DataFrame) -> pd.DataFrame:
+        ext = batch["l_extendedprice"].to_numpy()
+        disc = batch["l_discount"].to_numpy()
+        return pd.DataFrame(
+            {
+                "o_orderkey": batch["l_orderkey"].astype(np.int64),
+                "rev_cents": np.floor(ext * (1 - disc) * 100).astype(np.int64),
+            }
+        )
+
+    joined = hash_join(
+        lineitem_ds.map_batches(line_revenue, batch_format="pandas"),
+        orders_ds.map_batches(probe_orders, batch_format="pandas"),
+        on="o_orderkey",
+        how="inner",
+    )
+    agg = hash_aggregate(
+        joined,
+        keys=["o_orderkey", "o_orderdate"],
+        aggs={"revenue_cents": ("rev_cents", "sum")},
+    )
+    return agg.sort(
+        ["revenue_cents", "o_orderkey"], descending=[True, False]
+    ).limit(k)

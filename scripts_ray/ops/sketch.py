@@ -83,3 +83,86 @@ def hll_estimate(registers: pd.DataFrame, p: int = HLL_P) -> float:
     if est <= 2.5 * m and zeros > 0:
         est = m * np.log(m / zeros)
     return float(est)
+
+
+# ---- count-min sketch (heavy-hitter counts) --------------------------------
+
+CMS_D = 4    # hash rows
+CMS_W = 512  # counters per row
+
+
+def cms_registers(docs_ds):
+    """Count-min sketch of the documents' token stream: a (CMS_D × CMS_W)
+    counter matrix, emitted as (row, col, n) rows for every touched
+    counter. Same mergeable-aggregate shape as the HLL sketch — each batch
+    folds its tokens into at most D×W partial counters, the shuffle moves
+    partials, the merge is a counter-wise SUM (vs HLL's max).
+
+    Deterministic end to end: token id = the SQL-reproducible winnowing
+    token hash mod WINNOW_M, row-d column = splitmix64(token_id*CMS_D + d)
+    mod CMS_W — so the COUNTERS are value-checked against a DuckDB oracle
+    (sql_ops.CMS_WORDS_SQL) that recomputes the identical chain. The
+    point-estimate property (min over rows ≥ true count, bounded above)
+    is asserted in pytest against exact word_freq counts.
+
+    At 100 TB: the estimate answers "how frequent is token X" without the
+    unbounded-cardinality exact aggregate — D×W×8 bytes of state per
+    stream regardless of vocabulary size, mergeable across runs.
+    """
+    import pyarrow as pa
+
+    from .dedup import WINNOW_M, winnow_token_hashes
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        from ..tokens import explode
+
+        _, toks = explode(pa.array(batch["text"].tolist(), type=pa.string()))
+        if len(toks) == 0:
+            return pd.DataFrame(
+                {
+                    "row": pd.Series([], dtype=np.int64),
+                    "col": pd.Series([], dtype=np.int64),
+                    "n": pd.Series([], dtype=np.int64),
+                }
+            )
+        tid = winnow_token_hashes(toks) % WINNOW_M
+        flat = np.zeros(CMS_D * CMS_W, dtype=np.int64)
+        for d in range(CMS_D):
+            z = sql_mix64(tid * CMS_D + d)
+            col = (z % np.uint64(CMS_W)).astype(np.int64)
+            np.add.at(flat, d * CMS_W + col, 1)
+        touched = np.flatnonzero(flat)
+        return pd.DataFrame(
+            {
+                "row": touched // CMS_W,
+                "col": touched % CMS_W,
+                "n": flat[touched],
+            }
+        )
+
+    parts = docs_ds.map_batches(partial, batch_format="pandas")
+    return hash_aggregate(parts, keys=["row", "col"], aggs={"n": ("n", "sum")})
+
+
+def cms_point_estimate(registers: pd.DataFrame, words) -> dict[str, int]:
+    """min-over-rows point estimates for the given words from (row, col, n)
+    register rows. Driver-side; the registers are the checked surface."""
+    import pyarrow as pa
+
+    from .dedup import WINNOW_M, winnow_token_hashes
+
+    mat = np.zeros((CMS_D, CMS_W), dtype=np.int64)
+    mat[registers["row"].to_numpy(dtype=np.int64),
+        registers["col"].to_numpy(dtype=np.int64)] = (
+        registers["n"].to_numpy(dtype=np.int64)
+    )
+    toks = np.asarray(list(words), dtype=object)
+    tid = winnow_token_hashes(toks) % WINNOW_M
+    out = {}
+    for i, w in enumerate(words):
+        ests = []
+        for d in range(CMS_D):
+            z = sql_mix64(np.array([tid[i] * CMS_D + d], dtype=np.int64))
+            ests.append(mat[d, int(z[0] % np.uint64(CMS_W))])
+        out[w] = int(min(ests))
+    return out

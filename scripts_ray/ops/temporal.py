@@ -1,0 +1,206 @@
+"""Temporal joins over the events stream: as-of join, range join, hopping
+windows (beyond-reference additions per the build brief).
+
+Ray Data has no as-of / range-join primitive; both are expressed on the
+engine's standard one-exchange pattern: hash-partition by the equi-key
+(`user_id`), then a vectorized per-partition probe (`pd.merge_asof` /
+cumulative-count searchsorted) over the co-partitioned build side. Both
+sides of each join come from the SAME events read, so the probe and
+build rows are tagged in one map pass and travel through ONE exchange —
+no second shuffle, no broadcast of an unbounded side.
+
+Partitioning assumption (documented per the brief): all events of one
+user fit in one partition. Users are spread uniformly by siphash;
+per-user history is bounded (the same atomic-unit rule as conv_id for
+the window family).
+
+Reference analog: the validity-interval probe of fuzzy attribution
+(/root/reference/src/fuzzy_matching.py:84-89) generalizes here to
+stream-by-stream shapes the reference never needed — its interval side
+was always a broadcast dimension table (J3), whereas both sides of
+these joins scale with the stream.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from .hashagg import hash_aggregate, map_partitions_by_key
+
+ASOF_PROBE_TYPE = "purchase"
+ASOF_BUILD_TYPE = "view"
+RANGE_PROBE_TYPE = "purchase"
+RANGE_BUILD_TYPE = "click"
+RANGE_DAYS = 7
+HOP_MINUTES = 5
+HOP_WINDOW_MINUTES = 10  # window = 2 hops: every event lands in exactly 2
+
+
+def asof_join_events(events_ds):
+    """For every purchase event: the most recent view event of the same
+    user at or before the purchase (`ASOF LEFT JOIN` semantics).
+
+    Determinism under ties: the build side is pre-aggregated to one row
+    per (user_id, ts) — max(value) — so "the latest view" is unique even
+    when several views share a timestamp (DuckDB's ASOF join would pick
+    an arbitrary row among exact-ts ties otherwise).
+    """
+
+    def project(batch: pd.DataFrame) -> pd.DataFrame:
+        keep = batch["event_type"].isin([ASOF_PROBE_TYPE, ASOF_BUILD_TYPE])
+        out = batch.loc[keep, ["event_id", "user_id", "ts", "event_type", "value"]]
+        return out
+
+    def asof_part(part: pd.DataFrame) -> pd.DataFrame:
+        probe = part[part["event_type"] == ASOF_PROBE_TYPE]
+        build = part[part["event_type"] == ASOF_BUILD_TYPE]
+        probe = pd.DataFrame(
+            {
+                "event_id": probe["event_id"].astype(np.int64),
+                "user_id": probe["user_id"].astype(np.int64),
+                "ts": probe["ts"],
+            }
+        )
+        if len(probe) == 0:
+            return pd.DataFrame(
+                {
+                    "event_id": pd.Series([], dtype=np.int64),
+                    "user_id": pd.Series([], dtype=np.int64),
+                    "ts": pd.Series([], dtype="datetime64[us]"),
+                    "view_ts": pd.Series([], dtype="datetime64[us]"),
+                    "view_value": pd.Series([], dtype=np.float64),
+                }
+            )
+        # unique build key per (user, ts): max(value) among exact-ts ties
+        build = (
+            build.groupby(["user_id", "ts"], as_index=False)["value"]
+            .max()
+            .rename(columns={"value": "view_value"})
+        )
+        build["user_id"] = build["user_id"].astype(np.int64)
+        build["view_ts"] = build["ts"]
+        probe = probe.sort_values(["ts", "event_id"], kind="mergesort")
+        build = build.sort_values("ts", kind="mergesort")
+        out = pd.merge_asof(
+            probe,
+            build,
+            on="ts",
+            by="user_id",
+            direction="backward",
+            allow_exact_matches=True,
+        )
+        return out[["event_id", "user_id", "ts", "view_ts", "view_value"]]
+
+    return map_partitions_by_key(
+        events_ds.map_batches(project, batch_format="pandas"),
+        keys="user_id",
+        fn=asof_part,
+    )
+
+
+def range_join_events(events_ds):
+    """For every purchase event: how many clicks the same user made in the
+    preceding `RANGE_DAYS` days (`c.ts > p.ts - 7d AND c.ts <= p.ts`) —
+    a stream-by-stream range join.
+
+    Per partition the count is two `merge_asof` probes against the
+    build side's cumulative click count: n = cum(<= ts) - cum(< ts-7d).
+    O((P+B) log B) per partition, no per-row Python.
+    """
+    lo_offset = pd.Timedelta(days=RANGE_DAYS)
+
+    def project(batch: pd.DataFrame) -> pd.DataFrame:
+        keep = batch["event_type"].isin([RANGE_PROBE_TYPE, RANGE_BUILD_TYPE])
+        return batch.loc[keep, ["event_id", "user_id", "ts", "event_type"]]
+
+    def range_part(part: pd.DataFrame) -> pd.DataFrame:
+        probe = part[part["event_type"] == RANGE_PROBE_TYPE]
+        build = part[part["event_type"] == RANGE_BUILD_TYPE]
+        probe = pd.DataFrame(
+            {
+                "event_id": probe["event_id"].astype(np.int64),
+                "user_id": probe["user_id"].astype(np.int64),
+                "ts": probe["ts"],
+            }
+        )
+        if len(probe) == 0:
+            return pd.DataFrame(
+                {
+                    "event_id": pd.Series([], dtype=np.int64),
+                    "user_id": pd.Series([], dtype=np.int64),
+                    "ts": pd.Series([], dtype="datetime64[us]"),
+                    "n_clicks_7d": pd.Series([], dtype=np.int64),
+                }
+            )
+        # cumulative click count per user; one row per (user, ts) with the
+        # count at that ts inclusive (ties collapse to the running max)
+        build = build.sort_values(["user_id", "ts"], kind="mergesort").reset_index(
+            drop=True
+        )
+        build = pd.DataFrame(
+            {
+                "user_id": build["user_id"].astype(np.int64),
+                "ts": build["ts"],  # keep original datetime unit (ns vs us)
+                "cum": build.groupby("user_id").cumcount() + 1,
+            }
+        ).groupby(["user_id", "ts"], as_index=False)["cum"].max()
+
+        build = build.sort_values("ts", kind="mergesort")
+        probe_hi = probe.sort_values(["ts", "event_id"], kind="mergesort")
+        hi = pd.merge_asof(
+            probe_hi, build, on="ts", by="user_id",
+            direction="backward", allow_exact_matches=True,
+        )["cum"].fillna(0).to_numpy()
+        # Timedelta arithmetic upcasts datetime64[us] to [ns]; cast back so
+        # merge_asof sees identical key dtypes on both sides
+        probe_lo = probe_hi.assign(
+            ts=(probe_hi["ts"] - lo_offset).astype(probe_hi["ts"].dtype)
+        )
+        lo = pd.merge_asof(
+            probe_lo, build, on="ts", by="user_id",
+            direction="backward", allow_exact_matches=True,
+        )["cum"].fillna(0).to_numpy()
+        out = probe_hi.copy()
+        out["n_clicks_7d"] = (hi - lo).astype(np.int64)
+        return out[["event_id", "user_id", "ts", "n_clicks_7d"]]
+
+    return map_partitions_by_key(
+        events_ds.map_batches(project, batch_format="pandas"),
+        keys="user_id",
+        fn=range_part,
+    )
+
+
+def hopping_windows(events_ds):
+    """Hopping-window aggregate: 10-minute windows every 5 minutes, so each
+    event is replicated into exactly window/hop = 2 windows. Replication
+    happens in the map pass (row expansion before the exchange); the
+    aggregate is the standard two-level hash agg over (event_type,
+    win_start) — the replication factor, not the window length, is what
+    costs at scale.
+    """
+    hop = f"{HOP_MINUTES}min"
+    back = pd.Timedelta(minutes=HOP_MINUTES)
+
+    def explode(batch: pd.DataFrame) -> pd.DataFrame:
+        base = batch["ts"].dt.floor(hop)
+        a = pd.DataFrame(
+            {
+                "event_type": batch["event_type"],
+                "win_start": base,
+                "value": batch["value"],
+            }
+        )
+        b = a.assign(win_start=(base - back).astype(base.dtype))
+        return pd.concat([a, b], ignore_index=True)
+
+    return hash_aggregate(
+        events_ds.map_batches(explode, batch_format="pandas"),
+        keys=["event_type", "win_start"],
+        aggs={
+            "n": ("value", "count"),
+            "min_value": ("value", "min"),
+            "max_value": ("value", "max"),
+        },
+    )

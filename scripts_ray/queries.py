@@ -1040,6 +1040,63 @@ def q_q1_counts(sf_dir: str):
     )
 
 
+def q_q3_shipping(sf_dir: str):
+    """Mixed join plan: broadcast dimension filter + distributed fact join
+    + two-level aggregate + top-k (TPC-H Q3 shape)."""
+    return relational.q3_shipping(
+        _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate"]),
+        _read(sf_dir, "lineitem",
+              columns=["l_orderkey", "l_extendedprice", "l_discount"]),
+        sf_dir,
+    )
+
+
+def q_asof_events(sf_dir: str):
+    from .ops import temporal
+
+    return temporal.asof_join_events(
+        _read(sf_dir, "events",
+              columns=["event_id", "user_id", "ts", "event_type", "value"])
+    )
+
+
+def q_clicks_before_purchase(sf_dir: str):
+    from .ops import temporal
+
+    return temporal.range_join_events(
+        _read(sf_dir, "events",
+              columns=["event_id", "user_id", "ts", "event_type"])
+    )
+
+
+def q_hopping_windows(sf_dir: str):
+    from .ops import temporal
+
+    return temporal.hopping_windows(
+        _read(sf_dir, "events", columns=["event_type", "ts", "value"])
+    )
+
+
+def q_cms_words(sf_dir: str):
+    """Count-min sketch counters over the documents token stream —
+    mergeable approximate point counts; the full D×W register matrix is
+    value-checked (deterministic splitmix64 chain)."""
+    from .ops import sketch
+
+    return sketch.cms_registers(
+        _read(sf_dir, "documents", columns=["doc_id", "text"])
+    )
+
+
+def q_page_align(sf_dir: str):
+    from .ops import align
+
+    return align.page_align(
+        derive_transcripts_ds(sf_dir),
+        _read(sf_dir, "documents", columns=["doc_id", "text"]),
+    )
+
+
 QUERIES = {
     "qf_pipeline": q_qf_pipeline,
     "qf_scrub": q_qf_scrub,
@@ -1126,6 +1183,12 @@ QUERIES = {
     "orders_by_segment": q_orders_by_segment,
     "orders_join_dist": q_orders_join_dist,
     "q1_counts": q_q1_counts,
+    "q3_shipping": q_q3_shipping,
+    "asof_events": q_asof_events,
+    "clicks_before_purchase": q_clicks_before_purchase,
+    "hopping_windows": q_hopping_windows,
+    "page_align": q_page_align,
+    "cms_words": q_cms_words,
 }
 
 ORACLES = {
@@ -1229,6 +1292,12 @@ ORACLES = {
     "orders_by_segment": sql_ops.ORDERS_BY_SEGMENT_SQL,
     "orders_join_dist": sql_ops.ORDERS_JOIN_DIST_SQL,
     "q1_counts": sql_ops.Q1_COUNTS_SQL,
+    "q3_shipping": sql_ops.Q3_SHIPPING_SQL,
+    "asof_events": sql_ops.ASOF_EVENTS_SQL,
+    "clicks_before_purchase": sql_ops.RANGE_JOIN_EVENTS_SQL,
+    "hopping_windows": sql_ops.HOPPING_WINDOWS_SQL,
+    "page_align": sql_ops.PAGE_ALIGN_SQL,
+    "cms_words": sql_ops.CMS_WORDS_SQL,
     # quantized hyperplane projection — full value check (same inlined
     # plane matrix on both sides)
     "lsh_buckets": sql_ops.LSH_BUCKETS_SQL,

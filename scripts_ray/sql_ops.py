@@ -1286,3 +1286,166 @@ SELECT register,
             AS BIGINT) AS rho_max
 FROM hm GROUP BY register
 """
+
+
+# ---- temporal joins over the events stream (ops/temporal.py) ---------------
+# As-of join: DuckDB's native ASOF LEFT JOIN vs the Ray merge_asof probe.
+# The build side is pre-aggregated to one row per (user_id, ts) on BOTH
+# engines so exact-timestamp ties resolve identically.
+
+ASOF_EVENTS_SQL = """
+WITH views AS (
+  SELECT user_id, ts, max(value) AS view_value
+  FROM events WHERE event_type = 'view' GROUP BY 1, 2
+)
+SELECT CAST(p.event_id AS BIGINT) AS event_id,
+       CAST(p.user_id AS BIGINT) AS user_id,
+       p.ts, v.ts AS view_ts, v.view_value
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+ASOF LEFT JOIN views v ON p.user_id = v.user_id AND p.ts >= v.ts
+"""
+
+RANGE_JOIN_EVENTS_SQL = """
+SELECT CAST(p.event_id AS BIGINT) AS event_id,
+       CAST(p.user_id AS BIGINT) AS user_id, p.ts,
+       CAST(count(c.event_id) AS BIGINT) AS n_clicks_7d
+FROM events p LEFT JOIN events c
+  ON c.user_id = p.user_id AND c.event_type = 'click'
+ AND c.ts > p.ts - INTERVAL 7 DAY AND c.ts <= p.ts
+WHERE p.event_type = 'purchase'
+GROUP BY 1, 2, 3
+"""
+
+HOPPING_WINDOWS_SQL = """
+WITH h AS (
+  SELECT event_type, value, time_bucket(INTERVAL 5 MINUTE, ts) AS b FROM events
+),
+x AS (
+  SELECT event_type, value, b AS win_start FROM h
+  UNION ALL
+  SELECT event_type, value, b - INTERVAL 5 MINUTE AS win_start FROM h
+)
+SELECT event_type, win_start, CAST(count(*) AS BIGINT) AS n,
+       min(value) AS min_value, max(value) AS max_value
+FROM x GROUP BY 1, 2
+"""
+
+
+# ---- fragment-to-page alignment (ops/align.py, M17 analog) -----------------
+# Page side: every sliding 5-token window of every document; element side:
+# non-overlapping 5-token chunks of every turn. Unique-hit filter, then
+# modal vote per turn with ties dropped — identical to ops.align.
+
+PAGE_ALIGN_SQL = (
+    _with(TRANSCRIPTS_CTE)
+    + f"""
+, ttok AS (
+  SELECT conv_id, turn_idx, unnest(toks) AS tok,
+         generate_subscripts(toks, 1) AS p
+  FROM (SELECT conv_id, turn_idx, string_split(text, ' ') AS toks
+        FROM transcripts)
+),
+tth AS (SELECT conv_id, turn_idx, p, ({_WINNOW_TH}) % 2147483647 AS h FROM ttok),
+tfp AS (
+  SELECT conv_id, turn_idx, p,
+    (
+      (h::HUGEINT * 1000003) % 2147483647
+    + ((lead(h, 1) OVER w)::HUGEINT * 998244353) % 2147483647
+    + ((lead(h, 2) OVER w)::HUGEINT * 69069) % 2147483647
+    + ((lead(h, 3) OVER w)::HUGEINT * 2654435761) % 2147483647
+    + ((lead(h, 4) OVER w)::HUGEINT * 998244853) % 2147483647
+    ) % 2147483647 AS frag
+  FROM tth WINDOW w AS (PARTITION BY conv_id, turn_idx ORDER BY p)
+),
+tfrag AS (
+  SELECT conv_id, turn_idx, CAST(frag AS BIGINT) AS frag
+  FROM tfp WHERE frag IS NOT NULL AND (p - 1) % 5 = 0
+),
+dtok AS (
+  SELECT doc_id, unnest(toks) AS tok, generate_subscripts(toks, 1) AS p
+  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+),
+dth AS (SELECT doc_id, p, ({_WINNOW_TH}) % 2147483647 AS h FROM dtok),
+dfp AS (
+  SELECT doc_id,
+    (
+      (h::HUGEINT * 1000003) % 2147483647
+    + ((lead(h, 1) OVER w)::HUGEINT * 998244353) % 2147483647
+    + ((lead(h, 2) OVER w)::HUGEINT * 69069) % 2147483647
+    + ((lead(h, 3) OVER w)::HUGEINT * 2654435761) % 2147483647
+    + ((lead(h, 4) OVER w)::HUGEINT * 998244853) % 2147483647
+    ) % 2147483647 AS frag
+  FROM dth WINDOW w AS (PARTITION BY doc_id ORDER BY p)
+),
+dfrag AS (
+  SELECT DISTINCT doc_id, CAST(frag AS BIGINT) AS frag
+  FROM dfp WHERE frag IS NOT NULL
+),
+uniq AS (
+  SELECT frag, max(doc_id) AS doc_id FROM dfrag
+  GROUP BY frag HAVING count(*) = 1
+),
+votes AS (
+  SELECT t.conv_id, t.turn_idx, u.doc_id, count(*) AS n
+  FROM tfrag t JOIN uniq u USING (frag) GROUP BY 1, 2, 3
+),
+best AS (
+  SELECT conv_id, turn_idx, doc_id, n,
+         max(n) OVER (PARTITION BY conv_id, turn_idx) AS mx
+  FROM votes
+),
+top AS (SELECT * FROM best WHERE n = mx),
+solo AS (
+  SELECT conv_id, turn_idx FROM top GROUP BY 1, 2 HAVING count(*) = 1
+)
+SELECT t.conv_id, t.turn_idx, CAST(t.doc_id AS BIGINT) AS page_doc,
+       CAST(t.n AS BIGINT) AS n_votes
+FROM top t JOIN solo s USING (conv_id, turn_idx)
+"""
+)
+
+
+# ---- TPC-H-Q3-shaped mixed join plan (ops/relational.py) -------------------
+# Revenue floored to integer cents on both engines: identical IEEE-double
+# expression order, then floor, then integer sum — summation-order-proof.
+
+Q3_SHIPPING_SQL = """
+WITH r AS (
+  SELECT l.l_orderkey AS o_orderkey, o.o_orderdate,
+         CAST(sum(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100)
+                       AS BIGINT)) AS BIGINT) AS revenue_cents
+  FROM lineitem l
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  WHERE c.c_mktsegment = 'BUILDING'
+  GROUP BY 1, 2
+)
+SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey, o_orderdate, revenue_cents
+FROM r ORDER BY revenue_cents DESC, o_orderkey LIMIT 10
+"""
+
+
+# ---- count-min sketch registers (ops/sketch.py, value-checked) --------------
+# Token id = winnowing token hash mod WINNOW_M (same chain as DOC_WINNOW);
+# row-d column = splitmix64(tid*CMS_D + d) mod CMS_W, recomputed here in
+# HUGEINT arithmetic — every counter in the D×W matrix is value-checked.
+
+from .ops.sketch import CMS_D, CMS_W  # noqa: E402
+
+CMS_WORDS_SQL = f"""
+WITH toks AS (SELECT unnest({_DOC_TOKS}) AS tok FROM documents),
+tid AS (SELECT ({_WINNOW_TH}) % {WINNOW_M} AS t FROM toks),
+x AS (
+  SELECT d.d AS row, t * {CMS_D} + d.d AS x0
+  FROM tid, (VALUES (0), (1), (2), (3)) AS d(d)
+),
+s0 AS (SELECT row, (CAST(x0 AS HUGEINT) + {SQLMIX_ADD}) % {_TWO64}::HUGEINT AS z FROM x),
+s1 AS (SELECT row, {_xorshift('z', 30)} AS z FROM s0),
+s2 AS (SELECT row, {_mulmod('z', SQLMIX_M1)} AS z FROM s1),
+s3 AS (SELECT row, {_xorshift('z', 27)} AS z FROM s2),
+s4 AS (SELECT row, {_mulmod('z', SQLMIX_M2)} AS z FROM s3),
+s5 AS (SELECT row, {_xorshift('z', 31)} AS z FROM s4)
+SELECT CAST(row AS BIGINT) AS row, CAST(z % {CMS_W} AS BIGINT) AS col,
+       CAST(count(*) AS BIGINT) AS n
+FROM s5 GROUP BY 1, 2
+"""
