@@ -277,3 +277,34 @@ def repetition_permilles(sig: dict) -> tuple[np.ndarray, np.ndarray]:
     nz = n_tok > 0
     top_pm[nz] = (1000 * top[nz]) // n_tok[nz]
     return rep_pm, top_pm
+
+
+def bib_compile(docs_ds):
+    """S10 validate-then-compile sink analog (reference: BibTeX fragments
+    validated line-by-line then concatenated into one sorted artifact,
+    /root/reference/src/references/compile-bib-references.py:26-90): keep
+    only documents passing the M19 line-shape rules, render each as one
+    catalog entry string, emit in doc_id order — `"\\n".join` of the
+    result column IS the compiled artifact. Validation and rendering are
+    one vectorized map; the only exchange is the final sort. Gate = the
+    M19 length rule alone (the terminal-punctuation rule would reject the
+    whole synthetic corpus — an empty compile artifact checks nothing)."""
+
+    def render(batch: pa.Table) -> pa.Table:
+        text = batch["text"].combine_chunks()
+        keep = pc.greater_equal(pc.utf8_length(text), VALIDATE_MIN_CHARS)
+        t = batch.filter(keep)
+        n = len(t)
+        entry = pc.binary_join_element_wise(
+            pa.array(["@doc{"] * n, type=pa.string()),
+            pc.cast(t["doc_id"].combine_chunks(), pa.string()),
+            pa.array([", source={"] * n, type=pa.string()),
+            t["source"].combine_chunks(),
+            pa.array(["}, nchars="] * n, type=pa.string()),
+            pc.cast(t["n_chars"].combine_chunks(), pa.string()),
+            pa.array(["}"] * n, type=pa.string()),
+            "",
+        )
+        return pa.table({"doc_id": t["doc_id"], "entry": entry})
+
+    return docs_ds.map_batches(render, batch_format="pyarrow").sort("doc_id")

@@ -273,6 +273,34 @@ def q_docs_jsonl_by_source(sf_dir: str):
     )
 
 
+def q_docs_csv_by_source(sf_dir: str):
+    """CSV source validated end-to-end: same aggregation as
+    `docs_by_source` over the streaming sharded-CSV read; the shared
+    Parquet oracle proves the CSV round trip loses nothing."""
+    from . import sources
+    from .ops.hashagg import hash_aggregate
+
+    return hash_aggregate(
+        sources.read_documents_csv(sf_dir).select_columns(
+            ["source", "lang", "n_chars"]
+        ),
+        keys=["source", "lang"],
+        aggs={
+            "n_docs": ("n_chars", "count"),
+            "sum_chars": ("n_chars", "sum"),
+            "max_chars": ("n_chars", "max"),
+        },
+    )
+
+
+def q_bib_compile(sf_dir: str):
+    """S10 validate-then-compile: valid docs rendered as sorted catalog
+    entries (the compiled artifact is the entry column joined)."""
+    return textstats.bib_compile(
+        _read(sf_dir, "documents", columns=["doc_id", "source", "n_chars", "text"])
+    )
+
+
 def q_merge_intro_pairs(sf_dir: str):
     return _conv_grouped(sf_dir, windows.merge_intro_pairs_part)
 
@@ -1189,6 +1217,8 @@ QUERIES = {
     "hopping_windows": q_hopping_windows,
     "page_align": q_page_align,
     "cms_words": q_cms_words,
+    "docs_csv_by_source": q_docs_csv_by_source,
+    "bib_compile": q_bib_compile,
 }
 
 ORACLES = {
@@ -1298,6 +1328,8 @@ ORACLES = {
     "hopping_windows": sql_ops.HOPPING_WINDOWS_SQL,
     "page_align": sql_ops.PAGE_ALIGN_SQL,
     "cms_words": sql_ops.CMS_WORDS_SQL,
+    "docs_csv_by_source": sql_ops.DOCS_BY_SOURCE_SQL,
+    "bib_compile": sql_ops.BIB_COMPILE_SQL,
     # quantized hyperplane projection — full value check (same inlined
     # plane matrix on both sides)
     "lsh_buckets": sql_ops.LSH_BUCKETS_SQL,

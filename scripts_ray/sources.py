@@ -293,3 +293,37 @@ def read_documents_jsonl(sf_dir: str):
     import ray.data as rd
 
     return rd.read_json(documents_jsonl_path(sf_dir))
+
+
+# ---- CSV source (S3/S7 read side) -------------------------------------------
+
+
+def documents_csv_path(sf_dir: str) -> str:
+    """Materialize the documents table as sharded CSV once (cached under
+    /tmp, atomic rename) — the CSV twin of `documents_jsonl_path`, standing
+    in for the reference's CSV inputs (metadata tables, segmentation
+    side-channel frames, /root/reference/src/cur-prot/resegment.py:38)."""
+    import os
+
+    import ray.data as rd
+
+    tag = sf_dir.strip("/").replace("/", "_")
+    path = f"/tmp/docs_csv_{tag}"
+    if not os.path.exists(path):
+        tmp = path + ".tmp"
+        (
+            rd.read_parquet(f"{sf_dir}/documents.parquet")
+            .repartition(8)
+            .write_csv(tmp)
+        )
+        os.rename(tmp, path)
+    return path
+
+
+def read_documents_csv(sf_dir: str):
+    """Streaming CSV read of the documents corpus, schema-identical to the
+    Parquet read (S7's df.to_csv/read_csv pairs re-expressed as a proper
+    sharded source)."""
+    import ray.data as rd
+
+    return rd.read_csv(documents_csv_path(sf_dir))

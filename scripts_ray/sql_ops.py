@@ -1449,3 +1449,15 @@ SELECT CAST(row AS BIGINT) AS row, CAST(z % {CMS_W} AS BIGINT) AS col,
        CAST(count(*) AS BIGINT) AS n
 FROM s5 GROUP BY 1, 2
 """
+
+
+# ---- S10 validate-then-compile (ops/textstats.bib_compile) ------------------
+
+BIB_COMPILE_SQL = """
+SELECT doc_id,
+       '@doc{' || CAST(doc_id AS VARCHAR) || ', source={' || source ||
+       '}, nchars=' || CAST(n_chars AS VARCHAR) || '}' AS entry
+FROM documents
+WHERE length(text) >= 50
+ORDER BY doc_id
+"""

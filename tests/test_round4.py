@@ -211,3 +211,37 @@ def test_cms_point_estimates_bound_exact_counts(ray_session, sf_dir, duck):
     for tok, n in zip(exact["tok"], exact["n"]):
         assert ests[tok] >= n, (tok, ests[tok], n)
         assert ests[tok] <= n + 4 * math.e * n_total / CMS_W, (tok, ests[tok], n)
+
+
+def test_docs_csv_by_source_matches_oracle(ray_session, sf_dir, duck):
+    from scripts_ray import queries, sql_ops
+
+    _cmp(
+        queries.QUERIES["docs_csv_by_source"](sf_dir),
+        duck,
+        sql_ops.DOCS_BY_SOURCE_SQL,
+        ["source", "lang"],
+    )
+
+
+def test_bib_compile_matches_oracle(ray_session, sf_dir, duck):
+    from scripts_ray import queries, sql_ops
+
+    _cmp(
+        queries.QUERIES["bib_compile"](sf_dir),
+        duck,
+        sql_ops.BIB_COMPILE_SQL,
+        ["doc_id"],
+    )
+
+
+def test_bib_compile_artifact_is_sorted_and_valid_only(ray_session, sf_dir, duck):
+    from scripts_ray import queries
+
+    got = queries.QUERIES["bib_compile"](sf_dir).to_pandas()
+    assert got["doc_id"].is_monotonic_increasing
+    n_valid = duck.execute(
+        "SELECT count(*) FROM documents WHERE length(text) >= 50"
+    ).fetchone()[0]
+    assert len(got) == n_valid
+    assert got["entry"].str.startswith("@doc{").all()
