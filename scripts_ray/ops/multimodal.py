@@ -123,3 +123,47 @@ def sample_frames(payload_ds, concurrency=(1, 4), batch_size=64, **kw):
         concurrency=concurrency,
         num_cpus=1,
     )
+
+
+RESIZE_MAX_SIDE = 224
+
+
+class ImageResizer:
+    """Actor-pool resize stage chained after decode: fit (width, height)
+    into RESIZE_MAX_SIDE preserving aspect ratio, never upscaling — all
+    integer math (scale in permille, floor), so the output geometry is
+    value-checked by the SQL oracle. The pixel work is what a real codec
+    would do per batch; the geometry contract is what downstream batching
+    (fixed-size tensor stacking) depends on, and is real and tested.
+
+    Input batch: (item_id, width, height); output adds
+    (out_w, out_h, scale_permille).
+    """
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        w = batch["width"].to_numpy(zero_copy_only=False)
+        h = batch["height"].to_numpy(zero_copy_only=False)
+        side = np.maximum(w, h)
+        scale = np.where(
+            side <= RESIZE_MAX_SIDE, 1000, RESIZE_MAX_SIDE * 1000 // side
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "item_id": batch["item_id"],
+                "out_w": pa.array(w * scale // 1000, type=pa.int64()),
+                "out_h": pa.array(h * scale // 1000, type=pa.int64()),
+                "scale_permille": pa.array(scale, type=pa.int64()),
+            }
+        )
+
+
+def resize_images(payload_ds, concurrency=(1, 4), batch_size=64):
+    """decode → resize actor-pool chain over binary payloads."""
+    return decode_images(
+        payload_ds, concurrency=concurrency, batch_size=batch_size
+    ).map_batches(
+        ImageResizer,
+        batch_format="pyarrow",
+        concurrency=concurrency,
+        batch_size=batch_size,
+    )

@@ -990,6 +990,18 @@ def q_image_decode(sf_dir: str):
     ).select_columns(["item_id", "width", "height"])
 
 
+def q_image_resize(sf_dir: str):
+    """Decode → resize actor-pool chain; geometry (fit into 224, no
+    upscale, integer permille scale) is the value-checked contract."""
+    from .ops import multimodal
+
+    return multimodal.resize_images(
+        multimodal.docs_as_payloads(
+            _read(sf_dir, "documents", columns=["doc_id", "text"])
+        )
+    )
+
+
 def q_frame_sample(sf_dir: str):
     from .ops import multimodal
 
@@ -1219,6 +1231,7 @@ QUERIES = {
     "cms_words": q_cms_words,
     "docs_csv_by_source": q_docs_csv_by_source,
     "bib_compile": q_bib_compile,
+    "image_resize": q_image_resize,
 }
 
 ORACLES = {
@@ -1330,6 +1343,7 @@ ORACLES = {
     "cms_words": sql_ops.CMS_WORDS_SQL,
     "docs_csv_by_source": sql_ops.DOCS_BY_SOURCE_SQL,
     "bib_compile": sql_ops.BIB_COMPILE_SQL,
+    "image_resize": sql_ops.IMAGE_RESIZE_SQL,
     # quantized hyperplane projection — full value check (same inlined
     # plane matrix on both sides)
     "lsh_buckets": sql_ops.LSH_BUCKETS_SQL,

@@ -1461,3 +1461,24 @@ FROM documents
 WHERE length(text) >= 50
 ORDER BY doc_id
 """
+
+
+# ---- image resize geometry (ops/multimodal.ImageResizer) --------------------
+
+IMAGE_RESIZE_SQL = """
+WITH dec AS (
+  SELECT doc_id AS item_id,
+    CAST(64 + octet_length(encode(text)) % 193 AS BIGINT) AS width,
+    CAST(64 + (octet_length(encode(text)) // 7) % 129 AS BIGINT) AS height
+  FROM documents
+),
+s AS (
+  SELECT *, CASE WHEN greatest(width, height) <= 224 THEN 1000
+                 ELSE 224 * 1000 // greatest(width, height) END AS scale_permille
+  FROM dec
+)
+SELECT item_id, CAST(width * scale_permille // 1000 AS BIGINT) AS out_w,
+       CAST(height * scale_permille // 1000 AS BIGINT) AS out_h,
+       CAST(scale_permille AS BIGINT) AS scale_permille
+FROM s
+"""

@@ -245,3 +245,24 @@ def test_bib_compile_artifact_is_sorted_and_valid_only(ray_session, sf_dir, duck
     ).fetchone()[0]
     assert len(got) == n_valid
     assert got["entry"].str.startswith("@doc{").all()
+
+
+def test_image_resize_matches_oracle(ray_session, sf_dir, duck):
+    from scripts_ray import queries, sql_ops
+
+    _cmp(
+        queries.QUERIES["image_resize"](sf_dir),
+        duck,
+        sql_ops.IMAGE_RESIZE_SQL,
+        ["item_id"],
+    )
+
+
+def test_image_resize_never_upscales_and_fits(ray_session, sf_dir):
+    from scripts_ray import queries
+    from scripts_ray.ops.multimodal import RESIZE_MAX_SIDE
+
+    got = queries.QUERIES["image_resize"](sf_dir).to_pandas()
+    assert (got["out_w"] <= RESIZE_MAX_SIDE).all()
+    assert (got["out_h"] <= RESIZE_MAX_SIDE).all()
+    assert (got["scale_permille"] <= 1000).all()
