@@ -191,7 +191,9 @@ def hash_join(
 ):
     """Distributed hash join on the same two-level exchange (Ray 2.49's
     native ``Dataset.join`` relies on the hash-shuffle backend that hangs
-    in local mode). Both sides are tagged with the same deterministic key
+    in local mode). `how`: 'inner' | 'left' | 'semi' | 'anti' — semi/anti
+    emit left columns only (membership tested per partition with right
+    keys deduplicated, so duplicate right keys never multiply rows). Both sides are tagged with the same deterministic key
     partition id and a side marker, unioned, exchanged once, and merged
     per partition with a vectorized pandas merge. Use ONLY when both sides
     are large — a dimension-sized right side should be broadcast
@@ -208,7 +210,7 @@ def hash_join(
     right_on = on if right_on is None else (
         [right_on] if isinstance(right_on, str) else list(right_on)
     )
-    if how not in ("inner", "left"):
+    if how not in ("inner", "left", "semi", "anti"):
         raise ValueError(f"unsupported join type: {how!r}")
 
     lschema = left_ds.schema(fetch_if_missing=True)
@@ -240,7 +242,12 @@ def hash_join(
                 "empty_right_cols=[...] if an empty right side is expected"
             )
 
+        if how == "anti":
+            return left_ds  # nothing to exclude
+
         def pad(batch: pd.DataFrame) -> pd.DataFrame:
+            if how == "semi":
+                return batch.head(0)
             out = batch.convert_dtypes().reindex(
                 columns=list(batch.columns) + list(empty_right_cols)
             )
@@ -281,6 +288,12 @@ def hash_join(
         part = part.reset_index(drop=True)
         left = part.loc[part["_side"] == 0, left_cols]
         right = part.loc[part["_side"] == 1, right_cols]
+        if how in ("semi", "anti"):
+            rk = right[right_on].drop_duplicates()
+            rk.columns = on
+            m = left.merge(rk, how="left", on=on, indicator=True)
+            want = "both" if how == "semi" else "left_only"
+            return m.loc[m["_merge"] == want, left_cols]
         return left.merge(right, how=how, left_on=on, right_on=right_on)
 
     return (

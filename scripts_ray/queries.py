@@ -1080,6 +1080,22 @@ def q_q1_counts(sf_dir: str):
     )
 
 
+def q_orders_no_lineitem(sf_dir: str):
+    """Distributed ANTI join (both sides exchanged): orders with no
+    lineitem rows — the D5 membership-difference shape at fact-by-fact
+    scale (the broadcast anti-join in unknown_turns covers the
+    dimension-sized case)."""
+    from .ops.hashagg import hash_join
+
+    return hash_join(
+        _read(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"]),
+        _read(sf_dir, "lineitem", columns=["l_orderkey"]),
+        on="o_orderkey",
+        right_on="l_orderkey",
+        how="anti",
+    )
+
+
 def q_q3_shipping(sf_dir: str):
     """Mixed join plan: broadcast dimension filter + distributed fact join
     + two-level aggregate + top-k (TPC-H Q3 shape)."""
@@ -1232,6 +1248,7 @@ QUERIES = {
     "docs_csv_by_source": q_docs_csv_by_source,
     "bib_compile": q_bib_compile,
     "image_resize": q_image_resize,
+    "orders_no_lineitem": q_orders_no_lineitem,
 }
 
 ORACLES = {
@@ -1344,6 +1361,7 @@ ORACLES = {
     "docs_csv_by_source": sql_ops.DOCS_BY_SOURCE_SQL,
     "bib_compile": sql_ops.BIB_COMPILE_SQL,
     "image_resize": sql_ops.IMAGE_RESIZE_SQL,
+    "orders_no_lineitem": sql_ops.ORDERS_NO_LINEITEM_SQL,
     # quantized hyperplane projection — full value check (same inlined
     # plane matrix on both sides)
     "lsh_buckets": sql_ops.LSH_BUCKETS_SQL,

@@ -1482,3 +1482,11 @@ SELECT item_id, CAST(width * scale_permille // 1000 AS BIGINT) AS out_w,
        CAST(scale_permille AS BIGINT) AS scale_permille
 FROM s
 """
+
+
+# ---- distributed anti join (hashagg.hash_join how='anti') -------------------
+
+ORDERS_NO_LINEITEM_SQL = """
+SELECT o.o_orderkey, o.o_totalprice
+FROM orders o ANTI JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+"""

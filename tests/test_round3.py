@@ -10,6 +10,8 @@ def _cmp(ray_res, duck, sql, sort_cols):
     for c in got.columns:
         if got[c].dtype != exp[c].dtype and np.issubdtype(exp[c].dtype, np.integer):
             got[c] = got[c].astype(exp[c].dtype)
+        elif got[c].dtype != exp[c].dtype and np.issubdtype(exp[c].dtype, np.floating):
+            got[c] = got[c].astype(exp[c].dtype)  # nullable Float64 → float64
         elif pd.api.types.is_string_dtype(got[c]) and exp[c].dtype == object:
             got[c] = got[c].astype(object)
     pd.testing.assert_frame_equal(got[sorted(got.columns)], exp[sorted(exp.columns)])

@@ -266,3 +266,53 @@ def test_image_resize_never_upscales_and_fits(ray_session, sf_dir):
     assert (got["out_w"] <= RESIZE_MAX_SIDE).all()
     assert (got["out_h"] <= RESIZE_MAX_SIDE).all()
     assert (got["scale_permille"] <= 1000).all()
+
+
+def test_orders_no_lineitem_matches_oracle(ray_session, sf_dir, duck):
+    from scripts_ray import queries, sql_ops
+
+    _cmp(
+        queries.QUERIES["orders_no_lineitem"](sf_dir),
+        duck,
+        sql_ops.ORDERS_NO_LINEITEM_SQL,
+        ["o_orderkey"],
+    )
+
+
+def test_hash_join_semi_anti_vs_pandas(ray_session):
+    """semi/anti hash_join against the pandas reference, including keys on
+    only one side and duplicate right keys (must not multiply semi rows)."""
+    import ray.data as rd
+
+    from scripts_ray.ops.hashagg import hash_join
+
+    left = pd.DataFrame({"k": [1, 2, 3, 4, 4], "a": [10, 20, 30, 40, 41]})
+    right = pd.DataFrame({"rk": [2, 4, 4, 9], "b": [0, 0, 0, 0]})
+    semi = (
+        hash_join(rd.from_pandas(left), rd.from_pandas(right),
+                  on="k", right_on="rk", how="semi")
+        .to_pandas().sort_values("a").reset_index(drop=True)
+    )
+    anti = (
+        hash_join(rd.from_pandas(left), rd.from_pandas(right),
+                  on="k", right_on="rk", how="anti")
+        .to_pandas().sort_values("a").reset_index(drop=True)
+    )
+    assert semi["a"].tolist() == [20, 40, 41]
+    assert list(semi.columns) == ["k", "a"]
+    assert anti["a"].tolist() == [10, 30]
+
+
+def test_hash_join_anti_empty_right(ray_session):
+    import ray.data as rd
+
+    from scripts_ray.ops.hashagg import hash_join
+
+    left = pd.DataFrame({"k": [1, 2], "a": [10, 20]})
+    right = pd.DataFrame({"rk": [1], "b": [0]})
+    empty_right = rd.from_pandas(right).filter(lambda r: r["rk"] < 0)
+    out = hash_join(
+        rd.from_pandas(left), empty_right, on="k", right_on="rk",
+        how="anti", empty_right_cols=["rk", "b"],
+    ).to_pandas()
+    assert sorted(out["a"].tolist()) == [10, 20]
