@@ -191,9 +191,11 @@ def hash_join(
 ):
     """Distributed hash join on the same two-level exchange (Ray 2.49's
     native ``Dataset.join`` relies on the hash-shuffle backend that hangs
-    in local mode). `how`: 'inner' | 'left' | 'semi' | 'anti' — semi/anti
-    emit left columns only (membership tested per partition with right
-    keys deduplicated, so duplicate right keys never multiply rows). Both sides are tagged with the same deterministic key
+    in local mode). `how`: 'inner' | 'left' | 'outer' | 'semi' | 'anti' —
+    semi/anti emit left columns only (membership tested per partition with
+    right keys deduplicated, so duplicate right keys never multiply rows);
+    'outer' is a full outer join (unmatched rows of BOTH sides survive
+    with the other side's columns null). Both sides are tagged with the same deterministic key
     partition id and a side marker, unioned, exchanged once, and merged
     per partition with a vectorized pandas merge. Use ONLY when both sides
     are large — a dimension-sized right side should be broadcast
@@ -210,7 +212,7 @@ def hash_join(
     right_on = on if right_on is None else (
         [right_on] if isinstance(right_on, str) else list(right_on)
     )
-    if how not in ("inner", "left", "semi", "anti"):
+    if how not in ("inner", "left", "outer", "semi", "anti"):
         raise ValueError(f"unsupported join type: {how!r}")
 
     lschema = left_ds.schema(fetch_if_missing=True)
@@ -220,8 +222,9 @@ def hash_join(
                 "hash_join: left side is empty and lost its schema; pass "
                 "empty_left_cols=[...] if an empty left side is expected"
             )
-        # empty left: inner and left joins are both empty — emit a typed
-        # empty frame per right block so downstream keeps the column set
+        # empty left: inner/left/semi/anti are all empty — emit a typed
+        # empty frame per right block so downstream keeps the column set;
+        # outer keeps every right row with null left columns
         rcols_hint = empty_right_cols or []
 
         def empty_out(batch: pd.DataFrame) -> pd.DataFrame:
@@ -230,7 +233,8 @@ def hash_join(
                     list(empty_left_cols) + list(batch.columns) + list(rcols_hint)
                 )
             )
-            return batch.convert_dtypes().reindex(columns=cols).head(0)
+            out = batch.convert_dtypes().reindex(columns=cols)
+            return out if how == "outer" else out.head(0)
 
         return right_ds.map_batches(empty_out, batch_format="pandas")
     left_cols = lschema.names
@@ -251,7 +255,7 @@ def hash_join(
             out = batch.convert_dtypes().reindex(
                 columns=list(batch.columns) + list(empty_right_cols)
             )
-            return out if how == "left" else out.head(0)
+            return out if how in ("left", "outer") else out.head(0)
 
         return left_ds.map_batches(pad, batch_format="pandas")
     right_cols = rschema.names

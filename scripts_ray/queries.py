@@ -1096,6 +1096,51 @@ def q_orders_no_lineitem(sf_dir: str):
     )
 
 
+def q_click_purchase_matrix(sf_dir: str):
+    """Distributed FULL OUTER join: per-user click counts ⟗ purchase
+    counts — users appearing on either side survive, missing side filled
+    with zero (the coalesce step every outer join feeds). Both sides are
+    unbounded aggregates of the same stream."""
+    from .ops.hashagg import hash_aggregate, hash_join
+
+    ev = _read(sf_dir, "events", columns=["user_id", "event_type"])
+
+    def side(event_type: str, out_col: str):
+        def project(batch: pd.DataFrame) -> pd.DataFrame:
+            b = batch[batch["event_type"] == event_type]
+            return pd.DataFrame(
+                {("u_click" if out_col == "n_clicks" else "u_buy"):
+                 b["user_id"].astype(np.int64)}
+            )
+
+        key = "u_click" if out_col == "n_clicks" else "u_buy"
+        return hash_aggregate(
+            ev.map_batches(project, batch_format="pandas"),
+            keys=key,
+            aggs={out_col: (key, "count")},
+        )
+
+    joined = hash_join(
+        side("click", "n_clicks"),
+        side("purchase", "n_purchases"),
+        on="u_click",
+        right_on="u_buy",
+        how="outer",
+    )
+
+    def finish(batch: pd.DataFrame) -> pd.DataFrame:
+        uid = batch["u_click"].astype("Int64").fillna(batch["u_buy"].astype("Int64"))
+        return pd.DataFrame(
+            {
+                "user_id": uid.astype(np.int64),
+                "n_clicks": batch["n_clicks"].fillna(0).astype(np.int64),
+                "n_purchases": batch["n_purchases"].fillna(0).astype(np.int64),
+            }
+        )
+
+    return joined.map_batches(finish, batch_format="pandas")
+
+
 def q_q3_shipping(sf_dir: str):
     """Mixed join plan: broadcast dimension filter + distributed fact join
     + two-level aggregate + top-k (TPC-H Q3 shape)."""
@@ -1249,6 +1294,7 @@ QUERIES = {
     "bib_compile": q_bib_compile,
     "image_resize": q_image_resize,
     "orders_no_lineitem": q_orders_no_lineitem,
+    "click_purchase_matrix": q_click_purchase_matrix,
 }
 
 ORACLES = {
@@ -1362,6 +1408,7 @@ ORACLES = {
     "bib_compile": sql_ops.BIB_COMPILE_SQL,
     "image_resize": sql_ops.IMAGE_RESIZE_SQL,
     "orders_no_lineitem": sql_ops.ORDERS_NO_LINEITEM_SQL,
+    "click_purchase_matrix": sql_ops.CLICK_PURCHASE_MATRIX_SQL,
     # quantized hyperplane projection — full value check (same inlined
     # plane matrix on both sides)
     "lsh_buckets": sql_ops.LSH_BUCKETS_SQL,

@@ -1490,3 +1490,21 @@ ORDERS_NO_LINEITEM_SQL = """
 SELECT o.o_orderkey, o.o_totalprice
 FROM orders o ANTI JOIN lineitem l ON l.l_orderkey = o.o_orderkey
 """
+
+
+# ---- distributed full outer join (hashagg.hash_join how='outer') ------------
+
+CLICK_PURCHASE_MATRIX_SQL = """
+WITH c AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS n_clicks
+  FROM events WHERE event_type = 'click' GROUP BY 1
+),
+p AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS n_purchases
+  FROM events WHERE event_type = 'purchase' GROUP BY 1
+)
+SELECT CAST(coalesce(c.user_id, p.user_id) AS BIGINT) AS user_id,
+       CAST(coalesce(c.n_clicks, 0) AS BIGINT) AS n_clicks,
+       CAST(coalesce(p.n_purchases, 0) AS BIGINT) AS n_purchases
+FROM c FULL OUTER JOIN p ON p.user_id = c.user_id
+"""

@@ -316,3 +316,40 @@ def test_hash_join_anti_empty_right(ray_session):
         how="anti", empty_right_cols=["rk", "b"],
     ).to_pandas()
     assert sorted(out["a"].tolist()) == [10, 20]
+
+
+def test_click_purchase_matrix_matches_oracle(ray_session, sf_dir, duck):
+    from scripts_ray import queries, sql_ops
+
+    _cmp(
+        queries.QUERIES["click_purchase_matrix"](sf_dir),
+        duck,
+        sql_ops.CLICK_PURCHASE_MATRIX_SQL,
+        ["user_id"],
+    )
+
+
+def test_hash_join_outer_vs_pandas(ray_session):
+    """Full outer join against the pandas reference: left-only, right-only
+    and matched keys, duplicate keys multiplying matched rows."""
+    import ray.data as rd
+
+    from scripts_ray.ops.hashagg import hash_join
+
+    left = pd.DataFrame({"k": [1, 2, 2], "a": [10, 20, 21]})
+    right = pd.DataFrame({"rk": [2, 3], "b": [200, 300]})
+    got = (
+        hash_join(rd.from_pandas(left), rd.from_pandas(right),
+                  on="k", right_on="rk", how="outer")
+        .to_pandas()
+        .astype("Float64")
+        .sort_values(["k", "a", "rk"], na_position="last")
+        .reset_index(drop=True)
+    )
+    exp = (
+        left.merge(right, how="outer", left_on="k", right_on="rk")
+        .astype("Float64")
+        .sort_values(["k", "a", "rk"], na_position="last")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, exp)
