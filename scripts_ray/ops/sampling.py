@@ -223,3 +223,32 @@ def shard_pack(docs_ds, shard_tokens: int = SHARD_TOKENS,
         return d[["doc_id", "n_tok", "shard_id"]]
 
     return map_partitions_by_key(per_doc, "bucket", pack)
+
+
+SPLIT_BUCKETS = 100
+SPLIT_TRAIN_LT = 90  # [0,90) train
+SPLIT_VAL_LT = 95    # [90,95) val, [95,100) test
+
+
+def dataset_split(docs_ds):
+    """Deterministic train/val/test assignment per document: bucket =
+    splitmix64(doc_id) mod 100 → 90/5/5. A pure map — no exchange, no
+    RNG, stable under re-runs and appends (a new document's split never
+    depends on the rest of the corpus), which is what makes the split
+    reproducible at 100 TB and across engine versions. Value-checked: the
+    SQL oracle recomputes the identical mix chain."""
+    import pandas as pd
+
+    from .dedup import sql_mix64
+
+    def assign(batch: pd.DataFrame) -> pd.DataFrame:
+        ids = batch["doc_id"].to_numpy(dtype=np.int64)
+        b = (sql_mix64(ids) % np.uint64(SPLIT_BUCKETS)).astype(np.int64)
+        split = np.where(
+            b < SPLIT_TRAIN_LT, "train", np.where(b < SPLIT_VAL_LT, "val", "test")
+        )
+        return pd.DataFrame(
+            {"doc_id": ids, "bucket": b, "split": split}
+        )
+
+    return docs_ds.map_batches(assign, batch_format="pandas")

@@ -1178,6 +1178,12 @@ def q_hopping_windows(sf_dir: str):
     )
 
 
+def q_dataset_split(sf_dir: str):
+    """Deterministic 90/5/5 train/val/test assignment per document —
+    pure map, append-stable, value-checked splitmix64 bucket."""
+    return sampling.dataset_split(_read(sf_dir, "documents", columns=["doc_id"]))
+
+
 def q_cms_words(sf_dir: str):
     """Count-min sketch counters over the documents token stream —
     mergeable approximate point counts; the full D×W register matrix is
@@ -1295,6 +1301,7 @@ QUERIES = {
     "image_resize": q_image_resize,
     "orders_no_lineitem": q_orders_no_lineitem,
     "click_purchase_matrix": q_click_purchase_matrix,
+    "dataset_split": q_dataset_split,
 }
 
 ORACLES = {
@@ -1409,6 +1416,7 @@ ORACLES = {
     "image_resize": sql_ops.IMAGE_RESIZE_SQL,
     "orders_no_lineitem": sql_ops.ORDERS_NO_LINEITEM_SQL,
     "click_purchase_matrix": sql_ops.CLICK_PURCHASE_MATRIX_SQL,
+    "dataset_split": sql_ops.DATASET_SPLIT_SQL,
     # quantized hyperplane projection — full value check (same inlined
     # plane matrix on both sides)
     "lsh_buckets": sql_ops.LSH_BUCKETS_SQL,

@@ -1508,3 +1508,24 @@ SELECT CAST(coalesce(c.user_id, p.user_id) AS BIGINT) AS user_id,
        CAST(coalesce(p.n_purchases, 0) AS BIGINT) AS n_purchases
 FROM c FULL OUTER JOIN p ON p.user_id = c.user_id
 """
+
+
+# ---- train/val/test split assignment (ops/sampling.dataset_split) -----------
+
+from .ops.sampling import SPLIT_BUCKETS, SPLIT_TRAIN_LT, SPLIT_VAL_LT  # noqa: E402
+
+DATASET_SPLIT_SQL = f"""
+WITH s0 AS (SELECT doc_id, (CAST(doc_id AS HUGEINT) + {SQLMIX_ADD})
+                           % {_TWO64}::HUGEINT AS z FROM documents),
+s1 AS (SELECT doc_id, {_xorshift('z', 30)} AS z FROM s0),
+s2 AS (SELECT doc_id, {_mulmod('z', SQLMIX_M1)} AS z FROM s1),
+s3 AS (SELECT doc_id, {_xorshift('z', 27)} AS z FROM s2),
+s4 AS (SELECT doc_id, {_mulmod('z', SQLMIX_M2)} AS z FROM s3),
+s5 AS (SELECT doc_id, {_xorshift('z', 31)} AS z FROM s4)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(z % {SPLIT_BUCKETS} AS BIGINT) AS bucket,
+       CASE WHEN z % {SPLIT_BUCKETS} < {SPLIT_TRAIN_LT} THEN 'train'
+            WHEN z % {SPLIT_BUCKETS} < {SPLIT_VAL_LT} THEN 'val'
+            ELSE 'test' END AS split
+FROM s5
+"""

@@ -353,3 +353,37 @@ def test_hash_join_outer_vs_pandas(ray_session):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(got, exp)
+
+
+def test_dataset_split_matches_oracle(ray_session, sf_dir, duck):
+    from scripts_ray import queries, sql_ops
+
+    _cmp(
+        queries.QUERIES["dataset_split"](sf_dir),
+        duck,
+        sql_ops.DATASET_SPLIT_SQL,
+        ["doc_id"],
+    )
+
+
+def test_dataset_split_proportions_and_stability(ray_session, sf_dir):
+    """~90/5/5 proportions, and a document's split never depends on the
+    rest of the corpus (append-stability: the first half of the table gets
+    identical assignments when processed alone)."""
+    import ray.data as rd
+
+    from scripts_ray.ops.sampling import dataset_split
+
+    full = queries_split = None
+    from scripts_ray import queries
+
+    full = queries.QUERIES["dataset_split"](sf_dir).to_pandas()
+    frac = full["split"].value_counts(normalize=True)
+    assert 0.80 <= frac["train"] <= 0.97
+    assert frac.get("val", 0) > 0 and frac.get("test", 0) > 0
+    half_ids = full["doc_id"].iloc[: len(full) // 2]
+    half = dataset_split(
+        rd.from_pandas(pd.DataFrame({"doc_id": half_ids}))
+    ).to_pandas()
+    m = half.merge(full, on="doc_id", suffixes=("_half", "_full"))
+    assert (m["split_half"] == m["split_full"]).all()
