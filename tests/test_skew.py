@@ -61,3 +61,42 @@ def test_cli_end_to_end(ray_session, sf_dir, tmp_path, capsys):
     n_rows = len(sources.derive_transcripts_table(sf_dir))
     assert rep["rows_out"] == n_rows
     assert 0 < rep["kept"] < n_rows
+
+
+def test_temporal_joins_hot_user(ray_session):
+    """A single user holding most of the stream (hot key) still lands in
+    one partition and produces exact counts — skew degrades balance, not
+    correctness."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from scripts_ray.ops.temporal import asof_join_events, range_join_events
+
+    rng = np.random.RandomState(7)
+    n = 5000
+    # user 1 owns 80% of events; 50 cold users share the rest
+    users = np.where(rng.rand(n) < 0.8, 1, rng.randint(2, 52, n))
+    ts = pd.Timestamp("2024-01-01") + pd.to_timedelta(
+        np.sort(rng.randint(0, 86400 * 30, n)), unit="s"
+    )
+    etype = np.where(rng.rand(n) < 0.5, "click", np.where(rng.rand(n) < 0.5, "view", "purchase"))
+    df = pd.DataFrame(
+        {"event_id": np.arange(n), "user_id": users, "ts": ts,
+         "event_type": etype, "value": rng.rand(n)}
+    )
+    ds = rd.from_pandas(df).repartition(16)
+    n_purch = int((df["event_type"] == "purchase").sum())
+    asof = asof_join_events(ds).to_pandas()
+    rng_out = range_join_events(ds).to_pandas()
+    assert len(asof) == n_purch and len(rng_out) == n_purch
+    # exact reference for the hot user's last purchase
+    hot = df[df["user_id"] == 1]
+    p = hot[hot["event_type"] == "purchase"].iloc[-1]
+    expect = hot[
+        (hot["event_type"] == "click")
+        & (hot["ts"] > p["ts"] - pd.Timedelta(days=7))
+        & (hot["ts"] <= p["ts"])
+    ].shape[0]
+    got = rng_out.loc[rng_out["event_id"] == p["event_id"], "n_clicks_7d"].iloc[0]
+    assert got == expect
