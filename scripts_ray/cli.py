@@ -1,8 +1,13 @@
-"""CLI entry point: run the flagship quality-filter job with resumable
-partitioned output.
+"""CLI entry point.
 
+    # flagship quality-filter job with resumable partitioned output
     python -m scripts_ray.cli run --sf-dir /root/testdata/sf0.01 \
         --output /tmp/qf_out --buckets 8 --num-cpus 8 [--no-resume]
+
+    # any registered operator by name (see `list`)
+    python -m scripts_ray.cli list
+    python -m scripts_ray.cli query word_freq --sf-dir /root/testdata/sf0.01
+    python -m scripts_ray.cli query dedup_turns --output /tmp/dedup.parquet
 
 Owns the Ray session (guarded init) — the only place besides bench.py and
 the test fixture that does.
@@ -26,7 +31,25 @@ def main(argv=None):
     run.add_argument("--num-cpus", type=int, default=int(os.environ.get("RAY_GRAFT_CPUS", "8")))
     run.add_argument("--no-resume", action="store_true")
     run.add_argument("--max-buckets", type=int, default=None)
+    q = sub.add_parser("query", help="run any registered query by name")
+    q.add_argument("name")
+    q.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    q.add_argument("--output", default=None,
+                   help="sink path (.csv → CSV, else partitioned Parquet); "
+                        "omit to print the first --show rows")
+    q.add_argument("--show", type=int, default=10)
+    q.add_argument("--num-cpus", type=int,
+                   default=int(os.environ.get("RAY_GRAFT_CPUS", "8")))
+    sub.add_parser("list", help="list registered queries")
     args = p.parse_args(argv)
+
+    if args.cmd == "list":
+        from .queries import ORACLES, QUERIES
+
+        for name in sorted(QUERIES):
+            kind = "oracle" if name in ORACLES else "rows-only"
+            print(f"{name}\t{kind}")
+        return
 
     import ray
 
@@ -42,6 +65,40 @@ def main(argv=None):
         from ray.data import DataContext
 
         DataContext.get_current().enable_progress_bars = False
+
+        if args.cmd == "query":
+            from .queries import QUERIES
+
+            if args.name not in QUERIES:
+                raise SystemExit(
+                    f"unknown query {args.name!r} — run `list` for names"
+                )
+            res = QUERIES[args.name](args.sf_dir)
+            is_ds = hasattr(res, "iter_batches")
+            if args.output:
+                if args.output.endswith(".csv"):
+                    if is_ds:
+                        res = res.to_pandas()
+                    elif hasattr(res, "to_pandas"):  # pyarrow.Table
+                        res = res.to_pandas()
+                    res.to_csv(args.output, index=False)
+                    print(json.dumps({"rows": len(res), "sink": args.output}))
+                else:
+                    if not is_ds:
+                        import ray.data as rd
+
+                        res = rd.from_pandas(
+                            res.to_pandas() if hasattr(res, "to_pandas") else res
+                        )
+                    res.write_parquet(args.output)
+                    print(json.dumps({"sink": args.output}))
+            else:
+                head = res.limit(args.show).to_pandas() if is_ds else (
+                    res.to_pandas().head(args.show)
+                    if hasattr(res, "to_pandas") else res.head(args.show)
+                )
+                print(head.to_string(index=False))
+            return
 
         from . import checkpoint, pipelines, sources
 

@@ -387,3 +387,18 @@ def test_dataset_split_proportions_and_stability(ray_session, sf_dir):
     ).to_pandas()
     m = half.merge(full, on="doc_id", suffixes=("_half", "_full"))
     assert (m["split_half"] == m["split_full"]).all()
+
+
+def test_cli_query_and_list(ray_session, sf_dir, tmp_path, capsys):
+    """`query <name>` runs any registered operator; `list` enumerates the
+    registry. The CLI reuses the session's Ray (guarded init)."""
+    from scripts_ray.cli import main
+
+    main(["list"])
+    names = [l.split("\t")[0] for l in capsys.readouterr().out.splitlines()]
+    assert "word_freq" in names and "qf_pipeline" in names
+
+    out = str(tmp_path / "wf.csv")
+    main(["query", "word_freq", "--sf-dir", sf_dir, "--output", out])
+    got = pd.read_csv(out)
+    assert list(got.columns) == ["token", "cnt"] and len(got) > 0
