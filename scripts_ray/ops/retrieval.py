@@ -1,0 +1,181 @@
+"""Full-text retrieval over the documents table: distributed BM25.
+
+The training-data use case is corpus search/inspection ("which documents
+score highest for these terms") and hard-negative mining. The plan is
+two scan passes, both streaming:
+
+1. **Stats pass** — one `map_batches` emits per-batch partials of the
+   tiny global statistics BM25 needs: per-term document frequency (the
+   query-term set is a constant broadcast, so the partial is |terms|
+   rows per batch), total doc count and total token count. A driver-side
+   fold of the |terms|-row frame yields (idf_t, avgdl, N) — constant
+   size regardless of corpus size.
+2. **Score pass** — rescan of the documents with the stats broadcast
+   (`ray.put` once): per batch, vectorized tf per term, the BM25 score
+   in integer micro-units (per-term `floor` BEFORE the sum, so the total
+   is an order-independent integer sum and the DuckDB oracle can
+   reproduce it bit-for-bit), local top-k, then a global
+   `sort().limit(k)` over ≤ k rows per batch.
+
+No stage materializes the corpus; the only non-map operation is the
+final top-k over the per-batch candidate rows. Reference analog: the
+KWIC search loop over every seg/note with a compiled keyword
+(/root/reference/src/KWIC-iter-search.py:27-109) upgraded to ranked
+retrieval.
+
+Scoring: Okapi BM25 with k1=1.2, b=0.75 and the rational idf
+(N - df + 0.5)/(df + 0.5) — log-free so the oracle avoids libm
+last-ulp divergence; both engines evaluate the identical double
+expression tree and floor to integer micro-units per (doc, term).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TERMS = ("spark", "window", "vector")
+BM25_TOP_K = 10
+RE_WORD = r"[a-zà-öø-ÿ]+"
+
+
+def _term_counts(text_col: pa.ChunkedArray, terms: tuple[str, ...]):
+    """(dl, tf_matrix): per-doc token count and per-doc tf for each query
+    term, via ONE tokenize pass per batch (explode + np.isin), no Python
+    row loop."""
+    from ..tokens import explode
+
+    rows, toks = explode(text_col.combine_chunks())
+    n = len(text_col)
+    dl = np.zeros(n, dtype=np.int64)
+    np.add.at(dl, rows, 1)
+    tf = np.zeros((n, len(terms)), dtype=np.int64)
+    for j, t in enumerate(terms):
+        hit = rows[toks == t]
+        np.add.at(tf[:, j], hit, 1)
+    return dl, tf
+
+
+def bm25_stats(docs_ds, terms: tuple[str, ...] = BM25_TERMS) -> dict:
+    """Pass 1: global (N, sum_dl, df per term) from per-batch partials."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        dl, tf = _term_counts(batch["text"], terms)
+        return pa.table(
+            {
+                "term": pa.array(terms, type=pa.string()),
+                "df": pa.array((tf > 0).sum(axis=0), type=pa.int64()),
+                "n_docs": pa.array([len(dl)] * len(terms), type=pa.int64()),
+                "sum_dl": pa.array([int(dl.sum())] * len(terms), type=pa.int64()),
+            }
+        )
+
+    parts = docs_ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    agg = parts.groupby("term", sort=True).agg(
+        df=("df", "sum"), n_docs=("n_docs", "sum"), sum_dl=("sum_dl", "sum")
+    )
+    n_docs = int(agg["n_docs"].iloc[0])
+    sum_dl = int(agg["sum_dl"].iloc[0])
+    return {
+        "terms": terms,
+        "df": {t: int(agg.loc[t, "df"]) for t in terms},
+        "n_docs": n_docs,
+        "avgdl": sum_dl / n_docs,
+    }
+
+
+def bm25_search(
+    docs_ds,
+    stats: dict,
+    terms: tuple[str, ...] = BM25_TERMS,
+    k: int = BM25_TOP_K,
+):
+    """Pass 2: top-k documents by integer-micro BM25 score.
+
+    Per-term score_micro = floor(1e6 * idf_t * tf*(k1+1) /
+    (tf + k1*(1 - b + b*dl/avgdl))); doc score = integer sum over terms
+    (order-independent). Docs with no query term are dropped (score 0
+    would tie-flood the tail). Emits (rank, doc_id, score_micro)."""
+    import ray
+
+    ref = ray.put(stats)
+
+    def score(batch: pa.Table) -> pd.DataFrame:
+        st = ray.get(ref)
+        n_docs, avgdl = st["n_docs"], st["avgdl"]
+        dl, tf = _term_counts(batch["text"], st["terms"])
+        total = np.zeros(len(dl), dtype=np.int64)
+        dlf = dl.astype(np.float64)
+        for j, t in enumerate(st["terms"]):
+            df = st["df"][t]
+            idf = (n_docs - df + 0.5) / (df + 0.5)
+            tfj = tf[:, j].astype(np.float64)
+            denom = tfj + BM25_K1 * (1.0 - BM25_B + BM25_B * dlf / avgdl)
+            s = np.floor(1e6 * idf * (tfj * (BM25_K1 + 1.0)) / denom)
+            total += s.astype(np.int64)  # tf=0 → numerator 0 → exact 0
+        keep = total > 0
+        doc_id = batch["doc_id"].to_numpy(zero_copy_only=False)[keep]
+        sc = total[keep]
+        # local top-k: only k candidate rows leave the batch
+        order = np.lexsort((doc_id, -sc))[:k]
+        return pd.DataFrame(
+            {
+                "doc_id": doc_id[order].astype(np.int64),
+                "score_micro": sc[order],
+            }
+        )
+
+    top = (
+        docs_ds.map_batches(score, batch_format="pyarrow")
+        .sort(["score_micro", "doc_id"], descending=[True, False])
+        .limit(k)
+        .to_pandas()
+    )
+    top["rank"] = np.arange(1, len(top) + 1, dtype=np.int64)
+    return top[["rank", "doc_id", "score_micro"]]
+
+
+# ---- nearest-centroid clustering assignment (oracle-checked) ---------------
+
+KMEANS_N_SEEDS = 8
+
+
+def kmeans_assign(emb_ds, seed_ids: np.ndarray, seeds: np.ndarray):
+    """Embedding clustering assignment, value-checked: each vector is
+    assigned to its most cosine-similar SEED centroid (the embeddings of
+    vec_id < KMEANS_N_SEEDS — deterministic, data-derived, and exactly
+    reproducible by the SQL oracle via list_cosine_similarity, unlike the
+    iteratively-updated `similarity.train_centroids` whose float mean
+    updates are summation-order-dependent). One broadcast of the
+    (k, dim) seed matrix, one matmul per batch, argmax with
+    lowest-centroid tie rule — the assignment step of Lloyd's algorithm
+    as a streaming map, which is how full k-means runs at corpus scale
+    (assign distributed per batch, centroid update as a tiny keyed
+    aggregate per iteration). Emits (vec_id, cluster)."""
+    import ray
+
+    order = np.argsort(seed_ids)
+    ref = ray.put((seed_ids[order].astype(np.int64),
+                   seeds[order] / np.linalg.norm(seeds[order], axis=1,
+                                                 keepdims=True)))
+
+    def assign(batch: pa.Table) -> pd.DataFrame:
+        from .similarity import _to_matrix
+
+        cids, cn = ray.get(ref)
+        vecs = _to_matrix(batch["embedding"].combine_chunks())
+        vn = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+        best = np.argmax(vn @ cn.T, axis=1)  # first (lowest cid) on ties
+        return pd.DataFrame(
+            {
+                "vec_id": batch["vec_id"].to_numpy(zero_copy_only=False).astype(
+                    np.int64
+                ),
+                "cluster": cids[best],
+            }
+        )
+
+    return emb_ds.map_batches(assign, batch_format="pyarrow")

@@ -308,3 +308,77 @@ def bib_compile(docs_ds):
         return pa.table({"doc_id": t["doc_id"], "entry": entry})
 
     return docs_ds.map_batches(render, batch_format="pyarrow").sort("doc_id")
+
+
+# ---- PII scrub (redaction pass, training-data curation core) ----------------
+
+# RE2-safe and engine-identical: pyarrow's replace_substring_regex and
+# DuckDB's regexp_replace(..., 'g') are both RE2, so scrubbed text matches
+# byte-for-byte.
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE_RE = r"\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}"
+
+
+def plant_pii(batch_text: pa.ChunkedArray, doc_id: pa.ChunkedArray) -> pa.Array:
+    """Deterministic PII augmentation: the synthetic corpus carries no
+    PII, so the redaction pass would be an identity (an empty check).
+    Appending one email + one phone derived from doc_id makes the scrub a
+    real transformation the oracle verifies byte-for-byte; at deployment
+    the plant step is dropped and `scrub_pii` runs on raw text."""
+    did = pc.cast(doc_id, pa.string())
+    # pyarrow has no modulo kernel — the tiny int op runs in numpy
+    mod = (
+        doc_id.combine_chunks()
+        if isinstance(doc_id, pa.ChunkedArray)
+        else doc_id
+    ).to_numpy(zero_copy_only=False).astype(np.int64) % 10000
+    tail_num = pc.utf8_lpad(
+        pc.cast(pa.array(mod, type=pa.int64()), pa.string()),
+        width=4, padding="0",
+    )
+    n = len(did)
+    return pc.binary_join_element_wise(
+        batch_text.combine_chunks() if isinstance(batch_text, pa.ChunkedArray)
+        else batch_text,
+        pa.array([" contact user"] * n, type=pa.string()),
+        did.combine_chunks() if isinstance(did, pa.ChunkedArray) else did,
+        pa.array(["@example.com tel +1-555-"] * n, type=pa.string()),
+        tail_num.combine_chunks() if isinstance(tail_num, pa.ChunkedArray)
+        else tail_num,
+        pa.array(["."] * n, type=pa.string()),
+        "",
+    )
+
+
+def pii_scrub(docs_ds):
+    """PII redaction over documents: count then mask emails and phone
+    numbers (<EMAIL> / <PHONE>), emitting (doc_id, scrubbed, n_emails,
+    n_phones). Pure vectorized RE2 map — embarrassingly parallel, no
+    exchange, the reference scrub-rule shape
+    (/root/reference/src/cur-prot/dollar_sign_replace.py:21-41) applied
+    to the web-scale privacy pass every training corpus needs."""
+
+    def scrub(batch: pa.Table) -> pa.Table:
+        planted = plant_pii(batch["text"], batch["doc_id"])
+        n_em = pc.cast(
+            pc.count_substring_regex(planted, pattern=PII_EMAIL_RE), pa.int64()
+        )
+        n_ph = pc.cast(
+            pc.count_substring_regex(planted, pattern=PII_PHONE_RE), pa.int64()
+        )
+        out = pc.replace_substring_regex(
+            planted, pattern=PII_EMAIL_RE, replacement="<EMAIL>"
+        )
+        out = pc.replace_substring_regex(
+            out, pattern=PII_PHONE_RE, replacement="<PHONE>"
+        )
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "scrubbed": out,
+                "n_emails": n_em,
+                "n_phones": n_ph,
+            }
+        )
+
+    return docs_ds.map_batches(scrub, batch_format="pyarrow")

@@ -1035,6 +1035,34 @@ def q_token_counts(sf_dir: str):
     )
 
 
+def q_bm25_search(sf_dir: str):
+    """Ranked retrieval: stats pass (tiny global df/avgdl partials) then a
+    broadcast-stats score pass with local top-k per batch."""
+    from .ops import retrieval
+
+    stats = retrieval.bm25_stats(_read(sf_dir, "documents", columns=["doc_id", "text"]))
+    return retrieval.bm25_search(
+        _read(sf_dir, "documents", columns=["doc_id", "text"]), stats
+    )
+
+
+def q_kmeans_assign(sf_dir: str):
+    from .ops import retrieval
+
+    seed_ids, seeds = similarity.load_queries(
+        sf_dir, n_queries=retrieval.KMEANS_N_SEEDS
+    )
+    return retrieval.kmeans_assign(
+        _read(sf_dir, "embeddings", columns=["vec_id", "embedding"]),
+        seed_ids,
+        seeds,
+    )
+
+
+def q_pii_scrub(sf_dir: str):
+    return textstats.pii_scrub(_read(sf_dir, "documents", columns=["doc_id", "text"]))
+
+
 def q_event_windows(sf_dir: str):
     return relational.event_windows(
         _read(sf_dir, "events", columns=["event_type", "ts", "value"])
@@ -1284,6 +1312,9 @@ QUERIES = {
     "lsh_buckets": q_lsh_buckets,
     "ann_lsh": q_ann_lsh,
     "token_counts": q_token_counts,
+    "bm25_search": q_bm25_search,
+    "kmeans_assign": q_kmeans_assign,
+    "pii_scrub": q_pii_scrub,
     "event_windows": q_event_windows,
     "event_agg": q_event_agg,
     "top_users": q_top_users,
@@ -1399,6 +1430,9 @@ ORACLES = {
     "image_decode": sql_ops.IMAGE_DECODE_SQL,
     "frame_sample": sql_ops.FRAME_SAMPLE_SQL,
     "token_counts": sql_ops.TOKEN_COUNTS_SQL,
+    "bm25_search": sql_ops.BM25_SEARCH_SQL,
+    "kmeans_assign": sql_ops.KMEANS_ASSIGN_SQL,
+    "pii_scrub": sql_ops.PII_SCRUB_SQL,
     "event_windows": sql_ops.EVENT_WINDOWS_SQL,
     "event_agg": sql_ops.EVENT_AGG_SQL,
     "top_users": sql_ops.TOP_USERS_SQL,

@@ -1529,3 +1529,79 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id,
             ELSE 'test' END AS split
 FROM s5
 """
+
+
+# ---- BM25 retrieval ---------------------------------------------------------
+# Constants (k1=1.2, b=0.75, terms, rational idf) are shared with
+# ops/retrieval.py; floats written as the SAME expression tree numpy
+# evaluates (left-assoc, k1+1 computed not folded) and floored to integer
+# micro-units per (doc, term) BEFORE the order-independent integer sum.
+BM25_SEARCH_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_DOC_TOKS}) AS tok FROM documents
+),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+stats AS (
+  SELECT count(*) AS n_docs, CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl
+),
+tf AS (
+  SELECT doc_id, tok, count(*) AS tf FROM toks
+  WHERE tok IN ('spark', 'window', 'vector') GROUP BY doc_id, tok
+),
+df AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+scores AS (
+  SELECT tf.doc_id,
+    CAST(floor(
+      1000000.0 * ((stats.n_docs - df.df + 0.5) / (df.df + 0.5))
+      * (tf.tf * (1.2 + 1.0))
+      / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / stats.avgdl))
+    ) AS BIGINT) AS s
+  FROM tf JOIN df USING (tok) JOIN dl USING (doc_id) CROSS JOIN stats
+),
+totals AS (
+  SELECT doc_id, CAST(sum(s) AS BIGINT) AS score_micro
+  FROM scores GROUP BY doc_id HAVING sum(s) > 0
+)
+SELECT CAST(row_number() OVER (ORDER BY score_micro DESC, doc_id) AS BIGINT) AS rank,
+       doc_id, score_micro
+FROM totals ORDER BY score_micro DESC, doc_id LIMIT 10
+"""
+
+# ---- nearest-centroid clustering assignment ---------------------------------
+# Seeds = embeddings of vec_id < 8 (shared with ops/retrieval.kmeans_assign);
+# tie rule = lowest centroid id, matching numpy argmax-first.
+KMEANS_ASSIGN_SQL = """
+WITH c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id < 8),
+s AS (
+  SELECT e.vec_id, c.cid,
+         list_cosine_similarity(e.embedding, c.ce) AS sim,
+         row_number() OVER (
+           PARTITION BY e.vec_id ORDER BY list_cosine_similarity(e.embedding, c.ce) DESC, c.cid
+         ) AS rn
+  FROM embeddings e, c
+)
+SELECT CAST(vec_id AS BIGINT) AS vec_id, CAST(cid AS BIGINT) AS cluster
+FROM s WHERE rn = 1
+"""
+
+
+# ---- PII scrub ---------------------------------------------------------------
+# Patterns shared with ops/textstats.py (PII_EMAIL_RE / PII_PHONE_RE); both
+# engines are RE2 so scrubbed text matches byte-for-byte. The plant step
+# mirrors textstats.plant_pii exactly.
+PII_SCRUB_SQL = """
+WITH planted AS (
+  SELECT doc_id,
+    text || ' contact user' || CAST(doc_id AS VARCHAR)
+         || '@example.com tel +1-555-'
+         || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || '.' AS p
+  FROM documents
+)
+SELECT doc_id,
+  regexp_replace(
+    regexp_replace(p, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+    '\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g') AS scrubbed,
+  CAST(length(regexp_extract_all(p, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+  CAST(length(regexp_extract_all(p, '\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}')) AS BIGINT) AS n_phones
+FROM planted
+"""
