@@ -1063,6 +1063,10 @@ def q_pii_scrub(sf_dir: str):
     return textstats.pii_scrub(_read(sf_dir, "documents", columns=["doc_id", "text"]))
 
 
+def q_dup_spans(sf_dir: str):
+    return dedup.dup_spans(_read(sf_dir, "documents", columns=["doc_id", "text"]))
+
+
 def q_event_windows(sf_dir: str):
     return relational.event_windows(
         _read(sf_dir, "events", columns=["event_type", "ts", "value"])
@@ -1315,6 +1319,7 @@ QUERIES = {
     "bm25_search": q_bm25_search,
     "kmeans_assign": q_kmeans_assign,
     "pii_scrub": q_pii_scrub,
+    "dup_spans": q_dup_spans,
     "event_windows": q_event_windows,
     "event_agg": q_event_agg,
     "top_users": q_top_users,
@@ -1433,6 +1438,7 @@ ORACLES = {
     "bm25_search": sql_ops.BM25_SEARCH_SQL,
     "kmeans_assign": sql_ops.KMEANS_ASSIGN_SQL,
     "pii_scrub": sql_ops.PII_SCRUB_SQL,
+    "dup_spans": sql_ops.DUP_SPANS_SQL,
     "event_windows": sql_ops.EVENT_WINDOWS_SQL,
     "event_agg": sql_ops.EVENT_AGG_SQL,
     "top_users": sql_ops.TOP_USERS_SQL,

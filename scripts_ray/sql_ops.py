@@ -1605,3 +1605,29 @@ SELECT doc_id,
   CAST(length(regexp_extract_all(p, '\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}')) AS BIGINT) AS n_phones
 FROM planted
 """
+
+
+# ---- cross-document repeated-substring spans --------------------------------
+# Shares the winnow shingle chain (_WINNOW_SHV_CTE, 1-based p) with
+# DOC_WINNOW_SQL; span bounds convert to the engine's 0-based token
+# indices. Gap-free windows (pos delta <= 3) merge via gaps-and-islands.
+DUP_SPANS_SQL = f"""
+WITH {_WINNOW_SHV_CTE},
+hot AS (SELECT fp FROM shv GROUP BY fp HAVING count(DISTINCT doc_id) >= 2),
+cov AS (SELECT doc_id, p FROM shv JOIN hot USING (fp)),
+isl AS (
+  SELECT doc_id, p,
+         CASE WHEN p - lag(p) OVER (PARTITION BY doc_id ORDER BY p) <= 3
+              THEN 0 ELSE 1 END AS brk
+  FROM cov
+),
+grp AS (
+  SELECT doc_id, p,
+         sum(brk) OVER (PARTITION BY doc_id ORDER BY p) AS g
+  FROM isl
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(min(p) - 1 AS BIGINT) AS span_start,
+       CAST(max(p) - 1 + 3 AS BIGINT) AS span_end
+FROM grp GROUP BY doc_id, g
+"""

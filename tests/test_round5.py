@@ -85,3 +85,51 @@ def test_pii_scrub_removes_all_pii(ray_session, sf_dir):
     assert not got["scrubbed"].str.contains(PII_PHONE_RE, regex=True).any()
     assert got["scrubbed"].str.contains("<EMAIL>", regex=False).all()
     assert got["scrubbed"].str.contains("<PHONE>", regex=False).all()
+
+
+def test_dup_spans_matches_oracle(ray_session, sf_dir, duck):
+    from scripts_ray import queries, sql_ops
+
+    _cmp(
+        queries.QUERIES["dup_spans"](sf_dir),
+        duck,
+        sql_ops.DUP_SPANS_SQL,
+        ["doc_id", "span_start"],
+    )
+
+
+def test_dup_spans_disjoint_and_wide_enough(ray_session, sf_dir):
+    """Per doc: spans sorted, pairwise disjoint with a real gap (adjacent
+    coverage would have merged), each at least one shingle window wide."""
+    from scripts_ray import queries
+    from scripts_ray.ops.dedup import DUPSPAN_W
+
+    got = (
+        queries.QUERIES["dup_spans"](sf_dir)
+        .to_pandas()
+        .sort_values(["doc_id", "span_start"])
+    )
+    assert (got["span_end"] - got["span_start"] >= DUPSPAN_W).all()
+    prev_end = got.groupby("doc_id")["span_end"].shift()
+    gap_ok = got["span_start"] > prev_end
+    assert gap_ok[prev_end.notna()].all()
+
+
+def test_dup_spans_planted_duplicate_covers_whole_doc(ray_session):
+    """Two identical synthetic docs must be fully covered by one span."""
+    import ray.data as rd
+
+    from scripts_ray.ops.dedup import dup_spans
+
+    text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    ds = rd.from_pandas(
+        __import__("pandas").DataFrame(
+            {"doc_id": [1, 2, 3], "text": [text, text, "one two three"]}
+        )
+    )
+    got = dup_spans(ds, num_partitions=4).to_pandas()
+    full = got[got["doc_id"].isin([1, 2])]
+    assert len(full) == 2
+    assert (full["span_start"] == 0).all()
+    assert (full["span_end"] == 10).all()  # 10 tokens, 8 shingles, 0..7+3
+    assert 3 not in set(got["doc_id"])
