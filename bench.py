@@ -300,6 +300,10 @@ def run_bench() -> dict:
             "page_align",
             "asof_events",
             "q3_shipping",
+            "dup_spans",
+            "bm25_search",
+            "pii_scrub",
+            "kmeans_assign",
         ]
     )
     for name in secondary:
