@@ -1067,6 +1067,33 @@ def q_dup_spans(sf_dir: str):
     return dedup.dup_spans(_read(sf_dir, "documents", columns=["doc_id", "text"]))
 
 
+def q_incremental_dedup(sf_dir: str):
+    """Streaming-ingest dedup against the shared mutable fingerprint index
+    (state/fp_index.py): corpus v1 = even doc_ids is ingested once; the
+    next delivery (odd doc_ids plus a deterministic re-delivery of every
+    10th even doc under a new id) is filtered against the index — the
+    re-delivered rows must vanish without rescanning corpus v1."""
+    from .state import fp_index
+
+    def evens(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch[batch["doc_id"] % 2 == 0].reset_index(drop=True)
+
+    def odds(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch[batch["doc_id"] % 2 == 1].reset_index(drop=True)
+
+    def redelivered(batch: pd.DataFrame) -> pd.DataFrame:
+        out = batch[(batch["doc_id"] % 2 == 0) & (batch["doc_id"] % 10 == 0)]
+        return out.assign(doc_id=out["doc_id"] + 1_000_000).reset_index(drop=True)
+
+    docs = lambda: _read(sf_dir, "documents", columns=["doc_id", "text"])  # noqa: E731
+    index = fp_index.FpIndex()
+    fp_index.build(index, docs().map_batches(evens, batch_format="pandas"))
+    delivery = docs().map_batches(odds, batch_format="pandas").union(
+        docs().map_batches(redelivered, batch_format="pandas")
+    )
+    return fp_index.filter_new(index, delivery).select_columns(["doc_id"])
+
+
 def q_event_windows(sf_dir: str):
     return relational.event_windows(
         _read(sf_dir, "events", columns=["event_type", "ts", "value"])
@@ -1320,6 +1347,7 @@ QUERIES = {
     "kmeans_assign": q_kmeans_assign,
     "pii_scrub": q_pii_scrub,
     "dup_spans": q_dup_spans,
+    "incremental_dedup": q_incremental_dedup,
     "event_windows": q_event_windows,
     "event_agg": q_event_agg,
     "top_users": q_top_users,
@@ -1439,6 +1467,7 @@ ORACLES = {
     "kmeans_assign": sql_ops.KMEANS_ASSIGN_SQL,
     "pii_scrub": sql_ops.PII_SCRUB_SQL,
     "dup_spans": sql_ops.DUP_SPANS_SQL,
+    "incremental_dedup": sql_ops.INCREMENTAL_DEDUP_SQL,
     "event_windows": sql_ops.EVENT_WINDOWS_SQL,
     "event_agg": sql_ops.EVENT_AGG_SQL,
     "top_users": sql_ops.TOP_USERS_SQL,

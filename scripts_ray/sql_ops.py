@@ -1631,3 +1631,24 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id,
        CAST(max(p) - 1 + 3 AS BIGINT) AS span_end
 FROM grp GROUP BY doc_id, g
 """
+
+
+# ---- incremental ingest dedup (shared mutable fp index) ----------------------
+# Restates state/fp_index semantics relationally: delivery = odd docs plus a
+# re-delivery of every 10th even doc under doc_id + 1,000,000; survivors are
+# delivery rows whose text no even (v1) doc already carries. The engine's
+# 128-bit siphash fingerprint equality stands in for text equality
+# (collision odds ~2^-128).
+INCREMENTAL_DEDUP_SQL = """
+WITH delivery AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text FROM documents
+  WHERE doc_id % 2 = 0 AND doc_id % 10 = 0
+)
+SELECT CAST(d.doc_id AS BIGINT) AS doc_id
+FROM delivery d
+WHERE NOT EXISTS (
+  SELECT 1 FROM documents e WHERE e.doc_id % 2 = 0 AND e.text = d.text
+)
+"""

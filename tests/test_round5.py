@@ -133,3 +133,42 @@ def test_dup_spans_planted_duplicate_covers_whole_doc(ray_session):
     assert (full["span_start"] == 0).all()
     assert (full["span_end"] == 10).all()  # 10 tokens, 8 shingles, 0..7+3
     assert 3 not in set(got["doc_id"])
+
+
+def test_incremental_dedup_matches_oracle(ray_session, sf_dir, duck):
+    from scripts_ray import queries, sql_ops
+
+    _cmp(
+        queries.QUERIES["incremental_dedup"](sf_dir),
+        duck,
+        sql_ops.INCREMENTAL_DEDUP_SQL,
+        ["doc_id"],
+    )
+
+
+def test_fp_index_snapshot_restore(ray_session, sf_dir, tmp_path):
+    """A restored index filters identically to the live one, and the
+    planted re-deliveries are dropped by the index (real hits)."""
+    import ray.data as rd
+
+    from scripts_ray.state import fp_index
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    idx = fp_index.FpIndex(n_shards=4)
+    n = fp_index.build(idx, docs)
+    assert idx.size() == n  # all docs unique in the fixture
+
+    snap = str(tmp_path / "fp_snap")
+    idx.snapshot(snap)
+    idx2 = fp_index.FpIndex(n_shards=4)
+    idx2.restore(snap)
+    assert idx2.size() == idx.size()
+
+    # every already-ingested doc is dropped; unseen text survives
+    assert fp_index.filter_new(idx2, docs).count() == 0
+    import pandas as pd
+
+    fresh = rd.from_pandas(
+        pd.DataFrame({"doc_id": [10**9], "text": ["never seen before text"]})
+    )
+    assert fp_index.filter_new(idx2, fresh).count() == 1
