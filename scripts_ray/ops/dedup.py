@@ -1009,3 +1009,82 @@ def dup_spans(docs_ds, num_partitions: int = 64):
     return map_partitions_by_key(
         covered, "doc_id", spans_part, num_partitions=num_partitions
     )
+
+
+# ---- cross-source overlap matrix --------------------------------------------
+
+
+def source_overlap(docs_ds, num_partitions: int = 64):
+    """Source-level contamination matrix: for every pair of sources, the
+    number of DISTINCT 3-token shingle fingerprints both contain — the
+    corpus-curation view of "which feeds copy from each other" (the
+    source-granular analog of `decontaminate`). Per batch: (fp, source)
+    pairs deduplicated locally; one fp exchange; per partition a
+    vectorized per-fingerprint source-pair expansion (sorted uniques →
+    triu indices per run, the `band_pairs` shape — no per-group Python);
+    a final bounded hash aggregate over sources² keys. Only (int64 fp,
+    dictionary source) rows cross the exchange."""
+    from .hashagg import hash_aggregate, map_partitions_by_key
+
+    def emit(batch: pd.DataFrame) -> pd.DataFrame:
+        from ..tokens import explode
+
+        rows, toks = explode(pa.array(batch["text"].tolist(), type=pa.string()))
+        srows, fps = winnow_shingle_fps(rows, toks)
+        src = batch["source"].to_numpy(dtype=object)
+        out = pd.DataFrame({"fp": fps, "source": src[srows]})
+        return out.drop_duplicates(ignore_index=True)
+
+    def pairs_part(part: pd.DataFrame) -> pd.DataFrame:
+        if len(part) == 0:
+            return pd.DataFrame(
+                {"src_a": pd.Series([], dtype=object),
+                 "src_b": pd.Series([], dtype=object),
+                 "n": np.array([], dtype=np.int64)}
+            )
+        uniq_src, codes = np.unique(part["source"].to_numpy(dtype=object),
+                                    return_inverse=True)
+        fp = part["fp"].to_numpy(dtype=np.int64)
+        order = np.lexsort((codes, fp))
+        fp, codes = fp[order], codes[order]
+        keep = np.ones(len(fp), dtype=bool)  # drop cross-batch dup (fp, src)
+        keep[1:] = (fp[1:] != fp[:-1]) | (codes[1:] != codes[:-1])
+        fp, codes = fp[keep], codes[keep]
+        new = np.ones(len(fp), dtype=bool)
+        new[1:] = fp[1:] != fp[:-1]
+        starts = np.flatnonzero(new)
+        ends = np.append(starts[1:], len(fp))
+        out_a, out_b = [], []
+        for m in np.unique(ends - starts):
+            if m < 2:
+                continue
+            runs = starts[(ends - starts) == m]
+            block = codes[runs[:, None] + np.arange(m)[None, :]]
+            ai, bi = np.triu_indices(m, k=1)
+            out_a.append(block[:, ai].ravel())
+            out_b.append(block[:, bi].ravel())
+        if not out_a:
+            return pd.DataFrame(
+                {"src_a": pd.Series([], dtype=object),
+                 "src_b": pd.Series([], dtype=object),
+                 "n": np.array([], dtype=np.int64)}
+            )
+        a = np.concatenate(out_a)
+        b = np.concatenate(out_b)
+        out = (
+            pd.DataFrame({"src_a": uniq_src[a], "src_b": uniq_src[b]})
+            .groupby(["src_a", "src_b"], sort=False)
+            .size()
+            .reset_index(name="n")
+        )
+        return out
+
+    per_part = map_partitions_by_key(
+        docs_ds.map_batches(emit, batch_format="pandas"),
+        "fp",
+        pairs_part,
+        num_partitions=num_partitions,
+    )
+    return hash_aggregate(
+        per_part, keys=["src_a", "src_b"], aggs={"n_shared": ("n", "sum")}
+    )

@@ -114,3 +114,47 @@ def group_topk(ds, keys: list[str], sort_col: str, k: int, tie_cols: list[str]):
         lambda b: head_k(b).drop(columns=["rank"]), batch_format="pandas"
     )
     return map_partitions_by_key(pruned, keys, head_k)
+
+
+QUALITY_DECILES_PM = [100, 200, 300, 400, 500, 600, 700, 800, 900]
+
+
+def quality_buckets(docs_ds, value_col: str = "n_chars"):
+    """Curriculum/quality bucketing: assign every document its global
+    decile bucket of `value_col` (0..9), the standard precursor to
+    quality-stratified mixing and curriculum ordering. Pass 1 reuses the
+    exact distributed histogram (`group_quantiles` with a constant key —
+    the shuffle moves the value histogram, never rows) to produce the 9
+    decile boundaries; pass 2 is a pure map with the tiny boundary vector
+    broadcast: bucket = #(boundaries <= value), which matches the SQL
+    `quantile_disc` oracle exactly (no ntile row-order ambiguity)."""
+
+    def tag(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.assign(_g=np.int64(0))
+
+    brow = (
+        group_quantiles(
+            docs_ds.map_batches(tag, batch_format="pandas"),
+            value_col,
+            ["_g"],
+            QUALITY_DECILES_PM,
+        )
+        .to_pandas()
+        .iloc[0]
+    )
+    bounds = np.array(
+        [brow[f"p{q}"] for q in QUALITY_DECILES_PM], dtype=np.int64
+    )
+
+    def bucketize(batch: pd.DataFrame) -> pd.DataFrame:
+        v = batch[value_col].to_numpy(dtype=np.int64)
+        bucket = (v[:, None] >= bounds[None, :]).sum(axis=1)
+        return pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"].to_numpy(dtype=np.int64),
+                value_col: v,
+                "bucket": bucket.astype(np.int64),
+            }
+        )
+
+    return docs_ds.map_batches(bucketize, batch_format="pandas")

@@ -1067,6 +1067,20 @@ def q_dup_spans(sf_dir: str):
     return dedup.dup_spans(_read(sf_dir, "documents", columns=["doc_id", "text"]))
 
 
+def q_quality_buckets(sf_dir: str):
+    from .ops.quantiles import quality_buckets
+
+    return quality_buckets(
+        _read(sf_dir, "documents", columns=["doc_id", "n_chars"])
+    )
+
+
+def q_source_overlap(sf_dir: str):
+    return dedup.source_overlap(
+        _read(sf_dir, "documents", columns=["doc_id", "text", "source"])
+    )
+
+
 def q_incremental_dedup(sf_dir: str):
     """Streaming-ingest dedup against the shared mutable fingerprint index
     (state/fp_index.py): corpus v1 = even doc_ids is ingested once; the
@@ -1348,6 +1362,8 @@ QUERIES = {
     "pii_scrub": q_pii_scrub,
     "dup_spans": q_dup_spans,
     "incremental_dedup": q_incremental_dedup,
+    "quality_buckets": q_quality_buckets,
+    "source_overlap": q_source_overlap,
     "event_windows": q_event_windows,
     "event_agg": q_event_agg,
     "top_users": q_top_users,
@@ -1468,6 +1484,8 @@ ORACLES = {
     "pii_scrub": sql_ops.PII_SCRUB_SQL,
     "dup_spans": sql_ops.DUP_SPANS_SQL,
     "incremental_dedup": sql_ops.INCREMENTAL_DEDUP_SQL,
+    "quality_buckets": sql_ops.QUALITY_BUCKETS_SQL,
+    "source_overlap": sql_ops.SOURCE_OVERLAP_SQL,
     "event_windows": sql_ops.EVENT_WINDOWS_SQL,
     "event_agg": sql_ops.EVENT_AGG_SQL,
     "top_users": sql_ops.TOP_USERS_SQL,

@@ -1652,3 +1652,39 @@ WHERE NOT EXISTS (
   SELECT 1 FROM documents e WHERE e.doc_id % 2 = 0 AND e.text = d.text
 )
 """
+
+
+# ---- quality-decile bucketing -------------------------------------------------
+# Boundaries are the 9 global quantile_disc deciles of n_chars (the engine
+# recomputes them with exact integer rank arithmetic in
+# ops.quantiles.group_quantiles); bucket = #(boundaries <= value), so the
+# assignment is free of ntile's row-order ambiguity.
+QUALITY_BUCKETS_SQL = """
+WITH b AS (
+  SELECT unnest(list_value(
+    quantile_disc(n_chars, 0.100), quantile_disc(n_chars, 0.200),
+    quantile_disc(n_chars, 0.300), quantile_disc(n_chars, 0.400),
+    quantile_disc(n_chars, 0.500), quantile_disc(n_chars, 0.600),
+    quantile_disc(n_chars, 0.700), quantile_disc(n_chars, 0.800),
+    quantile_disc(n_chars, 0.900))) AS q
+  FROM documents
+)
+SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+  CAST((SELECT count(*) FROM b WHERE b.q <= d.n_chars) AS BIGINT) AS bucket
+FROM documents d
+"""
+
+
+
+# ---- cross-source shingle-overlap matrix --------------------------------------
+# Shares the winnow shingle chain with DOC_WINNOW_SQL / DUP_SPANS_SQL.
+SOURCE_OVERLAP_SQL = f"""
+WITH {_WINNOW_SHV_CTE},
+fps AS (
+  SELECT DISTINCT s.fp, d.source FROM shv s JOIN documents d USING (doc_id)
+)
+SELECT a.source AS src_a, b.source AS src_b,
+       CAST(count(*) AS BIGINT) AS n_shared
+FROM fps a JOIN fps b ON a.fp = b.fp AND a.source < b.source
+GROUP BY 1, 2
+"""

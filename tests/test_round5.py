@@ -172,3 +172,44 @@ def test_fp_index_snapshot_restore(ray_session, sf_dir, tmp_path):
         pd.DataFrame({"doc_id": [10**9], "text": ["never seen before text"]})
     )
     assert fp_index.filter_new(idx2, fresh).count() == 1
+
+
+def test_quality_buckets_matches_oracle(ray_session, sf_dir, duck):
+    from scripts_ray import queries, sql_ops
+
+    _cmp(
+        queries.QUERIES["quality_buckets"](sf_dir),
+        duck,
+        sql_ops.QUALITY_BUCKETS_SQL,
+        ["doc_id"],
+    )
+
+
+def test_quality_buckets_are_deciles(ray_session, sf_dir):
+    """Each bucket holds ~10% of docs (exact-rank boundaries: no bucket
+    may exceed a decile by more than the tie mass)."""
+    from scripts_ray import queries
+
+    got = queries.QUERIES["quality_buckets"](sf_dir).to_pandas()
+    counts = got["bucket"].value_counts()
+    assert set(counts.index) <= set(range(10))
+    assert counts.max() <= len(got) * 0.2  # generous tie allowance
+
+
+def test_source_overlap_matches_oracle(ray_session, sf_dir, duck):
+    from scripts_ray import queries, sql_ops
+
+    _cmp(
+        queries.QUERIES["source_overlap"](sf_dir),
+        duck,
+        sql_ops.SOURCE_OVERLAP_SQL,
+        ["src_a", "src_b"],
+    )
+
+
+def test_source_overlap_symmetric_construction(ray_session, sf_dir):
+    from scripts_ray import queries
+
+    got = queries.QUERIES["source_overlap"](sf_dir).to_pandas()
+    assert (got["src_a"] < got["src_b"]).all()
+    assert (got["n_shared"] >= 1).all()
