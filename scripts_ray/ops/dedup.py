@@ -1088,3 +1088,122 @@ def source_overlap(docs_ds, num_partitions: int = 64):
     return hash_aggregate(
         per_part, keys=["src_a", "src_b"], aggs={"n_shared": ("n", "sum")}
     )
+
+
+def span_cut(docs_ds_fn, num_partitions: int = 64):
+    """Apply the `dup_spans` detection: emit every document with its
+    cross-document duplicated windows REMOVED — (doc_id, kept_text,
+    n_kept, n_cut), where kept_text is the normalized token stream (the
+    shingle tokenizer's space: lowercased letter runs) minus all tokens
+    covered by a shared 3-token shingle. The cut side of the Lee-et-al
+    exact substring dedup.
+
+    Plan: the covered (doc_id, pos) rows come off the same fp exchange as
+    dup_spans; a doc_id exchange packs each doc's positions into ONE
+    bytes blob (so the following join carries one row per doc, never
+    text × positions); a distributed hash join re-unites blobs with
+    text — the one full-text exchange this operator fundamentally needs,
+    since coverage is a global property — and the cut itself is a pure
+    vectorized map. `docs_ds_fn()` returns a fresh documents Dataset
+    (consumed twice: shingle emission + join left side)."""
+    from .hashagg import hash_join, map_partitions_by_key
+
+    def emit(batch: pd.DataFrame) -> pd.DataFrame:
+        from ..tokens import explode
+
+        rows, toks = explode(pa.array(batch["text"].tolist(), type=pa.string()))
+        srows, fps = winnow_shingle_fps(rows, toks)
+        if len(srows) == 0:
+            return pd.DataFrame(
+                {"fp": np.array([], dtype=np.int64),
+                 "doc_id": np.array([], dtype=np.int64),
+                 "pos": np.array([], dtype=np.int64)}
+            )
+        ids = batch["doc_id"].to_numpy(dtype=np.int64)
+        idx = np.arange(len(srows), dtype=np.int64)
+        pos = idx - np.searchsorted(srows, srows)
+        return pd.DataFrame({"fp": fps, "doc_id": ids[srows], "pos": pos})
+
+    def covered_part(part: pd.DataFrame) -> pd.DataFrame:
+        df = part.groupby("fp")["doc_id"].nunique()
+        hot = df.index[df.to_numpy() >= 2]
+        keep = part[part["fp"].isin(hot)]
+        return keep[["doc_id", "pos"]].reset_index(drop=True)
+
+    def pack_part(part: pd.DataFrame) -> pd.DataFrame:
+        if len(part) == 0:
+            return pd.DataFrame(
+                {"doc_id": np.array([], dtype=np.int64), "pos_blob": []}
+            )
+        part = part.sort_values(["doc_id", "pos"], kind="mergesort")
+        d = part["doc_id"].to_numpy(dtype=np.int64)
+        p = part["pos"].to_numpy(dtype=np.int64)
+        new = np.ones(len(d), dtype=bool)
+        new[1:] = d[1:] != d[:-1]
+        starts = np.flatnonzero(new)
+        ends = np.append(starts[1:], len(d))
+        return pd.DataFrame(
+            {
+                "doc_id": d[starts],
+                "pos_blob": [p[s:e].tobytes() for s, e in zip(starts, ends)],
+            }
+        )
+
+    covered = map_partitions_by_key(
+        docs_ds_fn().map_batches(emit, batch_format="pandas"),
+        "fp",
+        covered_part,
+        num_partitions=num_partitions,
+    )
+    blobs = map_partitions_by_key(
+        covered, "doc_id", pack_part, num_partitions=num_partitions
+    )
+    joined = hash_join(
+        docs_ds_fn(),
+        blobs,
+        on="doc_id",
+        how="left",
+        num_partitions=num_partitions,
+        empty_right_cols=["pos_blob"],
+    )
+
+    def cut(batch: pd.DataFrame) -> pd.DataFrame:
+        from ..tokens import explode
+
+        texts = batch["text"].astype(object).tolist()
+        rows, toks = explode(pa.array(texts, type=pa.string()))
+        n = len(batch)
+        counts = np.zeros(n, dtype=np.int64)
+        np.add.at(counts, rows, 1)
+        offsets = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(counts, out=offsets[1:])
+        keep = np.ones(len(toks), dtype=bool)
+        n_cut = np.zeros(n, dtype=np.int64)
+        blobs_col = batch["pos_blob"].tolist()
+        for i, blob in enumerate(blobs_col):
+            if not isinstance(blob, (bytes, bytearray)):  # None / NA / NaN
+                continue
+            p = np.frombuffer(blob, dtype=np.int64)
+            m = np.zeros(counts[i], dtype=bool)
+            for off in range(DUPSPAN_W):  # windows are DUPSPAN_W tokens wide
+                m[np.minimum(p + off, counts[i] - 1)] = True
+            keep[offsets[i] : offsets[i + 1]] = ~m
+            n_cut[i] = int(m.sum())
+        kept_rows = rows[keep]
+        kept_toks = toks[keep]
+        agg = (
+            pd.Series(kept_toks)
+            .groupby(kept_rows)
+            .agg(" ".join)
+            .reindex(range(n), fill_value="")
+        )
+        return pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"].to_numpy(dtype=np.int64),
+                "kept_text": agg.to_numpy(dtype=object),
+                "n_kept": counts - n_cut,
+                "n_cut": n_cut,
+            }
+        )
+
+    return joined.map_batches(cut, batch_format="pandas")

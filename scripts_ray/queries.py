@@ -1067,6 +1067,12 @@ def q_dup_spans(sf_dir: str):
     return dedup.dup_spans(_read(sf_dir, "documents", columns=["doc_id", "text"]))
 
 
+def q_span_cut(sf_dir: str):
+    return dedup.span_cut(
+        lambda: _read(sf_dir, "documents", columns=["doc_id", "text"])
+    )
+
+
 def q_quality_buckets(sf_dir: str):
     from .ops.quantiles import quality_buckets
 
@@ -1362,6 +1368,7 @@ QUERIES = {
     "pii_scrub": q_pii_scrub,
     "dup_spans": q_dup_spans,
     "incremental_dedup": q_incremental_dedup,
+    "span_cut": q_span_cut,
     "quality_buckets": q_quality_buckets,
     "source_overlap": q_source_overlap,
     "event_windows": q_event_windows,
@@ -1484,6 +1491,7 @@ ORACLES = {
     "pii_scrub": sql_ops.PII_SCRUB_SQL,
     "dup_spans": sql_ops.DUP_SPANS_SQL,
     "incremental_dedup": sql_ops.INCREMENTAL_DEDUP_SQL,
+    "span_cut": sql_ops.SPAN_CUT_SQL,
     "quality_buckets": sql_ops.QUALITY_BUCKETS_SQL,
     "source_overlap": sql_ops.SOURCE_OVERLAP_SQL,
     "event_windows": sql_ops.EVENT_WINDOWS_SQL,

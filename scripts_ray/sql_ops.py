@@ -1688,3 +1688,30 @@ SELECT a.source AS src_a, b.source AS src_b,
 FROM fps a JOIN fps b ON a.fp = b.fp AND a.source < b.source
 GROUP BY 1, 2
 """
+
+
+
+# ---- span cut (apply the dup_spans detection) ----------------------------------
+# kept_text is the normalized token stream minus every token covered by a
+# cross-document shingle; shares toks/shv with DUP_SPANS_SQL.
+SPAN_CUT_SQL = f"""
+WITH {_WINNOW_SHV_CTE},
+hot AS (SELECT fp FROM shv GROUP BY fp HAVING count(DISTINCT doc_id) >= 2),
+cov AS (SELECT doc_id, p FROM shv JOIN hot USING (fp)),
+ct AS (
+  SELECT DISTINCT t.doc_id, t.p
+  FROM toks t JOIN cov c ON t.doc_id = c.doc_id AND t.p BETWEEN c.p AND c.p + 2
+),
+kept AS (
+  SELECT t.doc_id, string_agg(t.tok, ' ' ORDER BY t.p) AS kept_text,
+         CAST(count(*) AS BIGINT) AS n_kept
+  FROM toks t LEFT JOIN ct ON ct.doc_id = t.doc_id AND ct.p = t.p
+  WHERE ct.p IS NULL GROUP BY t.doc_id
+),
+tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tok FROM toks GROUP BY doc_id)
+SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+       COALESCE(k.kept_text, '') AS kept_text,
+       CAST(COALESCE(k.n_kept, 0) AS BIGINT) AS n_kept,
+       CAST(COALESCE(t.n_tok, 0) - COALESCE(k.n_kept, 0) AS BIGINT) AS n_cut
+FROM documents d LEFT JOIN kept k USING (doc_id) LEFT JOIN tot t USING (doc_id)
+"""

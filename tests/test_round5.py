@@ -213,3 +213,46 @@ def test_source_overlap_symmetric_construction(ray_session, sf_dir):
     got = queries.QUERIES["source_overlap"](sf_dir).to_pandas()
     assert (got["src_a"] < got["src_b"]).all()
     assert (got["n_shared"] >= 1).all()
+
+
+def test_span_cut_matches_oracle(ray_session, sf_dir, duck):
+    from scripts_ray import queries, sql_ops
+
+    _cmp(
+        queries.QUERIES["span_cut"](sf_dir),
+        duck,
+        sql_ops.SPAN_CUT_SQL,
+        ["doc_id"],
+    )
+
+
+def test_span_cut_consistent_with_dup_spans(ray_session, sf_dir):
+    """Tokens cut per doc == tokens covered by that doc's merged spans."""
+    from scripts_ray import queries
+
+    cut = queries.QUERIES["span_cut"](sf_dir).to_pandas().set_index("doc_id")
+    spans = queries.QUERIES["dup_spans"](sf_dir).to_pandas()
+    spans["w"] = spans["span_end"] - spans["span_start"]
+    per_doc = spans.groupby("doc_id")["w"].sum()
+    for doc_id, w in per_doc.items():
+        assert cut.loc[doc_id, "n_cut"] == w
+    no_span = cut.index.difference(per_doc.index)
+    assert (cut.loc[no_span, "n_cut"] == 0).all()
+
+
+def test_span_cut_identical_docs_fully_cut(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from scripts_ray.ops.dedup import span_cut
+
+    text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    df = pd.DataFrame({"doc_id": [1, 2, 3], "text": [text, text, "one two three"]})
+    got = (
+        span_cut(lambda: rd.from_pandas(df), num_partitions=4)
+        .to_pandas()
+        .set_index("doc_id")
+    )
+    assert got.loc[1, "kept_text"] == "" and got.loc[2, "n_cut"] == 10
+    assert got.loc[3, "kept_text"] == "one two three"
+    assert got.loc[3, "n_cut"] == 0
