@@ -166,3 +166,35 @@ def cms_point_estimate(registers: pd.DataFrame, words) -> dict[str, int]:
             ests.append(mat[d, int(z[0] % np.uint64(CMS_W))])
         out[w] = int(min(ests))
     return out
+
+
+def hll_registers_grouped(ds, key_col: str, group_col: str, p: int = HLL_P):
+    """Grouped HLL: one (group, register, rho_max) sketch PER KEY of
+    `group_col` — the keyed form of the mergeable aggregate (approximate
+    COUNT(DISTINCT key) GROUP BY group). Per batch the partial is at most
+    groups-in-batch × 2^p rows; the exchange and merge are the same
+    two-level hash aggregate with a register-wise max. Same deterministic
+    splitmix64 chain as the global sketch, so the grouped registers are
+    value-checked in SQL too."""
+    m = 1 << p
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        keys = batch[key_col].to_numpy(dtype=np.int64)
+        z = sql_mix64(keys)
+        reg = (z % np.uint64(m)).astype(np.int64)
+        rem = z >> np.uint64(p)
+        rho = (64 - p + 1) - _bit_length(rem)
+        df = pd.DataFrame(
+            {group_col: batch[group_col].to_numpy(dtype=object),
+             "register": reg, "rho": rho}
+        )
+        return (
+            df.groupby([group_col, "register"], sort=False)["rho"]
+            .max()
+            .reset_index()
+        )
+
+    parts = ds.map_batches(partial, batch_format="pandas")
+    return hash_aggregate(
+        parts, keys=[group_col, "register"], aggs={"rho_max": ("rho", "max")}
+    )

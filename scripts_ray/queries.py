@@ -805,6 +805,16 @@ def q_hll_users(sf_dir: str):
     )
 
 
+def q_hll_users_by_type(sf_dir: str):
+    from .ops import sketch
+
+    return sketch.hll_registers_grouped(
+        _read(sf_dir, "events", columns=["user_id", "event_type"]),
+        "user_id",
+        "event_type",
+    )
+
+
 def q_shard_pack(sf_dir: str):
     """Training-shard packing: assign docs to ~SHARD_TOKENS shards inside
     independent doc_id buckets (no global sort; one bounded exchange)."""
@@ -1348,6 +1358,7 @@ QUERIES = {
     "decontaminate": q_decontaminate,
     "mixture_sample": q_mixture_sample,
     "hll_users": q_hll_users,
+    "hll_users_by_type": q_hll_users_by_type,
     "shard_pack": q_shard_pack,
     "curate_mix": q_curate_mix,
     "validate_docs": q_validate_docs,
@@ -1460,6 +1471,7 @@ ORACLES = {
     "decontaminate": sql_ops.DECONTAMINATE_SQL,
     "mixture_sample": sql_ops.MIXTURE_SAMPLE_SQL,
     "hll_users": sql_ops.HLL_USERS_SQL,
+    "hll_users_by_type": sql_ops.HLL_USERS_BY_TYPE_SQL,
     "shard_pack": sql_ops.SHARD_PACK_SQL,
     "curate_mix": sql_ops.CURATE_MIX_SQL,
     "validate_docs": sql_ops.VALIDATE_DOCS_SQL,

@@ -1715,3 +1715,22 @@ SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
        CAST(COALESCE(t.n_tok, 0) - COALESCE(k.n_kept, 0) AS BIGINT) AS n_cut
 FROM documents d LEFT JOIN kept k USING (doc_id) LEFT JOIN tot t USING (doc_id)
 """
+
+
+
+# ---- grouped HLL (distinct users per event_type) -------------------------------
+HLL_USERS_BY_TYPE_SQL = f"""
+WITH s0 AS (SELECT event_type, (CAST(user_id AS HUGEINT) + {SQLMIX_ADD})
+                   % {_TWO64}::HUGEINT AS z FROM events),
+s1 AS (SELECT event_type, {_xorshift('z', 30)} AS z FROM s0),
+s2 AS (SELECT event_type, {_mulmod('z', SQLMIX_M1)} AS z FROM s1),
+s3 AS (SELECT event_type, {_xorshift('z', 27)} AS z FROM s2),
+s4 AS (SELECT event_type, {_mulmod('z', SQLMIX_M2)} AS z FROM s3),
+s5 AS (SELECT event_type, {_xorshift('z', 31)} AS z FROM s4),
+hm AS (SELECT event_type, CAST(z % 64 AS BIGINT) AS register,
+              CAST(z // 64 AS BIGINT) AS rem FROM s5)
+SELECT event_type, register,
+       CAST(max(59 - CASE WHEN rem = 0 THEN 0 ELSE length(bin(rem)) END)
+            AS BIGINT) AS rho_max
+FROM hm GROUP BY event_type, register
+"""

@@ -256,3 +256,31 @@ def test_span_cut_identical_docs_fully_cut(ray_session):
     assert got.loc[1, "kept_text"] == "" and got.loc[2, "n_cut"] == 10
     assert got.loc[3, "kept_text"] == "one two three"
     assert got.loc[3, "n_cut"] == 0
+
+
+def test_hll_grouped_matches_oracle(ray_session, sf_dir, duck):
+    from scripts_ray import queries, sql_ops
+
+    _cmp(
+        queries.QUERIES["hll_users_by_type"](sf_dir),
+        duck,
+        sql_ops.HLL_USERS_BY_TYPE_SQL,
+        ["event_type", "register"],
+    )
+
+
+def test_hll_grouped_estimates_near_exact(ray_session, sf_dir, duck):
+    """Per-group estimate within 3 sigma (~3*13% at p=6) of the exact
+    distinct count for every event_type."""
+    from scripts_ray import queries
+    from scripts_ray.ops.sketch import hll_estimate
+
+    regs = queries.QUERIES["hll_users_by_type"](sf_dir).to_pandas()
+    exact = dict(
+        duck.execute(
+            "SELECT event_type, count(DISTINCT user_id) FROM events GROUP BY 1"
+        ).fetchall()
+    )
+    for etype, g in regs.groupby("event_type"):
+        est = hll_estimate(g[["register", "rho_max"]])
+        assert abs(est - exact[etype]) / exact[etype] < 0.4
