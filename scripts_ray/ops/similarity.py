@@ -249,6 +249,22 @@ def train_centroids(sf_dir: str, n_centroids: int = 16, iters: int = 10,
     return c
 
 
+def load_fixed_centroids(sf_dir: str, n_centroids: int = 16) -> np.ndarray:
+    """Pinned coarse quantizer: the embeddings with vec_id < n_centroids,
+    in vec_id order, L2-normalized — matrix row index == vec_id, so list
+    assignment and probe selection are restatable in SQL (the same
+    fixed-centroid trick as KMEANS_ASSIGN_SQL). Lets the APPROXIMATE IVF
+    operating point (nprobe < n_lists) be value-checked end-to-end, where
+    the trained quantizer can only be rows-only + measured-recall."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    t = t.filter(pc.less(t["vec_id"], n_centroids)).sort_by("vec_id")
+    c = _to_matrix(t["embedding"])
+    return c / np.linalg.norm(c, axis=1, keepdims=True)
+
+
 def ann_ivf(emb_ds, query_ids: np.ndarray, queries: np.ndarray,
             centroids: np.ndarray, k: int = 5, nprobe: int = 8):
     """IVF ANN — the centroid-partitioned scale path (FAISS-style coarse
@@ -265,7 +281,9 @@ def ann_ivf(emb_ds, query_ids: np.ndarray, queries: np.ndarray,
     import ray
 
     qnorm = queries / np.linalg.norm(queries, axis=1, keepdims=True)
-    qprobe = np.argsort(-(qnorm @ centroids.T), axis=1)[:, :nprobe]  # (nq, nprobe)
+    # stable: on an exact similarity tie the LOWER list id is probed,
+    # matching the SQL oracle's ORDER BY sim DESC, cid
+    qprobe = np.argsort(-(qnorm @ centroids.T), axis=1, kind="stable")[:, :nprobe]
     ref = ray.put((query_ids, qnorm, qprobe, centroids))
 
     def candidates(batch: pa.Table) -> pd.DataFrame:
@@ -302,6 +320,75 @@ def ann_ivf(emb_ds, query_ids: np.ndarray, queries: np.ndarray,
         .groupby("query_id")
         .map_groups(merge_topk, batch_format="pandas")
     )
+
+
+def semdedup_prune(emb_ds, centroids: np.ndarray, min_centipct: int = 40,
+                   num_partitions: int = 64):
+    """SemDeDup-style semantic dedup (cluster-then-prune, public: Abbas et
+    al. 2023, arXiv:2303.09540): assign every vector to its nearest
+    centroid (cosine, ties to the lower centroid id), then prune WITHIN
+    each cluster — drop vec `b` when some `a < b` in the same cluster has
+    floor(100*cos(a,b)) >= min_centipct. The quadratic pairwise work is
+    bounded per cluster (the premise of cluster-then-prune: centroid count
+    grows with the corpus so clusters stay bounded), never corpus-wide —
+    this is the scale path the all-pairs `near_dup_pairs` twin verifies.
+    One bounded exchange keyed on cluster id co-locates each cluster;
+    vectors cross the exchange once (dim floats/row).
+
+    Emits one row per dropped vector: (vec_id, witness_id = the LOWEST
+    lower id whose similarity crosses the threshold, cluster, sim_centipct
+    of the witness pair) — deterministic, value-checked in SQL. The keep
+    set is `embeddings ANTI JOIN result` (first-wins per epsilon-ball,
+    chained: a witness may itself be dropped by a still-lower witness)."""
+    import ray
+
+    from .hashagg import finalize_partitions, part_column
+
+    cref = ray.put(centroids)
+
+    def tag(batch: pa.Table) -> pa.Table:
+        cents = ray.get(cref)
+        vecs = _to_matrix(batch["embedding"].combine_chunks())
+        vn = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+        cluster = np.argmax(vn @ cents.T, axis=1).astype(np.int64)
+        return pa.table(
+            {
+                "vec_id": batch["vec_id"],
+                "cluster": pa.array(cluster),
+                "embedding": batch["embedding"],
+                "_part": pa.array(part_column(cluster, num_partitions)),
+            }
+        )
+
+    def prune(part: pd.DataFrame) -> pd.DataFrame:
+        out_b, out_w, out_c, out_s = [], [], [], []
+        for cl, g in part.groupby("cluster", sort=False):
+            if len(g) < 2:
+                continue
+            g = g.sort_values("vec_id")
+            ids = g["vec_id"].to_numpy(dtype=np.int64)
+            m = np.stack(g["embedding"].to_numpy())
+            mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+            centi = np.floor(100.0 * (mn @ mn.T)).astype(np.int64)
+            # a(row) < b(col) since ids are sorted ascending
+            hit = np.triu(centi >= min_centipct, k=1)
+            for b in np.nonzero(hit.any(axis=0))[0]:
+                a = int(np.nonzero(hit[:, b])[0][0])  # lowest witness id
+                out_b.append(ids[b])
+                out_w.append(ids[a])
+                out_c.append(int(cl))
+                out_s.append(int(centi[a, b]))
+        return pd.DataFrame(
+            {
+                "vec_id": np.array(out_b, dtype=np.int64),
+                "witness_id": np.array(out_w, dtype=np.int64),
+                "cluster": np.array(out_c, dtype=np.int64),
+                "sim_centipct": np.array(out_s, dtype=np.int64),
+            }
+        )
+
+    tagged = emb_ds.map_batches(tag, batch_format="pyarrow")
+    return finalize_partitions(tagged, prune)
 
 
 def _plane_matrix(dim: int, n_planes: int, seed: int) -> np.ndarray:

@@ -984,6 +984,33 @@ def q_ann_ivf_full(sf_dir: str):
     )
 
 
+def q_ann_ivf_fixed(sf_dir: str):
+    """IVF at a TRUE approximate operating point (nprobe=4 of 16 lists,
+    ~1/4 of the corpus scanned per query), value-checked: the coarse
+    quantizer is pinned to the embeddings with vec_id < 16 (vec_id order,
+    normalized), so list assignment, probe selection and the per-list
+    exact scan are all restated in SQL (ANN_IVF_FIXED_SQL) — unlike
+    `ann_ivf`, whose trained quantizer makes the approximation rows-only
+    with recall measured in bench."""
+    qids, qvecs = similarity.load_queries(sf_dir)
+    cents = similarity.load_fixed_centroids(sf_dir)
+    return similarity.ann_ivf(
+        _read(sf_dir, "embeddings", columns=["vec_id", "embedding"]),
+        qids, qvecs, cents, nprobe=4,
+    )
+
+
+def q_semdedup(sf_dir: str):
+    """SemDeDup semantic dedup over the embedding corpus: nearest-centroid
+    clustering (pinned SQL-reproducible quantizer, same as ann_ivf_fixed)
+    then within-cluster pruning — the bounded-quadratic scale path whose
+    corpus-wide twin is `near_dup_embedding` (all-pairs, test-scale only)."""
+    cents = similarity.load_fixed_centroids(sf_dir)
+    return similarity.semdedup_prune(
+        _read(sf_dir, "embeddings", columns=["vec_id", "embedding"]), cents
+    )
+
+
 def q_near_dup_emb_lsh(sf_dir: str):
     return similarity.near_dup_emb_lsh(
         lambda: _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
@@ -1369,6 +1396,8 @@ QUERIES = {
     "near_dup_emb_lsh": q_near_dup_emb_lsh,
     "ann_ivf": q_ann_ivf,
     "ann_ivf_full": q_ann_ivf_full,
+    "ann_ivf_fixed": q_ann_ivf_fixed,
+    "semdedup": q_semdedup,
     "image_decode": q_image_decode,
     "frame_sample": q_frame_sample,
     "lsh_buckets": q_lsh_buckets,
@@ -1485,6 +1514,8 @@ ORACLES = {
     # full-probe IVF (nprobe = n_centroids) scans every list → exact; the
     # exact-ANN SQL oracle validates the IVF machinery end-to-end
     "ann_ivf_full": sql_ops.ANN_COSINE_SQL,
+    "ann_ivf_fixed": sql_ops.ANN_IVF_FIXED_SQL,
+    "semdedup": sql_ops.SEMDEDUP_SQL,
     "near_dup_embedding": sql_ops.NEAR_DUP_EMBEDDING_SQL,
     # the LSH-pruned scale path deterministically covers every pair at
     # cos ≥ 0.40 (2 planes × 32 tables; see near_dup_emb_lsh docstring),

@@ -761,6 +761,87 @@ SELECT CAST(query_id AS BIGINT) AS query_id,
 FROM s QUALIFY rank <= 5
 """
 
+# IVF at the approximate operating point, with the coarse quantizer pinned
+# to the first 16 embedding vectors (vec_id order == matrix row == cid):
+# every vector joins its nearest list (cosine, ties to the lower cid), each
+# query exact-scans only its 4 nearest lists. Mirrors
+# ops/similarity.ann_ivf with load_fixed_centroids.
+ANN_IVF_FIXED_SQL = """
+WITH c AS (
+  SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id < 16
+),
+va AS (
+  SELECT vec_id, cid FROM (
+    SELECT e.vec_id, c.cid,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY list_cosine_similarity(e.embedding, c.ce) DESC, c.cid
+           ) AS rn
+    FROM embeddings e, c
+  ) WHERE rn = 1
+),
+q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 10),
+qp AS (
+  SELECT query_id, cid FROM (
+    SELECT q.query_id, c.cid,
+           row_number() OVER (
+             PARTITION BY q.query_id
+             ORDER BY list_cosine_similarity(q.qe, c.ce) DESC, c.cid
+           ) AS rn
+    FROM q, c
+  ) WHERE rn <= 4
+),
+s AS (
+  SELECT q.query_id, e.vec_id,
+         list_cosine_similarity(q.qe, e.embedding) AS sim
+  FROM q
+  JOIN qp USING (query_id)
+  JOIN va ON va.cid = qp.cid
+  JOIN embeddings e ON e.vec_id = va.vec_id
+  WHERE e.vec_id <> q.query_id
+)
+SELECT CAST(query_id AS BIGINT) AS query_id,
+       CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id)
+            AS BIGINT) AS rank,
+       CAST(vec_id AS BIGINT) AS neighbor_id
+FROM s QUALIFY rank <= 5
+"""
+
+# SemDeDup (cluster-then-prune): same pinned quantizer as ANN_IVF_FIXED_SQL;
+# drop b when a lower-id a in the same cluster has floor(100*cos) >= 40,
+# witness = the lowest such a. Mirrors ops/similarity.semdedup_prune.
+SEMDEDUP_SQL = """
+WITH c AS (
+  SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id < 16
+),
+va AS (
+  SELECT vec_id, cid FROM (
+    SELECT e.vec_id, c.cid,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY list_cosine_similarity(e.embedding, c.ce) DESC, c.cid
+           ) AS rn
+    FROM embeddings e, c
+  ) WHERE rn = 1
+),
+p AS (
+  SELECT b.vec_id AS vec_id, a.vec_id AS witness_id, a.cid AS cluster,
+         CAST(floor(100.0 * list_cosine_similarity(ea.embedding, eb.embedding))
+              AS BIGINT) AS sim_centipct,
+         row_number() OVER (PARTITION BY b.vec_id ORDER BY a.vec_id) AS rn
+  FROM va a
+  JOIN va b ON a.cid = b.cid AND a.vec_id < b.vec_id
+  JOIN embeddings ea ON ea.vec_id = a.vec_id
+  JOIN embeddings eb ON eb.vec_id = b.vec_id
+  WHERE floor(100.0 * list_cosine_similarity(ea.embedding, eb.embedding)) >= 40
+)
+SELECT CAST(vec_id AS BIGINT) AS vec_id,
+       CAST(witness_id AS BIGINT) AS witness_id,
+       CAST(cluster AS BIGINT) AS cluster,
+       sim_centipct
+FROM p WHERE rn = 1
+"""
+
 NEAR_DUP_EMBEDDING_SQL = """
 SELECT CAST(a.vec_id AS BIGINT) AS vec_a, CAST(b.vec_id AS BIGINT) AS vec_b,
        CAST(floor(100.0 * list_cosine_similarity(a.embedding, b.embedding))

@@ -284,3 +284,52 @@ def test_hll_grouped_estimates_near_exact(ray_session, sf_dir, duck):
     for etype, g in regs.groupby("event_type"):
         est = hll_estimate(g[["register", "rho_max"]])
         assert abs(est - exact[etype]) / exact[etype] < 0.4
+
+
+def test_ann_ivf_fixed_matches_oracle(ray_session, sf_dir, duck):
+    from scripts_ray import queries, sql_ops
+
+    _cmp(
+        queries.QUERIES["ann_ivf_fixed"](sf_dir),
+        duck,
+        sql_ops.ANN_IVF_FIXED_SQL,
+        ["query_id", "rank"],
+    )
+
+
+def test_ann_ivf_fixed_is_truly_approximate(ray_session, sf_dir, duck):
+    """nprobe=4/16 must NOT degenerate to the exact scan (else the oracle
+    proves nothing about probe pruning) and must still keep high recall."""
+    from scripts_ray import sql_ops
+
+    ivf = set(map(tuple, duck.execute(sql_ops.ANN_IVF_FIXED_SQL).fetchall()))
+    exact = set(map(tuple, duck.execute(sql_ops.ANN_COSINE_SQL).fetchall()))
+    overlap = len(ivf & exact) / len(exact)
+    assert overlap < 1.0  # pruning really dropped some exact neighbors
+    assert overlap >= 0.6
+
+
+def test_semdedup_matches_oracle(ray_session, sf_dir, duck):
+    from scripts_ray import queries, sql_ops
+
+    _cmp(
+        queries.QUERIES["semdedup"](sf_dir),
+        duck,
+        sql_ops.SEMDEDUP_SQL,
+        ["vec_id"],
+    )
+
+
+def test_semdedup_drops_subset_of_allpairs(ray_session, sf_dir):
+    """Every semdedup drop must be witnessed by an all-pairs near-dup pair
+    at the same threshold (cluster pruning only ever PRUNES the pair set),
+    and the witness is always a lower id."""
+    from scripts_ray import queries
+
+    sem = queries.QUERIES["semdedup"](sf_dir).to_pandas()
+    allp = queries.QUERIES["near_dup_embedding"](sf_dir).to_pandas()
+    pairs = set(zip(allp["vec_a"], allp["vec_b"]))
+    assert len(sem) > 0
+    assert (sem["witness_id"] < sem["vec_id"]).all()
+    for r in sem.itertuples():
+        assert (r.witness_id, r.vec_id) in pairs
