@@ -304,6 +304,8 @@ def run_bench() -> dict:
             "bm25_search",
             "pii_scrub",
             "kmeans_assign",
+            "semdedup",
+            "hll_users_by_type",
         ]
     )
     for name in secondary:
