@@ -88,6 +88,64 @@ class FrameSampler:
         )
 
 
+AUDIO_WIN_BYTES = 128
+AUDIO_HOP_BYTES = 64
+
+
+class AudioChunker:
+    """Audio-analog actor stage: STFT-style OVERLAPPING framing of a binary
+    payload (win > hop, unlike FrameSampler's strided disjoint frames) —
+    the windowing shape feature extractors (fbank/MFCC/wav2vec) consume.
+    A real resampler/codec would load once per actor here; in this
+    environment the payload is treated as raw bytes and the frame GEOMETRY
+    is the tested contract (n_chunks = 1 + floor(max(0, n-win)/hop);
+    chunk i covers [i*hop, min(n, i*hop+win))), value-checked in SQL.
+
+    Input batch: (item_id, payload); output rows per chunk:
+    (item_id, chunk_idx, start_byte, end_byte, chunk: binary).
+    """
+
+    def __init__(self, win_bytes: int = AUDIO_WIN_BYTES, hop_bytes: int = AUDIO_HOP_BYTES):
+        self.win = win_bytes
+        self.hop = hop_bytes
+
+    def __call__(self, batch: pa.Table) -> pd.DataFrame:
+        ids, idxs, starts, ends, chunks = [], [], [], [], []
+        for item_id, payload in zip(
+            batch["item_id"].to_pylist(), batch["payload"].to_pylist()
+        ):
+            n = len(payload)
+            n_chunks = 1 + max(0, (n - self.win)) // self.hop
+            for i in range(n_chunks):
+                s = i * self.hop
+                e = min(n, s + self.win)
+                ids.append(item_id)
+                idxs.append(i)
+                starts.append(s)
+                ends.append(e)
+                chunks.append(payload[s:e])
+        return pd.DataFrame(
+            {
+                "item_id": np.array(ids, dtype=np.int64),
+                "chunk_idx": np.array(idxs, dtype=np.int64),
+                "start_byte": np.array(starts, dtype=np.int64),
+                "end_byte": np.array(ends, dtype=np.int64),
+                "chunk": chunks,
+            }
+        )
+
+
+def chunk_audio(payload_ds, concurrency=(1, 4), batch_size=64, **kw):
+    return payload_ds.map_batches(
+        AudioChunker,
+        fn_constructor_kwargs=kw,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        num_cpus=1,
+    )
+
+
 def docs_as_payloads(docs_ds):
     """Adapter used by tests: document text bytes as a stand-in binary payload."""
 

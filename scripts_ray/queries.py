@@ -1050,6 +1050,20 @@ def q_frame_sample(sf_dir: str):
     return ds.select_columns(["item_id", "frame_idx"])
 
 
+def q_audio_chunks(sf_dir: str):
+    """Audio-analog overlapping framing (win=128B, hop=64B) over binary
+    payloads; geometry (chunk count + byte bounds) is the value-checked
+    contract, chunk bytes stay in the Ray plan."""
+    from .ops import multimodal
+
+    ds = multimodal.chunk_audio(
+        multimodal.docs_as_payloads(
+            _read(sf_dir, "documents", columns=["doc_id", "text"])
+        )
+    )
+    return ds.select_columns(["item_id", "chunk_idx", "start_byte", "end_byte"])
+
+
 def q_lsh_buckets(sf_dir: str):
     return similarity.lsh_buckets(
         _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
@@ -1400,6 +1414,7 @@ QUERIES = {
     "semdedup": q_semdedup,
     "image_decode": q_image_decode,
     "frame_sample": q_frame_sample,
+    "audio_chunks": q_audio_chunks,
     "lsh_buckets": q_lsh_buckets,
     "ann_lsh": q_ann_lsh,
     "token_counts": q_token_counts,
@@ -1528,6 +1543,7 @@ ORACLES = {
     # full SQL oracle is ann_lsh.
     "image_decode": sql_ops.IMAGE_DECODE_SQL,
     "frame_sample": sql_ops.FRAME_SAMPLE_SQL,
+    "audio_chunks": sql_ops.AUDIO_CHUNKS_SQL,
     "token_counts": sql_ops.TOKEN_COUNTS_SQL,
     "bm25_search": sql_ops.BM25_SEARCH_SQL,
     "kmeans_assign": sql_ops.KMEANS_ASSIGN_SQL,

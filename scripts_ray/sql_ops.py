@@ -867,6 +867,22 @@ SELECT doc_id AS item_id,
 FROM documents
 """
 
+# Audio-analog overlapping framing: n_chunks = 1 + floor(max(0, n-128)/64),
+# chunk i covers [i*64, min(n, i*64+128)). Mirrors ops/multimodal.AudioChunker.
+AUDIO_CHUNKS_SQL = """
+WITH p AS (SELECT doc_id AS item_id, octet_length(encode(text)) AS n FROM documents),
+g AS (
+  SELECT item_id, n,
+         unnest(range(0, 1 + CAST(greatest(n - 128, 0) // 64 AS BIGINT))) AS chunk_idx
+  FROM p
+)
+SELECT CAST(item_id AS BIGINT) AS item_id,
+       CAST(chunk_idx AS BIGINT) AS chunk_idx,
+       CAST(chunk_idx * 64 AS BIGINT) AS start_byte,
+       CAST(least(n, chunk_idx * 64 + 128) AS BIGINT) AS end_byte
+FROM g
+"""
+
 # ---- relational aggregates / joins / top-k (SURVEY §2.4-§2.6) --------------
 
 EVENT_AGG_SQL = """

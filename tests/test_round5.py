@@ -333,3 +333,39 @@ def test_semdedup_drops_subset_of_allpairs(ray_session, sf_dir):
     assert (sem["witness_id"] < sem["vec_id"]).all()
     for r in sem.itertuples():
         assert (r.witness_id, r.vec_id) in pairs
+
+
+def test_audio_chunks_matches_oracle(ray_session, sf_dir, duck):
+    from scripts_ray import queries, sql_ops
+
+    _cmp(
+        queries.QUERIES["audio_chunks"](sf_dir),
+        duck,
+        sql_ops.AUDIO_CHUNKS_SQL,
+        ["item_id", "chunk_idx"],
+    )
+
+
+def test_audio_chunks_overlap_geometry(ray_session, sf_dir):
+    """Consecutive chunks overlap by win-hop bytes and chunk bytes match
+    the declared [start, end) bounds."""
+    from scripts_ray import queries
+    from scripts_ray.ops import multimodal as mm
+
+    got = (
+        mm.chunk_audio(
+            mm.docs_as_payloads(
+                queries._read(sf_dir, "documents", columns=["doc_id", "text"])
+            )
+        )
+        .to_pandas()
+        .sort_values(["item_id", "chunk_idx"])
+    )
+    assert (got["end_byte"] - got["start_byte"] <= mm.AUDIO_WIN_BYTES).all()
+    assert (got["chunk"].str.len() == got["end_byte"] - got["start_byte"]).all()
+    one = got[got["item_id"] == got["item_id"].iloc[0]]
+    if len(one) > 1:
+        starts = one["start_byte"].to_numpy()
+        assert (np.diff(starts) == mm.AUDIO_HOP_BYTES).all()
+        # overlap: next chunk starts before the previous one ends
+        assert (starts[1:] < one["end_byte"].to_numpy()[:-1]).all()
