@@ -306,6 +306,7 @@ def run_bench() -> dict:
             "kmeans_assign",
             "semdedup",
             "hll_users_by_type",
+            "ann_ivf_fixed",
         ]
     )
     for name in secondary:

@@ -262,6 +262,13 @@ def load_fixed_centroids(sf_dir: str, n_centroids: int = 16) -> np.ndarray:
     t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     t = t.filter(pc.less(t["vec_id"], n_centroids)).sort_by("vec_id")
     c = _to_matrix(t["embedding"])
+    if len(c) != n_centroids:
+        # row index doubles as the centroid id in the SQL oracles — a gap
+        # in vec_id 0..n-1 would silently misalign the two
+        raise ValueError(
+            f"pinned quantizer needs vec_ids 0..{n_centroids - 1} present, "
+            f"got {len(c)} rows"
+        )
     return c / np.linalg.norm(c, axis=1, keepdims=True)
 
 
@@ -322,6 +329,11 @@ def ann_ivf(emb_ds, query_ids: np.ndarray, queries: np.ndarray,
     )
 
 
+# pairwise-block budget (elements per allocation) for semdedup_prune;
+# module-level so tests can shrink it to force the multi-block path
+_PRUNE_BLOCK_ELEMS = 1 << 22
+
+
 def semdedup_prune(emb_ds, centroids: np.ndarray, min_centipct: int = 40,
                    num_partitions: int = 64):
     """SemDeDup-style semantic dedup (cluster-then-prune, public: Abbas et
@@ -367,17 +379,26 @@ def semdedup_prune(emb_ds, centroids: np.ndarray, min_centipct: int = 40,
                 continue
             g = g.sort_values("vec_id")
             ids = g["vec_id"].to_numpy(dtype=np.int64)
-            m = np.stack(g["embedding"].to_numpy())
+            # float64 like _to_matrix: centi-floor boundaries must agree
+            # bit-for-bit with the all-pairs twin and the SQL oracle
+            m = np.stack(g["embedding"].to_numpy()).astype(np.float64)
             mn = m / np.linalg.norm(m, axis=1, keepdims=True)
-            centi = np.floor(100.0 * (mn @ mn.T)).astype(np.int64)
-            # a(row) < b(col) since ids are sorted ascending
-            hit = np.triu(centi >= min_centipct, k=1)
-            for b in np.nonzero(hit.any(axis=0))[0]:
-                a = int(np.nonzero(hit[:, b])[0][0])  # lowest witness id
-                out_b.append(ids[b])
-                out_w.append(ids[a])
-                out_c.append(int(cl))
-                out_s.append(int(centi[a, b]))
+            c = len(mn)
+            # column blocks bound the pairwise working set to blk×c per
+            # allocation (compute stays O(c²), the cluster premise; memory
+            # does not cliff if a cluster comes in large)
+            blk = max(1, min(c, _PRUNE_BLOCK_ELEMS // max(c, 1)))
+            for b0 in range(1, c, blk):
+                b1 = min(c, b0 + blk)
+                centi = np.floor(100.0 * (mn @ mn[b0:b1].T)).astype(np.int64)
+                rows = np.arange(c)[:, None]
+                hit = (centi >= min_centipct) & (rows < np.arange(b0, b1)[None, :])
+                for j in np.nonzero(hit.any(axis=0))[0]:
+                    a = int(np.nonzero(hit[:, j])[0][0])  # lowest witness id
+                    out_b.append(ids[b0 + j])
+                    out_w.append(ids[a])
+                    out_c.append(int(cl))
+                    out_s.append(int(centi[a, j]))
         return pd.DataFrame(
             {
                 "vec_id": np.array(out_b, dtype=np.int64),

@@ -43,6 +43,18 @@ def _bit_length(v: np.ndarray) -> np.ndarray:
     return bl + (v > 0).astype(np.int64)
 
 
+def _reg_rho(keys: np.ndarray, p: int) -> tuple[np.ndarray, np.ndarray]:
+    """(register, rho) per key — the one derivation shared by the global
+    and grouped sketches (and mirrored by both SQL oracles): register =
+    low p bits of the mixed key, rho = leading-zero count of the
+    remaining 64-p bits + 1."""
+    z = sql_mix64(keys)
+    reg = (z % np.uint64(1 << p)).astype(np.int64)
+    rem = z >> np.uint64(p)
+    rho = (64 - p + 1) - _bit_length(rem)
+    return reg, rho
+
+
 def hll_registers(ds, key_col: str, p: int = HLL_P):
     """(register, rho_max) rows of the HLL sketch of `key_col`. Register
     index = low p bits of the mixed key; rho = leading-zero count of the
@@ -51,11 +63,7 @@ def hll_registers(ds, key_col: str, p: int = HLL_P):
     m = 1 << p
 
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
-        keys = batch[key_col].to_numpy(dtype=np.int64)
-        z = sql_mix64(keys)
-        reg = (z % np.uint64(m)).astype(np.int64)
-        rem = z >> np.uint64(p)
-        rho = (64 - p + 1) - _bit_length(rem)
+        reg, rho = _reg_rho(batch[key_col].to_numpy(dtype=np.int64), p)
         arr = np.zeros(m, dtype=np.int64)
         np.maximum.at(arr, reg, rho)
         touched = np.unique(reg)
@@ -176,14 +184,9 @@ def hll_registers_grouped(ds, key_col: str, group_col: str, p: int = HLL_P):
     two-level hash aggregate with a register-wise max. Same deterministic
     splitmix64 chain as the global sketch, so the grouped registers are
     value-checked in SQL too."""
-    m = 1 << p
 
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
-        keys = batch[key_col].to_numpy(dtype=np.int64)
-        z = sql_mix64(keys)
-        reg = (z % np.uint64(m)).astype(np.int64)
-        rem = z >> np.uint64(p)
-        rho = (64 - p + 1) - _bit_length(rem)
+        reg, rho = _reg_rho(batch[key_col].to_numpy(dtype=np.int64), p)
         df = pd.DataFrame(
             {group_col: batch[group_col].to_numpy(dtype=object),
              "register": reg, "rho": rho}

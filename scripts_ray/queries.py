@@ -1004,7 +1004,11 @@ def q_semdedup(sf_dir: str):
     """SemDeDup semantic dedup over the embedding corpus: nearest-centroid
     clustering (pinned SQL-reproducible quantizer, same as ann_ivf_fixed)
     then within-cluster pruning — the bounded-quadratic scale path whose
-    corpus-wide twin is `near_dup_embedding` (all-pairs, test-scale only)."""
+    corpus-wide twin is `near_dup_embedding` (all-pairs, test-scale only).
+    The 16-centroid pinned quantizer is the ORACLE-CHECKABLE operating
+    point; at production scale pass `train_centroids`-style centroids with
+    n_centroids ∝ corpus size so clusters stay bounded (the prune kernel
+    additionally block-bounds its pairwise working set)."""
     cents = similarity.load_fixed_centroids(sf_dir)
     return similarity.semdedup_prune(
         _read(sf_dir, "embeddings", columns=["vec_id", "embedding"]), cents

@@ -761,13 +761,12 @@ SELECT CAST(query_id AS BIGINT) AS query_id,
 FROM s QUALIFY rank <= 5
 """
 
-# IVF at the approximate operating point, with the coarse quantizer pinned
-# to the first 16 embedding vectors (vec_id order == matrix row == cid):
-# every vector joins its nearest list (cosine, ties to the lower cid), each
-# query exact-scans only its 4 nearest lists. Mirrors
-# ops/similarity.ann_ivf with load_fixed_centroids.
-ANN_IVF_FIXED_SQL = """
-WITH c AS (
+# Pinned coarse quantizer shared by ANN_IVF_FIXED_SQL and SEMDEDUP_SQL:
+# centroids = embeddings with vec_id < 16 (vec_id order == matrix row ==
+# cid on the Ray side), every vector assigned to its nearest list
+# (cosine, ties to the lower cid). One definition so the two oracles can
+# never disagree about cluster membership.
+_FIXED_QUANT_CTE = """c AS (
   SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id < 16
 ),
 va AS (
@@ -779,7 +778,12 @@ va AS (
            ) AS rn
     FROM embeddings e, c
   ) WHERE rn = 1
-),
+)"""
+
+# IVF at the approximate operating point: each query exact-scans only its
+# 4 nearest lists. Mirrors ops/similarity.ann_ivf with load_fixed_centroids.
+ANN_IVF_FIXED_SQL = f"""
+WITH {_FIXED_QUANT_CTE},
 q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 10),
 qp AS (
   SELECT query_id, cid FROM (
@@ -807,23 +811,12 @@ SELECT CAST(query_id AS BIGINT) AS query_id,
 FROM s QUALIFY rank <= 5
 """
 
-# SemDeDup (cluster-then-prune): same pinned quantizer as ANN_IVF_FIXED_SQL;
-# drop b when a lower-id a in the same cluster has floor(100*cos) >= 40,
-# witness = the lowest such a. Mirrors ops/similarity.semdedup_prune.
-SEMDEDUP_SQL = """
-WITH c AS (
-  SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id < 16
-),
-va AS (
-  SELECT vec_id, cid FROM (
-    SELECT e.vec_id, c.cid,
-           row_number() OVER (
-             PARTITION BY e.vec_id
-             ORDER BY list_cosine_similarity(e.embedding, c.ce) DESC, c.cid
-           ) AS rn
-    FROM embeddings e, c
-  ) WHERE rn = 1
-),
+# SemDeDup (cluster-then-prune): same pinned quantizer as ANN_IVF_FIXED_SQL
+# (shared _FIXED_QUANT_CTE); drop b when a lower-id a in the same cluster
+# has floor(100*cos) >= 40, witness = the lowest such a. Mirrors
+# ops/similarity.semdedup_prune.
+SEMDEDUP_SQL = f"""
+WITH {_FIXED_QUANT_CTE},
 p AS (
   SELECT b.vec_id AS vec_id, a.vec_id AS witness_id, a.cid AS cluster,
          CAST(floor(100.0 * list_cosine_similarity(ea.embedding, eb.embedding))

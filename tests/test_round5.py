@@ -363,9 +363,32 @@ def test_audio_chunks_overlap_geometry(ray_session, sf_dir):
     )
     assert (got["end_byte"] - got["start_byte"] <= mm.AUDIO_WIN_BYTES).all()
     assert (got["chunk"].str.len() == got["end_byte"] - got["start_byte"]).all()
-    one = got[got["item_id"] == got["item_id"].iloc[0]]
-    if len(one) > 1:
+    multi = got.groupby("item_id").filter(lambda g: len(g) > 1)
+    assert len(multi) > 0  # the fixture must exercise the overlap path
+    for _, one in multi.groupby("item_id"):
         starts = one["start_byte"].to_numpy()
         assert (np.diff(starts) == mm.AUDIO_HOP_BYTES).all()
         # overlap: next chunk starts before the previous one ends
         assert (starts[1:] < one["end_byte"].to_numpy()[:-1]).all()
+
+
+def test_semdedup_blockwise_matches_single_block(ray_session, sf_dir, monkeypatch):
+    """Shrinking the pairwise block budget (forcing many column blocks per
+    cluster) must not change the result."""
+    from scripts_ray import queries
+    from scripts_ray.ops import similarity
+
+    base = (
+        queries.QUERIES["semdedup"](sf_dir)
+        .to_pandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    monkeypatch.setattr(similarity, "_PRUNE_BLOCK_ELEMS", 16)
+    small = (
+        queries.QUERIES["semdedup"](sf_dir)
+        .to_pandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    assert base.equals(small)
