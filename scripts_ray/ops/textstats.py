@@ -382,3 +382,75 @@ def pii_scrub(docs_ds):
         )
 
     return docs_ds.map_batches(scrub, batch_format="pyarrow")
+
+
+URL_DOMAIN_RE = r"https?://(?P<domain>[A-Za-z0-9.-]+)"
+N_DOMAINS = 50
+DOMAIN_BLOCK_EVERY = 7  # site ids divisible by this are blocklisted
+
+
+def default_blocklist() -> frozenset[str]:
+    """The deterministic test blocklist: every DOMAIN_BLOCK_EVERY-th site.
+    At deployment this is the curated domain denylist loaded from config —
+    a dimension-sized set, broadcast once (`ray.put`), never shuffled."""
+    return frozenset(
+        f"site{i}.example" for i in range(0, N_DOMAINS, DOMAIN_BLOCK_EVERY)
+    )
+
+
+def plant_url(batch_text: pa.ChunkedArray, doc_id: pa.ChunkedArray) -> pa.Array:
+    """Deterministic source-URL augmentation (same rationale as plant_pii):
+    the synthetic corpus carries no URLs, so one is planted per document
+    (domain = site{doc_id % N_DOMAINS}.example) to make extraction a real
+    transformation the oracle verifies; at deployment the plant step is
+    dropped and extraction runs on raw text/metadata."""
+    mod = (
+        doc_id.combine_chunks() if isinstance(doc_id, pa.ChunkedArray) else doc_id
+    ).to_numpy(zero_copy_only=False).astype(np.int64) % N_DOMAINS
+    site = pc.cast(pa.array(mod, type=pa.int64()), pa.string())
+    n = len(site)
+    return pc.binary_join_element_wise(
+        batch_text.combine_chunks()
+        if isinstance(batch_text, pa.ChunkedArray)
+        else batch_text,
+        pa.array([" src http://site"] * n, type=pa.string()),
+        site,
+        pa.array([".example/a"] * n, type=pa.string()),
+        "",
+    )
+
+
+def domain_stats(docs_ds, blocked_ref):
+    """Per-domain document counts + blocklist membership — the web-curation
+    staple (C4/RefinedWeb-style source filtering): extract the first source
+    domain per doc with a vectorized RE2 capture, test membership against a
+    BROADCAST blocklist (one `ray.put`, map-side `Series.isin` hash lookup),
+    then count per (domain, blocked) with the two-level hash aggregate.
+    Only (domain, blocked, partial n) rows cross the exchange."""
+    import ray
+
+    from .hashagg import hash_aggregate
+
+    def extract(batch: pa.Table) -> pd.DataFrame:
+        blocked = ray.get(blocked_ref)
+        planted = plant_url(batch["text"], batch["doc_id"])
+        dom = pd.Series(
+            pc.struct_field(
+                pc.extract_regex(planted, pattern=URL_DOMAIN_RE), "domain"
+            ).to_pandas()
+        )
+        out = (
+            pd.DataFrame(
+                {"domain": dom, "blocked": dom.isin(blocked).astype(np.int64)}
+            )
+            .groupby(["domain", "blocked"], sort=False)
+            .size()
+            .reset_index(name="n")
+        )
+        return out
+
+    return hash_aggregate(
+        docs_ds.map_batches(extract, batch_format="pyarrow"),
+        keys=["domain", "blocked"],
+        aggs={"n_docs": ("n", "sum")},
+    )

@@ -1118,6 +1118,16 @@ def q_pii_scrub(sf_dir: str):
     return textstats.pii_scrub(_read(sf_dir, "documents", columns=["doc_id", "text"]))
 
 
+def q_domain_stats(sf_dir: str):
+    """Per-source-domain doc counts with broadcast-blocklist membership."""
+    import ray
+
+    ref = ray.put(textstats.default_blocklist())
+    return textstats.domain_stats(
+        _read(sf_dir, "documents", columns=["doc_id", "text"]), ref
+    )
+
+
 def q_dup_spans(sf_dir: str):
     return dedup.dup_spans(_read(sf_dir, "documents", columns=["doc_id", "text"]))
 
@@ -1425,6 +1435,7 @@ QUERIES = {
     "bm25_search": q_bm25_search,
     "kmeans_assign": q_kmeans_assign,
     "pii_scrub": q_pii_scrub,
+    "domain_stats": q_domain_stats,
     "dup_spans": q_dup_spans,
     "incremental_dedup": q_incremental_dedup,
     "span_cut": q_span_cut,
@@ -1552,6 +1563,7 @@ ORACLES = {
     "bm25_search": sql_ops.BM25_SEARCH_SQL,
     "kmeans_assign": sql_ops.KMEANS_ASSIGN_SQL,
     "pii_scrub": sql_ops.PII_SCRUB_SQL,
+    "domain_stats": sql_ops.DOMAIN_STATS_SQL,
     "dup_spans": sql_ops.DUP_SPANS_SQL,
     "incremental_dedup": sql_ops.INCREMENTAL_DEDUP_SQL,
     "span_cut": sql_ops.SPAN_CUT_SQL,

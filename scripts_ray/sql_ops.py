@@ -1697,6 +1697,27 @@ FROM planted
 """
 
 
+# Source-domain stats: plant mirrors textstats.plant_url, extraction uses
+# the same first-match regex; blocked restates the deterministic blocklist
+# rule (site ids divisible by 7) the broadcast set is generated from.
+DOMAIN_STATS_SQL = """
+WITH planted AS (
+  SELECT text || ' src http://site' || CAST(doc_id % 50 AS VARCHAR)
+              || '.example/a' AS p
+  FROM documents
+),
+d AS (
+  SELECT regexp_extract(p, 'https?://([A-Za-z0-9.-]+)', 1) AS domain
+  FROM planted
+)
+SELECT domain,
+       CAST(CAST(regexp_extract(domain, 'site([0-9]+)', 1) AS BIGINT) % 7 = 0
+            AS BIGINT) AS blocked,
+       CAST(count(*) AS BIGINT) AS n_docs
+FROM d GROUP BY 1, 2
+"""
+
+
 # ---- cross-document repeated-substring spans --------------------------------
 # Shares the winnow shingle chain (_WINNOW_SHV_CTE, 1-based p) with
 # DOC_WINNOW_SQL; span bounds convert to the engine's 0-based token

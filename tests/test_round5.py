@@ -392,3 +392,31 @@ def test_semdedup_blockwise_matches_single_block(ray_session, sf_dir, monkeypatc
         .reset_index(drop=True)
     )
     assert base.equals(small)
+
+
+def test_domain_stats_matches_oracle(ray_session, sf_dir, duck):
+    from scripts_ray import queries, sql_ops
+
+    _cmp(
+        queries.QUERIES["domain_stats"](sf_dir),
+        duck,
+        sql_ops.DOMAIN_STATS_SQL,
+        ["domain"],
+    )
+
+
+def test_domain_stats_blocklist_membership(ray_session, sf_dir):
+    """Exactly the broadcast-blocklisted domains are flagged, and counts
+    sum to the corpus size (every doc has exactly one planted domain)."""
+    import duckdb
+
+    from scripts_ray import queries
+    from scripts_ray.ops.textstats import default_blocklist
+
+    got = queries.QUERIES["domain_stats"](sf_dir).to_pandas()
+    flagged = set(got.loc[got["blocked"] == 1, "domain"])
+    assert flagged == set(default_blocklist()) & set(got["domain"])
+    n_docs = duckdb.sql(
+        f"SELECT count(*) FROM '{sf_dir}/documents.parquet'"
+    ).fetchone()[0]
+    assert got["n_docs"].sum() == n_docs
