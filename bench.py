@@ -307,6 +307,7 @@ def run_bench() -> dict:
             "semdedup",
             "hll_users_by_type",
             "ann_ivf_fixed",
+            "dsir_select",
         ]
     )
     for name in secondary:

@@ -34,6 +34,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 BM25_K1 = 1.2
 BM25_B = 0.75
@@ -179,3 +180,109 @@ def kmeans_assign(emb_ds, seed_ids: np.ndarray, seeds: np.ndarray):
         )
 
     return emb_ds.map_batches(assign, batch_format="pyarrow")
+
+
+# ---- DSIR-style importance selection ----------------------------------------
+
+DSIR_BUCKETS = 64
+DSIR_TARGET_SOURCE = "src0"
+DSIR_SCALE = 1_000_000
+DSIR_TOP_K = 100
+
+
+def _token_buckets(text_col: pa.ChunkedArray) -> tuple[np.ndarray, np.ndarray]:
+    """(row_index, bucket) for every token: the hashed-feature map —
+    winnow token hash (SQL-reproducible) % DSIR_BUCKETS."""
+    from ..tokens import explode
+    from .dedup import winnow_token_hashes
+
+    rows, toks = explode(text_col.combine_chunks())
+    return rows, winnow_token_hashes(toks) % DSIR_BUCKETS
+
+
+def dsir_stats(docs_ds, target_source: str = DSIR_TARGET_SOURCE) -> np.ndarray:
+    """Pass 1 of DSIR-style data selection (Xie et al. 2023,
+    arXiv:2302.03169): hashed-unigram feature distributions of the TARGET
+    domain slice vs the RAW corpus, folded driver-side (the partial is at
+    most DSIR_BUCKETS rows per batch — constant, like the BM25 stats).
+
+    Returns the per-bucket importance table v[b] = floor(SCALE ·
+    p_target(b)/p_raw(b)) with add-one smoothing, computed in exact
+    Python ints (the DuckDB oracle reproduces it in HUGEINT). Log-free
+    rational weights — the same last-ulp-proof trade as the BM25 idf:
+    per-token importance floors to an integer so the per-doc score is an
+    order-independent integer sum on both engines."""
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        rows, b = _token_buckets(batch["text"])
+        is_t = (
+            pc.equal(batch["source"], target_source)
+            .to_numpy(zero_copy_only=False)
+            .astype(bool)[rows]
+        )
+        n_r = np.bincount(b, minlength=DSIR_BUCKETS)
+        n_t = np.bincount(b[is_t], minlength=DSIR_BUCKETS)
+        return pd.DataFrame(
+            {
+                "bucket": np.arange(DSIR_BUCKETS, dtype=np.int64),
+                "n_t": n_t.astype(np.int64),
+                "n_r": n_r.astype(np.int64),
+            }
+        )
+
+    agg = (
+        docs_ds.map_batches(partial, batch_format="pyarrow")
+        .to_pandas()
+        .groupby("bucket", sort=True)
+        .sum()
+    )
+    n_t = agg["n_t"].to_numpy()
+    n_r = agg["n_r"].to_numpy()
+    T = int(n_t.sum()) + DSIR_BUCKETS
+    R = int(n_r.sum()) + DSIR_BUCKETS
+    # exact integer arithmetic (Python ints: SCALE·(n_t+1)·R overflows i64)
+    v = [
+        DSIR_SCALE * (int(n_t[b]) + 1) * R // ((int(n_r[b]) + 1) * T)
+        for b in range(DSIR_BUCKETS)
+    ]
+    return np.array(v, dtype=np.int64)
+
+
+def dsir_select(docs_ds, v: np.ndarray, k: int = DSIR_TOP_K):
+    """Pass 2: per-doc importance score = floor(mean of v[bucket(token)])
+    over the doc's tokens (integer micro units; the MEAN, not the sum, so
+    the score measures per-token domain affinity rather than document
+    length), global top-k by (score desc, doc_id). Zero-token docs are
+    dropped (no evidence). The importance table is broadcast once;
+    scoring is one vectorized gather+scatter-add per batch, local top-k
+    per batch, tiny global sort — no stage sees more than k rows per
+    batch after the map."""
+    import ray
+
+    ref = ray.put(v)
+
+    def score(batch: pa.Table) -> pd.DataFrame:
+        vv = ray.get(ref)
+        rows, b = _token_buckets(batch["text"])
+        total = np.zeros(len(batch), dtype=np.int64)
+        np.add.at(total, rows, vv[b])
+        cnt = np.bincount(rows, minlength=len(batch))
+        keep = cnt > 0
+        total = total[keep] // cnt[keep]
+        doc_id = batch["doc_id"].to_numpy(zero_copy_only=False)[keep]
+        order = np.lexsort((doc_id, -total))[:k]
+        return pd.DataFrame(
+            {
+                "doc_id": doc_id[order].astype(np.int64),
+                "dsir_micro": total[order],
+            }
+        )
+
+    top = (
+        docs_ds.map_batches(score, batch_format="pyarrow")
+        .sort(["dsir_micro", "doc_id"], descending=[True, False])
+        .limit(k)
+        .to_pandas()
+    )
+    top["rank"] = np.arange(1, len(top) + 1, dtype=np.int64)
+    return top[["rank", "doc_id", "dsir_micro"]]

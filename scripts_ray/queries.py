@@ -1090,6 +1090,20 @@ def q_token_counts(sf_dir: str):
     )
 
 
+def q_dsir_select(sf_dir: str):
+    """DSIR-style importance selection: hashed-unigram target/raw
+    distribution pass (constant-size partials, driver fold), then a
+    broadcast-weights score pass with local top-k per batch."""
+    from .ops import retrieval
+
+    v = retrieval.dsir_stats(
+        _read(sf_dir, "documents", columns=["doc_id", "text", "source"])
+    )
+    return retrieval.dsir_select(
+        _read(sf_dir, "documents", columns=["doc_id", "text"]), v
+    )
+
+
 def q_bm25_search(sf_dir: str):
     """Ranked retrieval: stats pass (tiny global df/avgdl partials) then a
     broadcast-stats score pass with local top-k per batch."""
@@ -1433,6 +1447,7 @@ QUERIES = {
     "ann_lsh": q_ann_lsh,
     "token_counts": q_token_counts,
     "bm25_search": q_bm25_search,
+    "dsir_select": q_dsir_select,
     "kmeans_assign": q_kmeans_assign,
     "pii_scrub": q_pii_scrub,
     "domain_stats": q_domain_stats,
@@ -1561,6 +1576,7 @@ ORACLES = {
     "audio_chunks": sql_ops.AUDIO_CHUNKS_SQL,
     "token_counts": sql_ops.TOKEN_COUNTS_SQL,
     "bm25_search": sql_ops.BM25_SEARCH_SQL,
+    "dsir_select": sql_ops.DSIR_SELECT_SQL,
     "kmeans_assign": sql_ops.KMEANS_ASSIGN_SQL,
     "pii_scrub": sql_ops.PII_SCRUB_SQL,
     "domain_stats": sql_ops.DOMAIN_STATS_SQL,

@@ -1626,6 +1626,40 @@ FROM s5
 # ops/retrieval.py; floats written as the SAME expression tree numpy
 # evaluates (left-assoc, k1+1 computed not folded) and floored to integer
 # micro-units per (doc, term) BEFORE the order-independent integer sum.
+# DSIR-style importance selection: hashed-unigram (winnow token hash % 64)
+# target-vs-raw distributions with add-one smoothing, rational importance
+# v[b] = floor(1e6 * (n_t+1)*R / ((n_r+1)*T)) in exact HUGEINT, per-doc
+# score = floor(mean v over the doc's tokens) — per-token affinity, not
+# length. Mirrors ops/retrieval.dsir_stats + dsir_select.
+DSIR_SELECT_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, source, unnest({_DOC_TOKS}) AS tok FROM documents
+),
+bt AS (SELECT doc_id, source, CAST(({_WINNOW_TH}) % 64 AS BIGINT) AS b FROM toks),
+cnt AS (
+  SELECT b,
+         count(*) FILTER (WHERE source = 'src0') AS n_t,
+         count(*) AS n_r
+  FROM bt GROUP BY b
+),
+tot AS (SELECT CAST(sum(n_t) + 64 AS HUGEINT) AS t_tot,
+               CAST(sum(n_r) + 64 AS HUGEINT) AS r_tot FROM cnt),
+v AS (
+  SELECT b,
+         CAST(1000000::HUGEINT * (n_t + 1) * r_tot
+              // ((n_r + 1) * t_tot) AS BIGINT) AS v
+  FROM cnt, tot
+),
+sc AS (
+  SELECT doc_id, sum(v.v) // count(*) AS dsir_micro
+  FROM bt JOIN v USING (b) GROUP BY doc_id
+)
+SELECT CAST(row_number() OVER (ORDER BY dsir_micro DESC, doc_id) AS BIGINT) AS rank,
+       CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(dsir_micro AS BIGINT) AS dsir_micro
+FROM sc QUALIFY rank <= 100
+"""
+
 BM25_SEARCH_SQL = f"""
 WITH toks AS (
   SELECT doc_id, unnest({_DOC_TOKS}) AS tok FROM documents

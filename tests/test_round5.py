@@ -420,3 +420,30 @@ def test_domain_stats_blocklist_membership(ray_session, sf_dir):
         f"SELECT count(*) FROM '{sf_dir}/documents.parquet'"
     ).fetchone()[0]
     assert got["n_docs"].sum() == n_docs
+
+
+def test_dsir_select_matches_oracle(ray_session, sf_dir, duck):
+    from scripts_ray import queries, sql_ops
+
+    _cmp(
+        queries.QUERIES["dsir_select"](sf_dir),
+        duck,
+        sql_ops.DSIR_SELECT_SQL,
+        ["rank"],
+    )
+
+
+def test_dsir_select_enriches_target_domain(ray_session, sf_dir, duck):
+    """The top-k must hold MORE target-source docs than the uniform-source
+    baseline (sources are uniform in the fixture, 20 sources -> 5%)."""
+    from scripts_ray import queries
+    from scripts_ray.ops.retrieval import DSIR_TARGET_SOURCE
+
+    got = queries.QUERIES["dsir_select"](sf_dir).reset_index(drop=True)
+    src = dict(
+        duck.execute("SELECT doc_id, source FROM documents").fetchall()
+    )
+    n_target = sum(src[d] == DSIR_TARGET_SOURCE for d in got["doc_id"])
+    n_sources = len(set(src.values()))
+    baseline = len(got) / n_sources
+    assert n_target > baseline
