@@ -201,3 +201,61 @@ def hll_registers_grouped(ds, key_col: str, group_col: str, p: int = HLL_P):
     return hash_aggregate(
         parts, keys=[group_col, "register"], aggs={"rho_max": ("rho", "max")}
     )
+
+
+# ---- Bloom filter ------------------------------------------------------------
+
+BLOOM_M = 1 << 14  # bits
+BLOOM_K = 4  # double-hashed probes per key
+
+
+def _bloom_positions(h: np.ndarray) -> np.ndarray:
+    """(n, BLOOM_K) bit positions per key: standard double hashing
+    pos_i = (g1 + i·g2) mod M with (g1, g2) from one splitmix64 mix of the
+    SQL-parity hash — all uint64-exact, reproduced in HUGEINT by the
+    oracle."""
+    M = np.uint64(BLOOM_M)
+    z = sql_mix64(h)
+    g1 = z % M
+    g2 = (z >> np.uint64(17)) % M
+    return np.stack(
+        [(g1 + np.uint64(i) * g2) % M for i in range(BLOOM_K)], axis=1
+    )
+
+
+def bloom_vocab_bits(ds, text_col: str = "text"):
+    """Bloom filter over the corpus VOCABULARY — the third mergeable
+    sketch (with HLL and count-min): the compact membership pre-filter a
+    cross-shard dedup or OOV check BROADCASTS instead of shipping the full
+    key set. Per batch: BLOOM_K double-hashed bit positions per distinct
+    token; the partial is the batch's distinct bit set (at most BLOOM_M
+    rows, bytes not gigabytes) and the merge is the two-level distinct —
+    set-OR is order-independent, so the BITS themselves are value-checked
+    in SQL. False-positive rate ≈ (1 - e^{-kn/m})^k for n distinct keys."""
+    import pyarrow as pa
+
+    from ..tokens import explode
+    from .dedup import winnow_token_hashes
+    from .hashagg import distinct
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        _, toks = explode(batch[text_col].combine_chunks())
+        if len(toks) == 0:
+            return pd.DataFrame({"bit_idx": np.array([], dtype=np.int64)})
+        h = np.unique(winnow_token_hashes(toks))
+        bits = np.unique(_bloom_positions(h))
+        return pd.DataFrame({"bit_idx": bits.astype(np.int64)})
+
+    return distinct(ds.map_batches(partial, batch_format="pyarrow"), "bit_idx")
+
+
+def bloom_contains(bit_set: set[int], tokens: np.ndarray) -> np.ndarray:
+    """Membership probe against a materialized bit set (the broadcast-side
+    use): True where ALL k probe bits are set. No false negatives by
+    construction; false positives at the documented rate."""
+    from .dedup import winnow_token_hashes
+
+    pos = _bloom_positions(winnow_token_hashes(np.asarray(tokens, dtype=object)))
+    lookup = np.zeros(BLOOM_M, dtype=bool)
+    lookup[np.array(sorted(bit_set), dtype=np.int64)] = True
+    return lookup[pos.astype(np.int64)].all(axis=1)

@@ -815,6 +815,15 @@ def q_hll_users_by_type(sf_dir: str):
     )
 
 
+def q_bloom_vocab(sf_dir: str):
+    """Vocabulary Bloom-filter bit set (mergeable membership sketch)."""
+    from .ops import sketch
+
+    return sketch.bloom_vocab_bits(
+        _read(sf_dir, "documents", columns=["text"])
+    )
+
+
 def q_shard_pack(sf_dir: str):
     """Training-shard packing: assign docs to ~SHARD_TOKENS shards inside
     independent doc_id buckets (no global sort; one bounded exchange)."""
@@ -1428,6 +1437,7 @@ QUERIES = {
     "mixture_sample": q_mixture_sample,
     "hll_users": q_hll_users,
     "hll_users_by_type": q_hll_users_by_type,
+    "bloom_vocab": q_bloom_vocab,
     "shard_pack": q_shard_pack,
     "curate_mix": q_curate_mix,
     "validate_docs": q_validate_docs,
@@ -1546,6 +1556,7 @@ ORACLES = {
     "mixture_sample": sql_ops.MIXTURE_SAMPLE_SQL,
     "hll_users": sql_ops.HLL_USERS_SQL,
     "hll_users_by_type": sql_ops.HLL_USERS_BY_TYPE_SQL,
+    "bloom_vocab": sql_ops.BLOOM_VOCAB_SQL,
     "shard_pack": sql_ops.SHARD_PACK_SQL,
     "curate_mix": sql_ops.CURATE_MIX_SQL,
     "validate_docs": sql_ops.VALIDATE_DOCS_SQL,

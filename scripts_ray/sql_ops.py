@@ -1863,6 +1863,30 @@ FROM documents d LEFT JOIN kept k USING (doc_id) LEFT JOIN tot t USING (doc_id)
 
 
 
+# ---- vocabulary Bloom filter ---------------------------------------------------
+# Same splitmix64 chain as the HLL oracles, applied to the winnow token
+# hash of every distinct token; double-hashed probes (g1 + i*g2) mod M.
+# Mirrors ops/sketch.bloom_vocab_bits / _bloom_positions.
+from .ops.sketch import BLOOM_K, BLOOM_M  # noqa: E402
+
+BLOOM_VOCAB_SQL = f"""
+WITH toks AS (SELECT unnest({_DOC_TOKS}) AS tok FROM documents),
+th AS (SELECT DISTINCT CAST({_WINNOW_TH} AS HUGEINT) AS h FROM toks),
+s0 AS (SELECT (h + {SQLMIX_ADD}) % {_TWO64}::HUGEINT AS z FROM th),
+s1 AS (SELECT {_xorshift('z', 30)} AS z FROM s0),
+s2 AS (SELECT {_mulmod('z', SQLMIX_M1)} AS z FROM s1),
+s3 AS (SELECT {_xorshift('z', 27)} AS z FROM s2),
+s4 AS (SELECT {_mulmod('z', SQLMIX_M2)} AS z FROM s3),
+s5 AS (SELECT {_xorshift('z', 31)} AS z FROM s4),
+g AS (SELECT z % {BLOOM_M} AS g1, (z // 131072) % {BLOOM_M} AS g2 FROM s5),
+b AS (
+  SELECT DISTINCT CAST((g1 + i.i * g2) % {BLOOM_M} AS BIGINT) AS bit_idx
+  FROM g, (SELECT unnest(range(0, {BLOOM_K})) AS i) i
+)
+SELECT bit_idx FROM b
+"""
+
+
 # ---- grouped HLL (distinct users per event_type) -------------------------------
 HLL_USERS_BY_TYPE_SQL = f"""
 WITH s0 AS (SELECT event_type, (CAST(user_id AS HUGEINT) + {SQLMIX_ADD})

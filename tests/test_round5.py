@@ -447,3 +447,34 @@ def test_dsir_select_enriches_target_domain(ray_session, sf_dir, duck):
     n_sources = len(set(src.values()))
     baseline = len(got) / n_sources
     assert n_target > baseline
+
+
+def test_bloom_vocab_matches_oracle(ray_session, sf_dir, duck):
+    from scripts_ray import queries, sql_ops
+
+    _cmp(
+        queries.QUERIES["bloom_vocab"](sf_dir),
+        duck,
+        sql_ops.BLOOM_VOCAB_SQL,
+        ["bit_idx"],
+    )
+
+
+def test_bloom_no_false_negatives_and_low_fp(ray_session, sf_dir, duck):
+    from scripts_ray import queries, sql_ops
+    from scripts_ray.ops.sketch import bloom_contains
+
+    bits = set(
+        queries.QUERIES["bloom_vocab"](sf_dir).to_pandas()["bit_idx"]
+    )
+    vocab = [
+        r[0]
+        for r in duck.execute(
+            f"SELECT DISTINCT unnest({sql_ops._DOC_TOKS}) FROM documents"
+        ).fetchall()
+        if r[0]
+    ]
+    assert bloom_contains(bits, np.array(vocab, dtype=object)).all()
+    probes = np.array([f"zqxv{i}never" for i in range(500)], dtype=object)
+    fp = bloom_contains(bits, probes).mean()
+    assert fp < 0.05  # fill is <1% at fixture scale; k=4 probes
