@@ -259,3 +259,51 @@ def bloom_contains(bit_set: set[int], tokens: np.ndarray) -> np.ndarray:
     lookup = np.zeros(BLOOM_M, dtype=bool)
     lookup[np.array(sorted(bit_set), dtype=np.int64)] = True
     return lookup[pos.astype(np.int64)].all(axis=1)
+
+
+def cms_registers_grouped(docs_ds, group_col: str = "source"):
+    """Grouped count-min: one (group, row, col, n) counter set PER KEY of
+    `group_col` — the keyed form of cms_registers (as hll_registers_grouped
+    is for HLL): approximate per-group token-frequency state. The partial
+    is at most groups-in-batch × D × W rows; the merge is a counter-wise
+    SUM via the two-level hash aggregate. Same deterministic splitmix64
+    chain, so the grouped counters are value-checked in SQL."""
+    import pyarrow as pa
+
+    from .dedup import WINNOW_M, winnow_token_hashes
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        from ..tokens import explode
+
+        rows_idx, toks = explode(pa.array(batch["text"].tolist(), type=pa.string()))
+        if len(toks) == 0:
+            return pd.DataFrame(
+                {
+                    group_col: pd.Series([], dtype=object),
+                    "row": pd.Series([], dtype=np.int64),
+                    "col": pd.Series([], dtype=np.int64),
+                    "n": pd.Series([], dtype=np.int64),
+                }
+            )
+        grp = batch[group_col].to_numpy(dtype=object)[rows_idx]
+        tid = winnow_token_hashes(toks) % WINNOW_M
+        frames = []
+        for d in range(CMS_D):
+            z = sql_mix64(tid * CMS_D + d)
+            col = (z % np.uint64(CMS_W)).astype(np.int64)
+            frames.append(
+                pd.DataFrame(
+                    {group_col: grp, "row": np.int64(d), "col": col}
+                )
+            )
+        df = pd.concat(frames, ignore_index=True)
+        return (
+            df.groupby([group_col, "row", "col"], sort=False)
+            .size()
+            .reset_index(name="n")
+        )
+
+    parts = docs_ds.map_batches(partial, batch_format="pandas")
+    return hash_aggregate(
+        parts, keys=[group_col, "row", "col"], aggs={"n": ("n", "sum")}
+    )

@@ -815,6 +815,15 @@ def q_hll_users_by_type(sf_dir: str):
     )
 
 
+def q_cms_by_source(sf_dir: str):
+    """Grouped count-min: per-source token-frequency counter sets."""
+    from .ops import sketch
+
+    return sketch.cms_registers_grouped(
+        _read(sf_dir, "documents", columns=["source", "text"])
+    )
+
+
 def q_bloom_vocab(sf_dir: str):
     """Vocabulary Bloom-filter bit set (mergeable membership sketch)."""
     from .ops import sketch
@@ -1438,6 +1447,7 @@ QUERIES = {
     "hll_users": q_hll_users,
     "hll_users_by_type": q_hll_users_by_type,
     "bloom_vocab": q_bloom_vocab,
+    "cms_by_source": q_cms_by_source,
     "shard_pack": q_shard_pack,
     "curate_mix": q_curate_mix,
     "validate_docs": q_validate_docs,
@@ -1557,6 +1567,7 @@ ORACLES = {
     "hll_users": sql_ops.HLL_USERS_SQL,
     "hll_users_by_type": sql_ops.HLL_USERS_BY_TYPE_SQL,
     "bloom_vocab": sql_ops.BLOOM_VOCAB_SQL,
+    "cms_by_source": sql_ops.CMS_BY_SOURCE_SQL,
     "shard_pack": sql_ops.SHARD_PACK_SQL,
     "curate_mix": sql_ops.CURATE_MIX_SQL,
     "validate_docs": sql_ops.VALIDATE_DOCS_SQL,

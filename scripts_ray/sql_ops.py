@@ -1541,6 +1541,29 @@ FROM s5 GROUP BY 1, 2
 """
 
 
+# Grouped count-min: the CMS chain with the source key threaded through.
+# Mirrors ops/sketch.cms_registers_grouped.
+CMS_BY_SOURCE_SQL = f"""
+WITH toks AS (SELECT source, unnest({_DOC_TOKS}) AS tok FROM documents),
+tid AS (SELECT source, ({_WINNOW_TH}) % {WINNOW_M} AS t FROM toks),
+x AS (
+  SELECT source, d.d AS row, t * {CMS_D} + d.d AS x0
+  FROM tid, (VALUES (0), (1), (2), (3)) AS d(d)
+),
+s0 AS (SELECT source, row,
+              (CAST(x0 AS HUGEINT) + {SQLMIX_ADD}) % {_TWO64}::HUGEINT AS z
+       FROM x),
+s1 AS (SELECT source, row, {_xorshift('z', 30)} AS z FROM s0),
+s2 AS (SELECT source, row, {_mulmod('z', SQLMIX_M1)} AS z FROM s1),
+s3 AS (SELECT source, row, {_xorshift('z', 27)} AS z FROM s2),
+s4 AS (SELECT source, row, {_mulmod('z', SQLMIX_M2)} AS z FROM s3),
+s5 AS (SELECT source, row, {_xorshift('z', 31)} AS z FROM s4)
+SELECT source, CAST(row AS BIGINT) AS row, CAST(z % {CMS_W} AS BIGINT) AS col,
+       CAST(count(*) AS BIGINT) AS n
+FROM s5 GROUP BY 1, 2, 3
+"""
+
+
 # ---- S10 validate-then-compile (ops/textstats.bib_compile) ------------------
 
 BIB_COMPILE_SQL = """

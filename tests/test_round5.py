@@ -478,3 +478,36 @@ def test_bloom_no_false_negatives_and_low_fp(ray_session, sf_dir, duck):
     probes = np.array([f"zqxv{i}never" for i in range(500)], dtype=object)
     fp = bloom_contains(bits, probes).mean()
     assert fp < 0.05  # fill is <1% at fixture scale; k=4 probes
+
+
+def test_cms_by_source_matches_oracle(ray_session, sf_dir, duck):
+    from scripts_ray import queries, sql_ops
+
+    _cmp(
+        queries.QUERIES["cms_by_source"](sf_dir),
+        duck,
+        sql_ops.CMS_BY_SOURCE_SQL,
+        ["source", "row", "col"],
+    )
+
+
+def test_cms_grouped_sums_to_global(ray_session, sf_dir):
+    """Counter-wise SUM over groups must equal the global sketch — the
+    mergeability property the keyed form exists for."""
+    from scripts_ray import queries
+
+    grouped = (
+        queries.QUERIES["cms_by_source"](sf_dir)
+        .to_pandas()
+        .groupby(["row", "col"], as_index=False)["n"]
+        .sum()
+        .sort_values(["row", "col"])
+        .reset_index(drop=True)
+    )
+    global_ = (
+        queries.QUERIES["cms_words"](sf_dir)
+        .to_pandas()
+        .sort_values(["row", "col"])
+        .reset_index(drop=True)
+    )
+    assert grouped.astype("int64").equals(global_[["row", "col", "n"]].astype("int64"))
