@@ -938,6 +938,43 @@ def decontaminate(
 DUPSPAN_W = 3  # tokens per shingle; windows merge while coverage is gap-free
 
 
+def _batch_shingles(batch):
+    """(shingle_row_index, fp) for every 3-token shingle of the batch's
+    text column — the shared emission kernel of dup_spans / span_cut /
+    source_overlap (one copy, so the winnow chain and the SQL CTE cannot
+    drift per operator)."""
+    from ..tokens import explode
+
+    rows, toks = explode(pa.array(batch["text"].tolist(), type=pa.string()))
+    return winnow_shingle_fps(rows, toks)
+
+
+def _emit_shingle_positions(batch: pd.DataFrame) -> pd.DataFrame:
+    """(fp, doc_id, pos) per shingle; pos is the 0-based token position
+    within its document via the idx - searchsorted derivation. Shared by
+    dup_spans and span_cut."""
+    srows, fps = _batch_shingles(batch)
+    if len(srows) == 0:
+        return pd.DataFrame(
+            {"fp": np.array([], dtype=np.int64),
+             "doc_id": np.array([], dtype=np.int64),
+             "pos": np.array([], dtype=np.int64)}
+        )
+    ids = batch["doc_id"].to_numpy(dtype=np.int64)
+    idx = np.arange(len(srows), dtype=np.int64)
+    pos = idx - np.searchsorted(srows, srows)  # 0-based within doc
+    return pd.DataFrame({"fp": fps, "doc_id": ids[srows], "pos": pos})
+
+
+def _covered_positions(part: pd.DataFrame) -> pd.DataFrame:
+    """The shared >=2-DISTINCT-document rule: keep (doc_id, pos) rows whose
+    fingerprint occurs in at least two documents of the fp partition."""
+    df = part.groupby("fp")["doc_id"].nunique()
+    hot = df.index[df.to_numpy() >= 2]
+    keep = part[part["fp"].isin(hot)]
+    return keep[["doc_id", "pos"]].reset_index(drop=True)
+
+
 def dup_spans(docs_ds, num_partitions: int = 64):
     """Exact substring dedup in the 'Deduplicating Training Data Makes
     Language Models Better' (Lee et al., 2022) style, at 3-token shingle
@@ -955,28 +992,6 @@ def dup_spans(docs_ds, num_partitions: int = 64):
     vectorized diff scan. Only narrow integer rows cross either exchange;
     text never leaves the first map."""
     from .hashagg import map_partitions_by_key
-
-    def emit(batch: pd.DataFrame) -> pd.DataFrame:
-        from ..tokens import explode
-
-        rows, toks = explode(pa.array(batch["text"].tolist(), type=pa.string()))
-        srows, fps = winnow_shingle_fps(rows, toks)
-        if len(srows) == 0:
-            return pd.DataFrame(
-                {"fp": np.array([], dtype=np.int64),
-                 "doc_id": np.array([], dtype=np.int64),
-                 "pos": np.array([], dtype=np.int64)}
-            )
-        ids = batch["doc_id"].to_numpy(dtype=np.int64)
-        idx = np.arange(len(srows), dtype=np.int64)
-        pos = idx - np.searchsorted(srows, srows)  # 0-based within doc
-        return pd.DataFrame({"fp": fps, "doc_id": ids[srows], "pos": pos})
-
-    def covered_part(part: pd.DataFrame) -> pd.DataFrame:
-        df = part.groupby("fp")["doc_id"].nunique()
-        hot = df.index[df.to_numpy() >= 2]
-        keep = part[part["fp"].isin(hot)]
-        return keep[["doc_id", "pos"]].reset_index(drop=True)
 
     def spans_part(part: pd.DataFrame) -> pd.DataFrame:
         if len(part) == 0:
@@ -1001,9 +1016,9 @@ def dup_spans(docs_ds, num_partitions: int = 64):
         )
 
     covered = map_partitions_by_key(
-        docs_ds.map_batches(emit, batch_format="pandas"),
+        docs_ds.map_batches(_emit_shingle_positions, batch_format="pandas"),
         "fp",
-        covered_part,
+        _covered_positions,
         num_partitions=num_partitions,
     )
     return map_partitions_by_key(
@@ -1027,10 +1042,7 @@ def source_overlap(docs_ds, num_partitions: int = 64):
     from .hashagg import hash_aggregate, map_partitions_by_key
 
     def emit(batch: pd.DataFrame) -> pd.DataFrame:
-        from ..tokens import explode
-
-        rows, toks = explode(pa.array(batch["text"].tolist(), type=pa.string()))
-        srows, fps = winnow_shingle_fps(rows, toks)
+        srows, fps = _batch_shingles(batch)
         src = batch["source"].to_numpy(dtype=object)
         out = pd.DataFrame({"fp": fps, "source": src[srows]})
         return out.drop_duplicates(ignore_index=True)
@@ -1108,28 +1120,6 @@ def span_cut(docs_ds_fn, num_partitions: int = 64):
     (consumed twice: shingle emission + join left side)."""
     from .hashagg import hash_join, map_partitions_by_key
 
-    def emit(batch: pd.DataFrame) -> pd.DataFrame:
-        from ..tokens import explode
-
-        rows, toks = explode(pa.array(batch["text"].tolist(), type=pa.string()))
-        srows, fps = winnow_shingle_fps(rows, toks)
-        if len(srows) == 0:
-            return pd.DataFrame(
-                {"fp": np.array([], dtype=np.int64),
-                 "doc_id": np.array([], dtype=np.int64),
-                 "pos": np.array([], dtype=np.int64)}
-            )
-        ids = batch["doc_id"].to_numpy(dtype=np.int64)
-        idx = np.arange(len(srows), dtype=np.int64)
-        pos = idx - np.searchsorted(srows, srows)
-        return pd.DataFrame({"fp": fps, "doc_id": ids[srows], "pos": pos})
-
-    def covered_part(part: pd.DataFrame) -> pd.DataFrame:
-        df = part.groupby("fp")["doc_id"].nunique()
-        hot = df.index[df.to_numpy() >= 2]
-        keep = part[part["fp"].isin(hot)]
-        return keep[["doc_id", "pos"]].reset_index(drop=True)
-
     def pack_part(part: pd.DataFrame) -> pd.DataFrame:
         if len(part) == 0:
             return pd.DataFrame(
@@ -1150,9 +1140,9 @@ def span_cut(docs_ds_fn, num_partitions: int = 64):
         )
 
     covered = map_partitions_by_key(
-        docs_ds_fn().map_batches(emit, batch_format="pandas"),
+        docs_ds_fn().map_batches(_emit_shingle_positions, batch_format="pandas"),
         "fp",
-        covered_part,
+        _covered_positions,
         num_partitions=num_partitions,
     )
     blobs = map_partitions_by_key(

@@ -249,16 +249,28 @@ def bloom_vocab_bits(ds, text_col: str = "text"):
     return distinct(ds.map_batches(partial, batch_format="pyarrow"), "bit_idx")
 
 
-def bloom_contains(bit_set: set[int], tokens: np.ndarray) -> np.ndarray:
-    """Membership probe against a materialized bit set (the broadcast-side
-    use): True where ALL k probe bits are set. No false negatives by
-    construction; false positives at the documented rate."""
+def bloom_lookup(bit_set) -> np.ndarray:
+    """Dense BLOOM_M boolean array from a bit-index set — build it ONCE per
+    broadcast filter and reuse across probe batches (the filter is
+    immutable; rebuilding + sorting it per probe call is O(|bits| log
+    |bits| + M) wasted per batch). Accepts any int iterable; a boolean
+    ndarray passes through unchanged."""
+    if isinstance(bit_set, np.ndarray) and bit_set.dtype == bool:
+        return bit_set
+    lookup = np.zeros(BLOOM_M, dtype=bool)
+    lookup[np.fromiter(bit_set, dtype=np.int64, count=len(bit_set))] = True
+    return lookup
+
+
+def bloom_contains(bit_set, tokens: np.ndarray) -> np.ndarray:
+    """Membership probe against a Bloom filter (the broadcast-side use):
+    True where ALL k probe bits are set. No false negatives by
+    construction; false positives at the documented rate. Pass the
+    `bloom_lookup` array (not the raw set) when probing repeatedly."""
     from .dedup import winnow_token_hashes
 
     pos = _bloom_positions(winnow_token_hashes(np.asarray(tokens, dtype=object)))
-    lookup = np.zeros(BLOOM_M, dtype=bool)
-    lookup[np.array(sorted(bit_set), dtype=np.int64)] = True
-    return lookup[pos.astype(np.int64)].all(axis=1)
+    return bloom_lookup(bit_set)[pos.astype(np.int64)].all(axis=1)
 
 
 def cms_registers_grouped(docs_ds, group_col: str = "source"):

@@ -1688,8 +1688,12 @@ WITH toks AS (
   SELECT doc_id, unnest({_DOC_TOKS}) AS tok FROM documents
 ),
 dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+-- n_docs/avgdl over EVERY document (token-less docs count with dl=0),
+-- matching the engine's bm25_stats which counts all rows per batch.
 stats AS (
-  SELECT count(*) AS n_docs, CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl
+  SELECT count(*) AS n_docs,
+         CAST(sum(COALESCE(dl.dl, 0)) AS DOUBLE) / count(*) AS avgdl
+  FROM documents LEFT JOIN dl USING (doc_id)
 ),
 tf AS (
   SELECT doc_id, tok, count(*) AS tf FROM toks
@@ -1736,7 +1740,7 @@ FROM s WHERE rn = 1
 # Patterns shared with ops/textstats.py (PII_EMAIL_RE / PII_PHONE_RE); both
 # engines are RE2 so scrubbed text matches byte-for-byte. The plant step
 # mirrors textstats.plant_pii exactly.
-PII_SCRUB_SQL = """
+PII_SCRUB_SQL = r"""
 WITH planted AS (
   SELECT doc_id,
     text || ' contact user' || CAST(doc_id AS VARCHAR)
