@@ -158,17 +158,18 @@ def kmeans_assign(emb_ds, seed_ids: np.ndarray, seeds: np.ndarray):
     aggregate per iteration). Emits (vec_id, cluster)."""
     import ray
 
+    from .similarity import _unit_rows
+
     order = np.argsort(seed_ids)
     ref = ray.put((seed_ids[order].astype(np.int64),
-                   seeds[order] / np.linalg.norm(seeds[order], axis=1,
-                                                 keepdims=True)))
+                   _unit_rows(seeds[order])))
 
     def assign(batch: pa.Table) -> pd.DataFrame:
-        from .similarity import _to_matrix
+        from .similarity import _to_matrix, _unit_rows
 
         cids, cn = ray.get(ref)
         vecs = _to_matrix(batch["embedding"].combine_chunks())
-        vn = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+        vn = _unit_rows(vecs)
         best = np.argmax(vn @ cn.T, axis=1)  # first (lowest cid) on ties
         return pd.DataFrame(
             {

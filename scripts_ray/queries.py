@@ -425,6 +425,35 @@ def q_match_reasons(sf_dir: str):
     )
 
 
+def q_fuzzy_attribution(sf_dir: str):
+    """ML5 depth: fuzzy-string matcher ladder (exact → tokenset → subset →
+    levenshtein≤2, unique-or-fall-through) attributing each turn's noisy
+    probe name to the distinct-part-name entity registry (reference
+    /root/reference/src/fuzzy_matching.py:75-103). Registry broadcast once;
+    per-batch work collapses to distinct probes."""
+    import ray
+
+    from .ops import fuzzy
+
+    ref = ray.put(fuzzy.build_name_registry(sf_dir))
+    return fuzzy.fuzzy_attribute(
+        _read(sf_dir, "events", columns=["event_id"]), ref
+    )
+
+
+def q_fuzzy_match_reasons(sf_dir: str):
+    """Per-tier match tallies of the fuzzy ladder (reference's per-function
+    match-share report, /root/reference/src/fuzzy_matching.py:117-121)."""
+    from .ops.hashagg import hash_aggregate
+
+    att = q_fuzzy_attribution(sf_dir)
+    return hash_aggregate(
+        att.map_batches(lambda b: b[["match_type"]], batch_format="pandas"),
+        keys="match_type",
+        aggs={"n": ("match_type", "count")},
+    )
+
+
 ACTIVE_PROBE_TS = "2024-01-15 00:00:00"
 ACTIVE_WINDOW_DAYS = 7
 
@@ -1410,6 +1439,8 @@ QUERIES = {
     "turn_attribution": q_turn_attribution,
     "unknown_turns": q_unknown_turns,
     "match_reasons": q_match_reasons,
+    "fuzzy_attribution": q_fuzzy_attribution,
+    "fuzzy_match_reasons": q_fuzzy_match_reasons,
     "active_convs": q_active_convs,
     "intro_fields": q_intro_fields,
     "qc_keep_by_role": q_qc_keep_by_role,
@@ -1526,6 +1557,8 @@ ORACLES = {
     "turn_attribution": sql_ops.TURN_ATTRIBUTION_SQL,
     "unknown_turns": sql_ops.UNKNOWN_TURNS_SQL,
     "match_reasons": sql_ops.MATCH_REASONS_SQL,
+    "fuzzy_attribution": sql_ops.FUZZY_ATTRIBUTION_SQL,
+    "fuzzy_match_reasons": sql_ops.FUZZY_MATCH_REASONS_SQL,
     "active_convs": sql_ops.ACTIVE_CONVS_SQL,
     "intro_fields": sql_ops.INTRO_FIELDS_SQL,
     "qc_keep_by_role": sql_ops.QC_KEEP_BY_ROLE_SQL,

@@ -1930,3 +1930,76 @@ SELECT event_type, register,
             AS BIGINT) AS rho_max
 FROM hm GROUP BY event_type, register
 """
+
+
+# ---- fuzzy-string matcher ladder (ML5 depth) --------------------------------
+# Restates ops/fuzzy.py exactly: probe corruption modes keyed by event_id,
+# distinct-name entity registry, and the four-tier unique-match ladder
+# (exact -> tokenset -> subset -> levenshtein<=2). Reference semantics:
+# /root/reference/src/fuzzy_matching.py:75-103 (ordered matching_funs,
+# unique-or-fall-through, unknown residue).
+FUZZY_ATTRIBUTION_SQL = """
+WITH np AS (SELECT count(*) AS n FROM part),
+pn AS (SELECT p_partkey, p_name FROM part),
+probes AS (
+  SELECT e.event_id,
+    CASE CAST(e.event_id % 5 AS INT)
+      WHEN 0 THEN p.p_name
+      WHEN 1 THEN array_to_string(list_reverse(string_split(p.p_name, ' ')), ' ')
+      WHEN 2 THEN 'x' || substr(p.p_name, 2)
+      WHEN 3 THEN p.p_name || ' deluxe'
+      ELSE 'zz' || CAST(e.event_id % 97 AS VARCHAR) || 'q'
+    END AS probe_name
+  FROM events e CROSS JOIN np
+  JOIN pn p ON p.p_partkey = e.event_id % np.n
+),
+reg AS (SELECT p_name AS nm, min(p_partkey) AS k FROM part GROUP BY p_name),
+dp AS (SELECT DISTINCT probe_name AS probe FROM probes),
+ex AS (
+  SELECT probe, min(k) AS mk FROM dp JOIN reg ON reg.nm = dp.probe
+  GROUP BY probe HAVING count(*) = 1
+),
+ts AS (
+  SELECT probe, min(k) AS mk FROM dp JOIN reg
+    ON list_sort(string_split(reg.nm, ' ')) = list_sort(string_split(dp.probe, ' '))
+  GROUP BY probe HAVING count(*) = 1
+),
+ss AS (
+  SELECT probe, min(k) AS mk FROM dp JOIN reg
+    ON list_has_all(string_split(dp.probe, ' '), string_split(reg.nm, ' '))
+  GROUP BY probe HAVING count(*) = 1
+),
+ld AS (
+  SELECT dp.probe, reg.k, levenshtein(dp.probe, reg.nm) AS d
+  FROM dp CROSS JOIN reg
+  WHERE abs(length(dp.probe) - length(reg.nm)) <= 2
+),
+mdt AS (SELECT probe, min(d) AS md FROM ld GROUP BY probe),
+lv AS (
+  SELECT ld.probe, min(ld.k) AS mk
+  FROM ld JOIN mdt ON mdt.probe = ld.probe
+  WHERE ld.d = mdt.md AND mdt.md <= 2
+  GROUP BY ld.probe HAVING count(*) = 1
+),
+pick AS (
+  SELECT dp.probe,
+    CAST(COALESCE(ex.mk, ts.mk, ss.mk, lv.mk, -1) AS BIGINT) AS match_key,
+    CASE WHEN ex.mk IS NOT NULL THEN 'exact'
+         WHEN ts.mk IS NOT NULL THEN 'tokenset'
+         WHEN ss.mk IS NOT NULL THEN 'subset'
+         WHEN lv.mk IS NOT NULL THEN 'lev'
+         ELSE 'unknown' END AS match_type
+  FROM dp
+  LEFT JOIN ex ON ex.probe = dp.probe
+  LEFT JOIN ts ON ts.probe = dp.probe
+  LEFT JOIN ss ON ss.probe = dp.probe
+  LEFT JOIN lv ON lv.probe = dp.probe
+)
+SELECT p.event_id, p.probe_name, pick.match_key, pick.match_type
+FROM probes p JOIN pick ON pick.probe = p.probe_name
+"""
+
+FUZZY_MATCH_REASONS_SQL = f"""
+WITH att AS ({FUZZY_ATTRIBUTION_SQL})
+SELECT match_type, CAST(count(*) AS BIGINT) AS n FROM att GROUP BY match_type
+"""
