@@ -252,3 +252,87 @@ def dataset_split(docs_ds):
         )
 
     return docs_ds.map_batches(assign, batch_format="pandas")
+
+
+# ---- version-diff QC sampling (reference diff-search) ------------------------
+# Two corpus snapshots are derived DETERMINISTICALLY from `documents` so the
+# diff is value-checkable: v2 is the table as-is; v1 lacks every
+# doc_id % DIFF_ADD_MOD == 0 row (those are "added" in v2) and carried a
+# different text for doc_id % DIFF_CHG_MOD == 0 rows (those are "changed").
+DIFF_ADD_MOD = 11
+DIFF_CHG_MOD = 7
+DIFF_V1_SUFFIX = " v1"
+DIFF_SALT = 41                         # seeded review-sample salt
+DIFF_RATE_ADDED = 50                   # % of added rows sampled for review
+DIFF_RATE_CHANGED = 25                 # % of changed rows sampled for review
+
+
+def corpus_diff_sample(docs_fn):
+    """Version-diff QC sampling (reference
+    /root/reference/src/diff-sampling/diff-search.py:48-90: pull the rows
+    that differ between two corpus versions and sample them for manual
+    review): classify every v2 document as 'added' (no v1 row) or
+    'changed' (v1 text differs), drop the unchanged bulk, then keep a
+    seeded per-stratum hash-threshold sample — added rows reviewed at
+    DIFF_RATE_ADDED %, changed at DIFF_RATE_CHANGED %.
+
+    Scale shape: each snapshot side collapses to (doc_id, fp1, fp2)
+    128-bit content fingerprints BEFORE the exchange, so the doc_id join
+    never ships text; classification and the splitmix64-threshold sample
+    are pure vectorized maps. `docs_fn` is a zero-arg factory returning a
+    fresh documents Dataset per call — the two snapshot chains must be
+    independent consumers (a shared lazy Dataset re-executes its upstream
+    once per consumer)."""
+    from .dedup import content_fingerprints, sql_mix64
+    from .hashagg import hash_join
+
+    def v1_rows(batch: pd.DataFrame) -> pd.DataFrame:
+        ids = batch["doc_id"].to_numpy(dtype=np.int64)
+        keep = ids % DIFF_ADD_MOD != 0
+        ids = ids[keep]
+        text = batch["text"].to_numpy(dtype=object)[keep]
+        chg = ids % DIFF_CHG_MOD == 0
+        if chg.any():
+            text = text.copy()
+            text[chg] = np.char.add(text[chg].astype(str), DIFF_V1_SUFFIX)
+        fp1, fp2 = content_fingerprints(pd.Series(text, dtype=object))
+        return pd.DataFrame({"doc_id": ids, "v1_fp1": fp1, "v1_fp2": fp2})
+
+    def v2_rows(batch: pd.DataFrame) -> pd.DataFrame:
+        fp1, fp2 = content_fingerprints(batch["text"])
+        return pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"].to_numpy(dtype=np.int64),
+                "source": batch["source"].to_numpy(dtype=object),
+                "fp1": fp1,
+                "fp2": fp2,
+            }
+        )
+
+    joined = hash_join(
+        docs_fn().map_batches(v2_rows, batch_format="pandas"),
+        docs_fn().map_batches(v1_rows, batch_format="pandas"),
+        on="doc_id",
+        how="left",
+    )
+
+    def classify_sample(batch: pd.DataFrame) -> pd.DataFrame:
+        ids = batch["doc_id"].to_numpy(dtype=np.int64)
+        new = batch["v1_fp1"].isna().to_numpy()
+        chg = ~new & (
+            (batch["v1_fp1"].to_numpy() != batch["fp1"].to_numpy())
+            | (batch["v1_fp2"].to_numpy() != batch["fp2"].to_numpy())
+        )
+        status = np.where(new, "added", np.where(chg, "changed", ""))
+        z = sql_mix64(ids * 2 + DIFF_SALT) % np.uint64(100)
+        rate = np.where(new, DIFF_RATE_ADDED, DIFF_RATE_CHANGED)
+        keep = (new | chg) & (z < rate.astype(np.uint64))
+        return pd.DataFrame(
+            {
+                "doc_id": ids[keep],
+                "source": batch["source"].to_numpy(dtype=object)[keep],
+                "status": status[keep],
+            }
+        )
+
+    return joined.map_batches(classify_sample, batch_format="pandas")

@@ -1389,6 +1389,16 @@ def q_dataset_split(sf_dir: str):
     return sampling.dataset_split(_read(sf_dir, "documents", columns=["doc_id"]))
 
 
+def q_corpus_diff_sample(sf_dir: str):
+    """Version-diff QC sampling: classify v2 documents vs the derived v1
+    snapshot as added/changed via 128-bit fingerprint join, then keep a
+    seeded per-stratum review sample (reference
+    /root/reference/src/diff-sampling/diff-search.py:48-90)."""
+    return sampling.corpus_diff_sample(
+        lambda: _read(sf_dir, "documents", columns=["doc_id", "text", "source"])
+    )
+
+
 def q_cms_words(sf_dir: str):
     """Count-min sketch counters over the documents token stream —
     mergeable approximate point counts; the full D×W register matrix is
@@ -1525,6 +1535,7 @@ QUERIES = {
     "orders_no_lineitem": q_orders_no_lineitem,
     "click_purchase_matrix": q_click_purchase_matrix,
     "dataset_split": q_dataset_split,
+    "corpus_diff_sample": q_corpus_diff_sample,
 }
 
 ORACLES = {
@@ -1658,6 +1669,7 @@ ORACLES = {
     "orders_no_lineitem": sql_ops.ORDERS_NO_LINEITEM_SQL,
     "click_purchase_matrix": sql_ops.CLICK_PURCHASE_MATRIX_SQL,
     "dataset_split": sql_ops.DATASET_SPLIT_SQL,
+    "corpus_diff_sample": sql_ops.CORPUS_DIFF_SAMPLE_SQL,
     # quantized hyperplane projection — full value check (same inlined
     # plane matrix on both sides)
     "lsh_buckets": sql_ops.LSH_BUCKETS_SQL,

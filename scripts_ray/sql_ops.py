@@ -2003,3 +2003,47 @@ FUZZY_MATCH_REASONS_SQL = f"""
 WITH att AS ({FUZZY_ATTRIBUTION_SQL})
 SELECT match_type, CAST(count(*) AS BIGINT) AS n FROM att GROUP BY match_type
 """
+
+
+# ---- version-diff QC sampling (ops/sampling.corpus_diff_sample) -------------
+# v1/v2 snapshots restated from the same deterministic derivation; the
+# engine compares 128-bit content fingerprints where the SQL compares text
+# directly (equivalent barring 2^-128 collisions); the review sample is the
+# identical splitmix64(doc_id*2 + DIFF_SALT) % 100 threshold per stratum.
+
+from .ops.sampling import (  # noqa: E402
+    DIFF_ADD_MOD,
+    DIFF_CHG_MOD,
+    DIFF_RATE_ADDED,
+    DIFF_RATE_CHANGED,
+    DIFF_SALT,
+    DIFF_V1_SUFFIX,
+)
+
+CORPUS_DIFF_SAMPLE_SQL = f"""
+WITH v1 AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % {DIFF_CHG_MOD} = 0
+              THEN text || '{DIFF_V1_SUFFIX}' ELSE text END AS text
+  FROM documents WHERE doc_id % {DIFF_ADD_MOD} <> 0
+),
+d0 AS (
+  SELECT v2.doc_id, v2.source,
+         CASE WHEN v1.doc_id IS NULL THEN 'added' ELSE 'changed' END AS status
+  FROM documents v2 LEFT JOIN v1 USING (doc_id)
+  WHERE v1.doc_id IS NULL OR v1.text <> v2.text
+),
+s0 AS (SELECT doc_id, source, status,
+              (CAST(doc_id * 2 + {DIFF_SALT} AS HUGEINT) + {SQLMIX_ADD})
+              % {_TWO64}::HUGEINT AS z
+       FROM d0),
+s1 AS (SELECT doc_id, source, status, {_xorshift('z', 30)} AS z FROM s0),
+s2 AS (SELECT doc_id, source, status, {_mulmod('z', SQLMIX_M1)} AS z FROM s1),
+s3 AS (SELECT doc_id, source, status, {_xorshift('z', 27)} AS z FROM s2),
+s4 AS (SELECT doc_id, source, status, {_mulmod('z', SQLMIX_M2)} AS z FROM s3),
+s5 AS (SELECT doc_id, source, status, {_xorshift('z', 31)} AS z FROM s4)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, source, status
+FROM s5
+WHERE z % 100 < CASE status WHEN 'added' THEN {DIFF_RATE_ADDED}
+                            ELSE {DIFF_RATE_CHANGED} END
+"""
