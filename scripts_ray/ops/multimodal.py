@@ -12,7 +12,6 @@ layout) is real and tested.
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 
 DETERMINISTIC_FAKE_DECODE = True  # flips to False if a real codec is importable
@@ -65,26 +64,98 @@ class ImageDecoder:
         )
 
 
+def _payload_bytes(col: pa.ChunkedArray) -> tuple[np.ndarray, np.ndarray]:
+    """(offsets int64 len n+1, flat uint8 data) views over a binary column —
+    zero-copy after one cast to large_binary (64-bit offsets, scale-safe)."""
+    arr = col.combine_chunks().cast(pa.large_binary())
+    off = np.frombuffer(arr.buffers()[1], dtype=np.int64)[
+        arr.offset : arr.offset + len(arr) + 1
+    ]
+    buf = arr.buffers()[2]
+    data = (
+        np.frombuffer(buf, dtype=np.uint8)
+        if buf is not None
+        else np.empty(0, dtype=np.uint8)
+    )
+    return off, data
+
+
+def _expand_counts(counts: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """(row_idx, within_idx) for `counts[i]` output rows per input row —
+    the repeat/arange expansion every flat-map chunker shares."""
+    total = int(counts.sum())
+    rows = np.repeat(np.arange(len(counts), dtype=np.int64), counts)
+    starts = np.cumsum(counts) - counts
+    within = np.arange(total, dtype=np.int64) - np.repeat(starts, counts)
+    return rows, within
+
+
+_GATHER_BLOCK = 1 << 22  # output bytes per gather block (4 MiB)
+_GATHER_AR = np.arange(_GATHER_BLOCK, dtype=np.int64)  # shared, read-only
+
+
+def _gather_slices(
+    data: np.ndarray, abs_start: np.ndarray, abs_end: np.ndarray
+) -> pa.Array:
+    """Build a large_binary array of arbitrary (possibly overlapping)
+    byte ranges of `data` vectorized: output offsets by cumsum, then
+    per-4MiB-block a repeat+arange source-index array and one fancy-index
+    read — no per-row Python slicing. Blocking bounds each temporary to
+    a constant size the allocator recycles; one unblocked pass allocated
+    ~10× the output in fresh index arrays and was page-fault-bound on
+    this host (11 s → 0.5 s warm at 80 MB output)."""
+    lens = abs_end - abs_start
+    off = np.zeros(len(lens) + 1, dtype=np.int64)
+    np.cumsum(lens, out=off[1:])
+    out = np.empty(int(off[-1]), dtype=np.uint8)
+    delta = abs_start - off[:-1]
+    r0 = 0
+    while r0 < len(lens):
+        r1 = int(np.searchsorted(off, off[r0] + _GATHER_BLOCK, side="right")) - 1
+        r1 = max(r1, r0 + 1)  # a single row may exceed the block
+        base = int(off[r0])
+        nb = int(off[r1]) - base
+        idx = np.repeat(delta[r0:r1], lens[r0:r1])
+        idx += _GATHER_AR[:nb] if nb <= _GATHER_BLOCK else np.arange(
+            nb, dtype=np.int64
+        )
+        idx += base
+        out[base : base + nb] = data[idx]
+        r0 = r1
+    return pa.Array.from_buffers(
+        pa.large_binary(),
+        len(lens),
+        [None, pa.py_buffer(off), pa.py_buffer(out)],
+    )
+
+
 class FrameSampler:
     """Video-analog actor stage: splits a binary payload into fixed-size
-    'frames' and emits every k-th (flat-map shape: output rows > input rows)."""
+    'frames' and emits every k-th (flat-map shape: output rows > input
+    rows). Geometry (frame count, stride selection, tail clipping) is
+    computed vectorized over the whole batch; frame bytes come out of one
+    gathered large_binary build — no per-row Python in the hot path."""
 
     def __init__(self, frame_bytes: int = 256, stride: int = 4):
         self.frame_bytes = frame_bytes
         self.stride = stride
 
-    def __call__(self, batch: pa.Table) -> pd.DataFrame:
-        ids, frames, offsets = [], [], []
-        for item_id, payload in zip(
-            batch["item_id"].to_pylist(), batch["payload"].to_pylist()
-        ):
-            n_frames = max(1, len(payload) // self.frame_bytes)
-            for f in range(0, n_frames, self.stride):
-                ids.append(item_id)
-                offsets.append(f)
-                frames.append(payload[f * self.frame_bytes : (f + 1) * self.frame_bytes])
-        return pd.DataFrame(
-            {"item_id": ids, "frame_idx": offsets, "frame": frames}
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        off, data = _payload_bytes(batch["payload"])
+        lens = np.diff(off)
+        n_frames = np.maximum(1, lens // self.frame_bytes)
+        n_emit = (n_frames + self.stride - 1) // self.stride
+        rows, within = _expand_counts(n_emit)
+        fidx = within * self.stride
+        s_in = fidx * self.frame_bytes
+        e_in = np.minimum(lens[rows], s_in + self.frame_bytes)
+        ids = batch["item_id"].to_numpy(zero_copy_only=False)[rows]
+        return pa.table(
+            {
+                "item_id": pa.array(ids, type=pa.int64()),
+                "frame_idx": pa.array(fidx, type=pa.int64()),
+                "frame": _gather_slices(data, off[rows] + s_in, off[rows] + e_in),
+            }
         )
 
 
@@ -109,28 +180,21 @@ class AudioChunker:
         self.win = win_bytes
         self.hop = hop_bytes
 
-    def __call__(self, batch: pa.Table) -> pd.DataFrame:
-        ids, idxs, starts, ends, chunks = [], [], [], [], []
-        for item_id, payload in zip(
-            batch["item_id"].to_pylist(), batch["payload"].to_pylist()
-        ):
-            n = len(payload)
-            n_chunks = 1 + max(0, (n - self.win)) // self.hop
-            for i in range(n_chunks):
-                s = i * self.hop
-                e = min(n, s + self.win)
-                ids.append(item_id)
-                idxs.append(i)
-                starts.append(s)
-                ends.append(e)
-                chunks.append(payload[s:e])
-        return pd.DataFrame(
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        off, data = _payload_bytes(batch["payload"])
+        lens = np.diff(off)
+        n_chunks = 1 + np.maximum(0, lens - self.win) // self.hop
+        rows, within = _expand_counts(n_chunks)
+        s_in = within * self.hop
+        e_in = np.minimum(lens[rows], s_in + self.win)
+        ids = batch["item_id"].to_numpy(zero_copy_only=False)[rows]
+        return pa.table(
             {
-                "item_id": np.array(ids, dtype=np.int64),
-                "chunk_idx": np.array(idxs, dtype=np.int64),
-                "start_byte": np.array(starts, dtype=np.int64),
-                "end_byte": np.array(ends, dtype=np.int64),
-                "chunk": chunks,
+                "item_id": pa.array(ids, type=pa.int64()),
+                "chunk_idx": pa.array(within, type=pa.int64()),
+                "start_byte": pa.array(s_in, type=pa.int64()),
+                "end_byte": pa.array(e_in, type=pa.int64()),
+                "chunk": _gather_slices(data, off[rows] + s_in, off[rows] + e_in),
             }
         )
 

@@ -36,3 +36,45 @@ def test_frame_sampler_explodes(ray_session, sf_dir):
     assert len(frames) > n_docs  # flat-map produced multiple frames per doc
     assert list(frames.columns) == ["item_id", "frame_idx", "frame"]
     assert (frames["frame"].str.len() <= 64).all()
+
+
+def test_chunker_bytes_match_per_row_slicing():
+    """The vectorized gather must reproduce per-row Python slicing byte for
+    byte, including empty payloads, non-multiple tails, and a single row
+    larger than the 4 MiB gather block."""
+    import numpy as np
+    import pyarrow as pa
+
+    from scripts_ray.ops.multimodal import (AudioChunker, FrameSampler,
+                                            _GATHER_BLOCK)
+
+    rng = np.random.default_rng(3)
+    payloads = [rng.bytes(int(n)) for n in rng.integers(0, 900, 200)]
+    payloads.append(rng.bytes(_GATHER_BLOCK + 777))
+    batch = pa.table(
+        {
+            "item_id": pa.array(range(len(payloads)), type=pa.int64()),
+            "payload": pa.array(payloads, type=pa.binary()),
+        }
+    )
+
+    ac = AudioChunker()(batch)
+    exp = []
+    for i, p in enumerate(payloads):
+        n = len(p)
+        for c in range(1 + max(0, n - 128) // 64):
+            s = c * 64
+            exp.append((i, c, s, min(n, s + 128), p[s:min(n, s + 128)]))
+    got = list(zip(ac["item_id"].to_pylist(), ac["chunk_idx"].to_pylist(),
+                   ac["start_byte"].to_pylist(), ac["end_byte"].to_pylist(),
+                   ac["chunk"].to_pylist()))
+    assert got == exp
+
+    fs = FrameSampler(frame_bytes=64, stride=2)(batch)
+    exp = []
+    for i, p in enumerate(payloads):
+        for f in range(0, max(1, len(p) // 64), 2):
+            exp.append((i, f, p[f * 64:(f + 1) * 64]))
+    got = list(zip(fs["item_id"].to_pylist(), fs["frame_idx"].to_pylist(),
+                   fs["frame"].to_pylist()))
+    assert got == exp
