@@ -15,14 +15,40 @@ from .dedup import _turn_key
 from .textstats import md5_hex
 
 
-def sample_turns(ds, threshold: str = "0d"):
-    """Bernoulli sample: keep rows whose md5(turn key) sorts below the hex
-    threshold ('0d' ≈ 13/256 ≈ 5.1%)."""
+TURN_KEY_MULT = 1_000_000  # turn_idx < 1e6 (matches the 6-digit zfill key)
+
+
+def _turn_key_int(conv_id: pd.Series, turn_idx) -> np.ndarray:
+    """Integer composite turn key: the numeric user id recovered from
+    'conv-NNNNNN' times 1e6 plus turn_idx — injective (turn_idx is
+    6-digit-bounded like the string key), computed with Arrow slice/cast
+    kernels, and restated in SQL as
+    CAST(substr(conv_id, 6) AS BIGINT) * 1000000 + turn_idx. This is the
+    splitmix64-chain input that replaced per-row md5 in the Bernoulli
+    sampling/uid family (stratified_sample and doc_stats.fingerprint keep
+    md5 as the reference-parity exhibit,
+    /root/reference/src/sample_pages_new.py:144-156)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    arr = pa.Array.from_pandas(conv_id.astype(object))
+    uid = pc.cast(pc.utf8_slice_codeunits(arr, 5, 2**30), pa.int64()).to_numpy()
+    return uid * TURN_KEY_MULT + np.asarray(turn_idx, dtype=np.int64)
+
+
+SAMPLE_RATE_PER_256 = 13  # ≈ 5.1%, mirrors the reference's '0d' hex bar
+
+
+def sample_turns(ds, rate_per_256: int = SAMPLE_RATE_PER_256):
+    """Bernoulli sample: keep rows whose splitmix64(turn key) lands below
+    `rate_per_256`/256 — deterministic, order-independent, value-checked
+    (the SQL oracle recomputes the identical mix chain)."""
+    from .dedup import sql_mix64
 
     def pick(batch: pd.DataFrame) -> pd.DataFrame:
-        keys = _turn_key(batch["conv_id"], batch["turn_idx"])
-        h = np.array(md5_hex(keys.tolist()))
-        return batch.loc[h < threshold, ["conv_id", "turn_idx"]]
+        z = sql_mix64(_turn_key_int(batch["conv_id"], batch["turn_idx"]))
+        keep = z % np.uint64(256) < np.uint64(rate_per_256)
+        return batch.loc[keep, ["conv_id", "turn_idx"]]
 
     return ds.map_batches(pick, batch_format="pandas")
 
@@ -50,38 +76,40 @@ def stratified_sample(ds, per_stratum: int = 3, stratum_col: str = "role"):
 
 
 def weighted_sample(ds, long_threshold: int = 200,
-                    long_hex: str = "40", short_hex: str = "08"):
+                    long_per_256: int = 64, short_per_256: int = 8):
     """Weighted Bernoulli sample (reference: page-count-weighted sampling,
     /root/reference/src/sample_pages_new.py:41-48): long turns are kept at
-    ~25% ('40'/256), short ones at ~3% ('08'/256) — the per-row md5 key
-    against a weight-dependent hex threshold, deterministic and
+    ~25% (64/256), short ones at ~3% (8/256) — the splitmix64 turn key
+    against a weight-dependent threshold, deterministic and
     order-independent."""
+    from .dedup import sql_mix64
 
     def pick(batch: pd.DataFrame) -> pd.DataFrame:
-        keys = _turn_key(batch["conv_id"], batch["turn_idx"])
-        h = np.array(md5_hex(keys.tolist()))
+        z = sql_mix64(_turn_key_int(batch["conv_id"], batch["turn_idx"]))
         thr = np.where(
             batch["text"].str.len().to_numpy() >= long_threshold,
-            long_hex,
-            short_hex,
-        )
-        return batch.loc[h < thr, ["conv_id", "turn_idx"]]
+            long_per_256,
+            short_per_256,
+        ).astype(np.uint64)
+        return batch.loc[z % np.uint64(256) < thr, ["conv_id", "turn_idx"]]
 
     return ds.map_batches(pick, batch_format="pandas")
 
 
 def turn_uids(ds):
     """Deterministic stable turn ids (reference: seeded content-derived
-    uuids, /root/reference/src/cur-prot/add_uuid.py:33-36): md5 of the
-    composite (conv_id, turn_idx) key."""
+    uuids, /root/reference/src/cur-prot/add_uuid.py:33-36): the full
+    64-bit splitmix64 of the composite (conv_id, turn_idx) key, emitted
+    as a signed int64 both engines agree on bit for bit."""
+    from .dedup import sql_mix64
 
     def uid(batch: pd.DataFrame) -> pd.DataFrame:
-        keys = _turn_key(batch["conv_id"], batch["turn_idx"])
+        z = sql_mix64(_turn_key_int(batch["conv_id"], batch["turn_idx"]))
         return pd.DataFrame(
             {
                 "conv_id": batch["conv_id"],
                 "turn_idx": batch["turn_idx"],
-                "uid": md5_hex(keys.tolist()),
+                "uid": z.view(np.int64),
             }
         )
 

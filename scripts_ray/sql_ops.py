@@ -544,28 +544,11 @@ SELECT CAST(min(doc_id) AS BIGINT) AS first_doc,
 FROM n GROUP BY norm
 """
 
-SAMPLE_TURNS_SQL = (
-    _with(TRANSCRIPTS_CTE)
-    + f"""
-SELECT conv_id, turn_idx FROM transcripts
-WHERE md5({_TURN_KEY}) < '0d'
-"""
-)
-
-WEIGHTED_SAMPLE_SQL = (
-    _with(TRANSCRIPTS_CTE)
-    + f"""
-SELECT conv_id, turn_idx FROM transcripts
-WHERE md5({_TURN_KEY}) < (CASE WHEN length(text) >= 200 THEN '40' ELSE '08' END)
-"""
-)
-
-TURN_UIDS_SQL = (
-    _with(TRANSCRIPTS_CTE)
-    + f"""
-SELECT conv_id, turn_idx, md5({_TURN_KEY}) AS uid FROM transcripts
-"""
-)
+# SAMPLE_TURNS_SQL / WEIGHTED_SAMPLE_SQL / TURN_UIDS_SQL are defined at the
+# end of this module: their keys moved from per-row md5 to the splitmix64
+# chain, whose SQL generators (_xorshift/_mulmod) are declared further down.
+# STRATIFIED_SAMPLE_SQL and DOC_STATS_SQL keep md5 as the reference-parity
+# exhibit (/root/reference/src/sample_pages_new.py:144-156).
 
 STRATIFIED_SAMPLE_SQL = (
     _with(TRANSCRIPTS_CTE)
@@ -2047,3 +2030,67 @@ FROM s5
 WHERE z % 100 < CASE status WHEN 'added' THEN {DIFF_RATE_ADDED}
                             ELSE {DIFF_RATE_CHANGED} END
 """
+
+
+# ---- splitmix64 Bernoulli sampling / uids (ops/sampling) ---------------------
+# The integer composite turn key replaces per-row md5 (VERDICT r2 #8): the
+# SAME splitmix64 chain as dataset_split, over
+# uid(conv_id) * 1e6 + turn_idx.
+
+from .ops.sampling import (  # noqa: E402
+    SAMPLE_RATE_PER_256,
+    TURN_KEY_MULT,
+)
+
+_TURN_KEY_INT = (
+    f"(CAST(substr(conv_id, 6) AS BIGINT) * {TURN_KEY_MULT} + turn_idx)"
+)
+
+
+def _mix_ctes(cols: str, key_expr: str, src: str) -> str:
+    """s0..s5 CTE fragment: z = splitmix64(key_expr), carrying `cols`.
+    s0 is MATERIALIZED: the chain's scalar expression fans out each input
+    column reference ~4× per level, and inlining a derived `src` (e.g. the
+    transcripts CTE) into that 4⁶-node tree OOMs the optimizer."""
+    return (
+        f"s0 AS MATERIALIZED (SELECT {cols}, (CAST({key_expr} AS HUGEINT) + {SQLMIX_ADD})"
+        f" % {_TWO64}::HUGEINT AS z FROM {src}),\n"
+        f"s1 AS (SELECT {cols}, {_xorshift('z', 30)} AS z FROM s0),\n"
+        f"s2 AS (SELECT {cols}, {_mulmod('z', SQLMIX_M1)} AS z FROM s1),\n"
+        f"s3 AS (SELECT {cols}, {_xorshift('z', 27)} AS z FROM s2),\n"
+        f"s4 AS (SELECT {cols}, {_mulmod('z', SQLMIX_M2)} AS z FROM s3),\n"
+        f"s5 AS (SELECT {cols}, {_xorshift('z', 31)} AS z FROM s4)"
+    )
+
+
+SAMPLE_TURNS_SQL = (
+    _with(TRANSCRIPTS_CTE)
+    + ",\n"
+    + _mix_ctes("conv_id, turn_idx", _TURN_KEY_INT, "transcripts")
+    + f"""
+SELECT conv_id, turn_idx FROM s5 WHERE z % 256 < {SAMPLE_RATE_PER_256}
+"""
+)
+
+WEIGHTED_SAMPLE_SQL = (
+    _with(TRANSCRIPTS_CTE)
+    + ",\n"
+    + _mix_ctes(
+        "conv_id, turn_idx, ln",
+        _TURN_KEY_INT,
+        "(SELECT conv_id, turn_idx, length(text) AS ln FROM transcripts)",
+    )
+    + """
+SELECT conv_id, turn_idx FROM s5
+WHERE z % 256 < (CASE WHEN ln >= 200 THEN 64 ELSE 8 END)
+"""
+)
+
+TURN_UIDS_SQL = (
+    _with(TRANSCRIPTS_CTE)
+    + ",\n"
+    + _mix_ctes("conv_id, turn_idx", _TURN_KEY_INT, "transcripts")
+    + f"""
+SELECT conv_id, turn_idx, {_sx('z')} AS uid FROM s5
+"""
+)
