@@ -177,8 +177,71 @@ def write_and_count(ds, out_dir: str) -> int:
     )
 
 
+def _start_runtime_pinner(worker_cores: set, runtime_cores: set) -> None:
+    """CPU-pin Ray's runtime processes (gcs_server, raylet, agents, log
+    monitor, and this driver) to `runtime_cores` and the `ray::` worker
+    processes to `worker_cores`, so workers are never time-sliced against
+    the runtime's own threads — the single-box proxy for a real cluster
+    where node daemons have dedicated headroom (VERDICT r2 Next #4).
+    Workers spawn throughout the run (actor pools ramp mid-pipeline), so a
+    daemon thread rescans /proc and pins new pids as they appear; a worker
+    inherits the raylet's runtime-core mask for at most one scan period."""
+    import threading
+
+    runtime_markers = (
+        "gcs_server", "raylet", "log_monitor", "agent.py",
+        "runtime_env_agent", "dashboard",
+    )
+
+    def classify(cmd: str):
+        if "ray::" in cmd:
+            return "worker"
+        if any(m in cmd for m in runtime_markers):
+            return "runtime"
+        return None
+
+    os.sched_setaffinity(0, runtime_cores)  # the driver is runtime too
+
+    def loop():
+        pinned: dict[int, str] = {}
+        while True:
+            for pid_s in os.listdir("/proc"):
+                if not pid_s.isdigit():
+                    continue
+                pid = int(pid_s)
+                try:
+                    with open(f"/proc/{pid}/cmdline", "rb") as f:
+                        cmd = f.read().replace(b"\0", b" ").decode("utf-8", "replace")
+                except OSError:
+                    continue
+                kind = classify(cmd)
+                if kind and pinned.get(pid) != kind:
+                    try:
+                        os.sched_setaffinity(
+                            pid,
+                            worker_cores if kind == "worker" else runtime_cores,
+                        )
+                        pinned[pid] = kind
+                    except OSError:
+                        pass
+            time.sleep(0.25)
+
+    threading.Thread(target=loop, daemon=True).start()
+
+
 def run_bench() -> dict:
     import ray
+
+    # GRAFT_PIN_RUNTIME="28-31": reserve that core range for Ray's runtime
+    # daemons + the driver; workers get cores [0, NCPU). Requires the two
+    # sets to be disjoint (so NCPU <= first reserved core).
+    pin = os.environ.get("GRAFT_PIN_RUNTIME")
+    if pin:
+        lo_c, hi_c = (int(x) for x in pin.split("-"))
+        runtime_cores = set(range(lo_c, hi_c + 1))
+        worker_cores = set(range(NCPU))
+        assert not (worker_cores & runtime_cores), "pin ranges overlap"
+        _start_runtime_pinner(worker_cores, runtime_cores)
 
     ray.init(
         address="local",
@@ -368,6 +431,9 @@ def run_scaling() -> dict:
     legs = os.environ.get("GRAFT_SCALING_LEGS", "8,32")
     n_lo, n_hi = (int(x) for x in legs.split(","))
     assert n_hi == 4 * n_lo, "scaling legs must be N and 4N"
+    # GRAFT_PIN_RUNTIME (e.g. "28-31") propagates to both legs: runtime
+    # daemons live on the reserved cores in BOTH, so the pair compares
+    # worker scaling under identical runtime isolation (see BASELINE.md).
 
     def run(ncpu: int) -> dict:
         env = dict(

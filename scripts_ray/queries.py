@@ -94,6 +94,52 @@ def q_qf_langid(sf_dir: str):
     )
 
 
+class BigramScorer:
+    """Actor-pool stage for the Stupid-Backoff bigram LM signal (the
+    KenLM-style one-order-up scorer): BOTH model tables arrive in ONE
+    bundled ray.put ref (ray#53727), the integer-millinat score map is
+    folded once per actor in __init__."""
+
+    def __init__(self, bundle_ref):
+        import ray
+
+        from .tokens import BigramScores
+
+        uni, big = ray.get(bundle_ref) if not isinstance(bundle_ref, tuple) else bundle_ref
+        self.model = BigramScores(uni, big)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from .tokens import bigram_turn_scores
+
+        s = bigram_turn_scores(batch["scrubbed_text"].combine_chunks(), self.model)
+        return batch.append_column("bigram_score", pa.array(s, type=pa.int64()))
+
+
+def q_qf_ppl_bigram(sf_dir: str):
+    """Per-turn bigram Stupid-Backoff score over scrubbed text; the bigram
+    table is TRAINED distributed (one pair-key exchange, pruned before
+    collect) from the `documents` corpus, then broadcast with the unigram
+    table as one bundled ref."""
+    import ray
+
+    from .tokens import train_bigram_counts
+
+    bundle = ray.put((build_model_counts(sf_dir), train_bigram_counts(sf_dir)))
+    return (
+        derive_transcripts_ds(sf_dir)
+        .map_batches(scrub_batch, batch_format="pyarrow")
+        .map_batches(
+            BigramScorer,
+            fn_constructor_args=(bundle,),
+            batch_format="pyarrow",
+            batch_size=4096,
+            concurrency=(1, 2),
+            num_cpus=1,
+        )
+        .select_columns(["conv_id", "turn_idx", "bigram_score"])
+    )
+
+
 def q_qf_ppl(sf_dir: str):
     return (
         derive_transcripts_ds(sf_dir)
@@ -540,6 +586,67 @@ def q_qc_keep_by_role(sf_dir: str):
         return batch
 
     return agg.map_batches(rates, batch_format="pandas")
+
+
+def q_conv_gate(sf_dir: str):
+    """Conversation-level quality gate: per-conv keep counts from the
+    flagship filter, survive iff keep-fraction >= CONV_KEEP_NUM/DEN
+    (integer cross-multiplied — the whole-document rejection analog of the
+    reference's protocol validation, /root/reference/src/cur-prot/
+    validate.py-style reject lists). One conv_id hash aggregate; output
+    cardinality = #conversations."""
+    from . import rules as R
+    from .ops.hashagg import hash_aggregate
+
+    qf = quality_filter(derive_transcripts_ds(sf_dir), _put_counts(sf_dir))
+
+    def project(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"conv_id": batch["conv_id"], "kept": batch["keep"].astype(np.int64)}
+        )
+
+    agg = hash_aggregate(
+        qf.map_batches(project, batch_format="pandas"),
+        keys="conv_id",
+        aggs={"n_total": ("kept", "count"), "n_keep": ("kept", "sum")},
+    )
+
+    def gate(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.copy()
+        batch["conv_keep"] = (
+            R.CONV_KEEP_DEN * batch["n_keep"] >= R.CONV_KEEP_NUM * batch["n_total"]
+        )
+        return batch
+
+    return agg.map_batches(gate, batch_format="pandas")
+
+
+def q_conv_gate_turns(sf_dir: str):
+    """The conversation gate APPLIED back at turn granularity: after the
+    conv_id exchange the keep-fraction test runs vectorized inside each
+    partition (groupby-transform), so per-turn `keep_final` = turn keep AND
+    conversation survives — no second exchange, no broadcast of an
+    unbounded conv list."""
+    from . import rules as R
+    from .ops.hashagg import map_partitions_by_key
+
+    qf = quality_filter(derive_transcripts_ds(sf_dir), _put_counts(sf_dir))
+
+    def apply_gate(part: pd.DataFrame) -> pd.DataFrame:
+        kept = part["keep"].astype(np.int64)
+        g = kept.groupby(part["conv_id"])
+        n_keep = g.transform("sum")
+        n_total = g.transform("count")
+        conv_ok = R.CONV_KEEP_DEN * n_keep >= R.CONV_KEEP_NUM * n_total
+        return pd.DataFrame(
+            {
+                "conv_id": part["conv_id"],
+                "turn_idx": part["turn_idx"],
+                "keep_final": part["keep"] & conv_ok,
+            }
+        )
+
+    return map_partitions_by_key(qf, "conv_id", apply_gate)
 
 
 def q_near_dup_jaccard(sf_dir: str):
@@ -1425,6 +1532,9 @@ QUERIES = {
     "qf_signals": q_qf_signals,
     "qf_langid": q_qf_langid,
     "qf_ppl": q_qf_ppl,
+    "qf_ppl_bigram": q_qf_ppl_bigram,
+    "conv_gate": q_conv_gate,
+    "conv_gate_turns": q_conv_gate_turns,
     "tox_turns": q_qf_toxicity,
     "merge_runs": q_merge_runs,
     "next_after_system": q_next_after_system,
@@ -1544,6 +1654,9 @@ ORACLES = {
     "qf_signals": sql.QF_SIGNALS_SQL,
     "qf_langid": sql.QF_LANGID_SQL,
     "qf_ppl": sql.QF_PPL_SQL,
+    "qf_ppl_bigram": sql_ops.QF_PPL_BIGRAM_SQL,
+    "conv_gate": sql_ops.CONV_GATE_SQL,
+    "conv_gate_turns": sql_ops.CONV_GATE_TURNS_SQL,
     "tox_turns": sql_ops.QF_TOXICITY_SQL,
     "merge_runs": sql_ops.MERGE_RUNS_SQL,
     "next_after_system": sql_ops.NEXT_AFTER_SYSTEM_SQL,

@@ -98,6 +98,10 @@ SYMBOL_NUM, SYMBOL_DEN = 10, 3
 # repetition: n_tokens >= REP_MIN_TOKENS and distinct/total < 0.3
 REP_MIN_TOKENS = 20
 REP_NUM, REP_DEN = 10, 3
+# conversation-level gate (per-document quality gating analog, reference:
+# whole-protocol rejection in validate.py): a conversation survives when
+# keep-fraction >= CONV_KEEP_NUM/CONV_KEEP_DEN  ⇔  DEN*n_keep >= NUM*n_total
+CONV_KEEP_NUM, CONV_KEEP_DEN = 2, 5
 
 # Swedish / English marker stopwords for the language-ID heuristic
 # (fastText-langid analog of /root/reference/src/classify_intros.py, scored

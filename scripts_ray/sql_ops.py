@@ -2094,3 +2094,98 @@ TURN_UIDS_SQL = (
 SELECT conv_id, turn_idx, {_sx('z')} AS uid FROM s5
 """
 )
+
+
+# ---- bigram Stupid-Backoff LM score (tokens.BigramScores) --------------------
+# Brants et al. 2007: seen bigram -> floor(1000*ln(c12/c1)); unseen ->
+# floor(1000*ln(0.4)) + smoothed unigram milli-nats of w2, the SAME
+# (c+1)/(N+V) table as QF_PPL. Bigram table counted over `documents`
+# adjacent token pairs, pruned at count >= BIGRAM_PRUNE — the exact mirror
+# of tokens.train_bigram_counts + BigramScores.
+
+from .sql import SIG_CTE as _SIG_CTE  # noqa: E402
+from .tokens import BACKOFF_MILLINATS, BIGRAM_PRUNE  # noqa: E402
+
+_BIGRAM_CTES = f"""
+doc_freq AS (
+  SELECT tok, count(*) AS c
+  FROM (SELECT unnest({_DOC_TOKS}) AS tok FROM documents)
+  GROUP BY tok
+),
+lm AS (
+  SELECT CAST(sum(c) AS BIGINT) AS n_total, CAST(count(*) AS BIGINT) AS v_size
+  FROM doc_freq
+),
+doc_pairs AS (
+  SELECT z[1] AS w1, z[2] AS w2
+  FROM (SELECT unnest(list_zip(l, l[2:])) AS z
+        FROM (SELECT {_DOC_TOKS} AS l FROM documents))
+  WHERE z[2] IS NOT NULL
+),
+big AS (
+  SELECT w1, w2, count(*) AS c12 FROM doc_pairs
+  GROUP BY w1, w2 HAVING count(*) >= {BIGRAM_PRUNE}
+),
+turn_pairs AS (
+  SELECT conv_id, turn_idx, z[1] AS w1, z[2] AS w2
+  FROM (SELECT s.conv_id, s.turn_idx, unnest(list_zip(s.toks, s.toks[2:])) AS z
+        FROM sig s)
+  WHERE z[2] IS NOT NULL
+),
+pair_scores AS (
+  SELECT tp.conv_id, tp.turn_idx,
+    CASE WHEN b.c12 IS NOT NULL
+      THEN CAST(floor(1000.0 * ln(b.c12 / CAST(f1.c AS DOUBLE))) AS BIGINT)
+      ELSE {BACKOFF_MILLINATS}
+           + CAST(floor(1000.0 * ln((COALESCE(f2.c, 0) + 1)
+                                    / CAST(lm.n_total + lm.v_size AS DOUBLE))) AS BIGINT)
+    END AS s
+  FROM turn_pairs tp
+  CROSS JOIN lm
+  LEFT JOIN big b ON b.w1 = tp.w1 AND b.w2 = tp.w2
+  LEFT JOIN doc_freq f1 ON f1.tok = tp.w1
+  LEFT JOIN doc_freq f2 ON f2.tok = tp.w2
+)"""
+
+QF_PPL_BIGRAM_SQL = (
+    _with(TRANSCRIPTS_CTE, SCRUBBED_CTE, _SIG_CTE)
+    + ",\n"
+    + _BIGRAM_CTES
+    + """
+SELECT s.conv_id, s.turn_idx,
+       CAST(COALESCE(ps.total, 0) AS BIGINT) AS bigram_score
+FROM sig s
+LEFT JOIN (SELECT conv_id, turn_idx, sum(s) AS total
+           FROM pair_scores GROUP BY conv_id, turn_idx) ps
+  ON ps.conv_id = s.conv_id AND ps.turn_idx = s.turn_idx
+"""
+)
+
+
+# ---- conversation-level quality gate (queries.q_conv_gate[_turns]) -----------
+# Survive iff CONV_KEEP_DEN * n_keep >= CONV_KEEP_NUM * n_total over the
+# flagship filter's per-turn keep decisions — whole-document rejection.
+
+CONV_GATE_SQL = (
+    _QF_STACK
+    + f"""
+SELECT conv_id,
+       CAST(count(*) AS BIGINT) AS n_total,
+       CAST(sum(CASE WHEN drop_reason IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+       {R.CONV_KEEP_DEN} * sum(CASE WHEN drop_reason IS NULL THEN 1 ELSE 0 END)
+         >= {R.CONV_KEEP_NUM} * count(*) AS conv_keep
+FROM final GROUP BY conv_id
+"""
+)
+
+CONV_GATE_TURNS_SQL = (
+    _QF_STACK
+    + f"""
+SELECT conv_id, turn_idx,
+       (drop_reason IS NULL)
+       AND ({R.CONV_KEEP_DEN} * sum(CASE WHEN drop_reason IS NULL THEN 1 ELSE 0 END)
+              OVER (PARTITION BY conv_id)
+            >= {R.CONV_KEEP_NUM} * count(*) OVER (PARTITION BY conv_id)) AS keep_final
+FROM final
+"""
+)

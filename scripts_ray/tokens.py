@@ -155,3 +155,103 @@ class UnigramScores:
     def scores_for(self, toks: np.ndarray) -> np.ndarray:
         s = pd.Series(toks).map(self._memo)
         return s.fillna(self.oov_score).to_numpy(dtype=np.float64)
+
+
+# --------------------------------------------------------------------------
+# Bigram Stupid-Backoff scorer (KenLM-style LM signal, one order up from
+# UnigramScores). Brants et al. 2007 ("Large Language Models in Machine
+# Translation"): score(w2|w1) = c(w1 w2)/c(w1) if the bigram was seen,
+# else alpha * p_unigram(w2) with alpha = 0.4 — no normalization, which is
+# exactly what makes the model trainable as one distributed count
+# aggregation and servable as a broadcast lookup table. All scores are
+# floored integer milli-nats so the DuckDB oracle agrees bit-for-bit.
+# --------------------------------------------------------------------------
+
+BIGRAM_PRUNE = 2  # keep bigrams with count >= this (the model-size bound)
+BACKOFF_MILLINATS = int(np.floor(1000.0 * np.log(0.4)))  # -917
+
+
+def bigram_pairs(arr: pa.Array) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(row_index, w1, w2) for all ADJACENT non-empty token pairs within a
+    row — empties are dropped first, so adjacency is over the filtered
+    token sequence, matching the SQL's list_filter-then-list_zip."""
+    rows, toks = explode(arr)
+    if len(rows) < 2:
+        e = np.empty(0, dtype=np.int64)
+        return e, e.astype(object), e.astype(object)
+    same = rows[1:] == rows[:-1]
+    return rows[1:][same], toks[:-1][same], toks[1:][same]
+
+
+class BigramScores:
+    """Broadcast-side bigram model: pruned bigram counts folded with the
+    unigram table into one integer-millinat score map at __init__ (once
+    per actor). Seen pair -> floor(1000*ln(c12/c1)); unseen ->
+    BACKOFF_MILLINATS + smoothed unigram score of w2 (same (c+1)/(N+V)
+    table as UnigramScores)."""
+
+    def __init__(self, uni_counts: dict[str, int], bigram_counts: dict[str, int]):
+        self.uni = UnigramScores(uni_counts)
+        self.pair_score = {
+            pair: int(np.floor(1000.0 * np.log(c12 / float(uni_counts[pair.split(" ", 1)[0]]))))
+            for pair, c12 in bigram_counts.items()
+        }
+
+    def transition_scores(self, w1: np.ndarray, w2: np.ndarray) -> np.ndarray:
+        """Per-pair milli-nat scores, vectorized: Python work is bounded by
+        the DISTINCT pairs in the batch (factorize + unique pair codes),
+        never the pair count."""
+        c1, vocab1 = pd.factorize(w1)
+        c2, vocab2 = pd.factorize(w2)
+        code = c1.astype(np.int64) * max(1, len(vocab2)) + c2
+        ucode, inv = np.unique(code, return_inverse=True)
+        i1, i2 = ucode // max(1, len(vocab2)), ucode % max(1, len(vocab2))
+        uw2 = vocab2.to_numpy() if hasattr(vocab2, "to_numpy") else np.asarray(vocab2)
+        uw1 = vocab1.to_numpy() if hasattr(vocab1, "to_numpy") else np.asarray(vocab1)
+        seen = np.fromiter(
+            (self.pair_score.get(uw1[a] + " " + uw2[b], np.nan) for a, b in zip(i1, i2)),
+            dtype=np.float64,
+            count=len(ucode),
+        )
+        backoff = BACKOFF_MILLINATS + self.uni.scores_for(uw2[i2])
+        per_unique = np.where(np.isnan(seen), backoff, seen)
+        return per_unique[inv]
+
+
+def bigram_turn_scores(arr: pa.Array, model: BigramScores) -> np.ndarray:
+    """Per-row sum of transition scores (int64); rows with <2 tokens = 0."""
+    n = len(arr)
+    rows, w1, w2 = bigram_pairs(arr)
+    if len(rows) == 0:
+        return np.zeros(n, dtype=np.int64)
+    s = model.transition_scores(w1, w2)
+    return np.bincount(rows, weights=s, minlength=n).astype(np.int64)
+
+
+def train_bigram_counts(sf_dir: str, prune: int = BIGRAM_PRUNE) -> dict[str, int]:
+    """DISTRIBUTED bigram count training over the `documents` corpus: a
+    per-batch value_counts partial, one hash_aggregate exchange on the
+    pair key, pruned at `prune` BEFORE the driver collects — the collected
+    table is the model artifact (the KenLM-file analog), bounded by the
+    prune threshold, not the corpus. Unlike build_model_counts' direct
+    dimension-table read, the training input here scales WITH the corpus,
+    so counting runs on the cluster."""
+    import ray.data as rd
+
+    from .ops.hashagg import hash_aggregate
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        _, w1, w2 = bigram_pairs(batch["text"].combine_chunks())
+        if len(w1) == 0:
+            return pd.DataFrame({"pair": pd.Series([], dtype=object)})
+        return pd.DataFrame({"pair": pd.Series(w1, dtype=object) + " " + pd.Series(w2, dtype=object)})
+
+    agg = hash_aggregate(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        "pair",
+        {"c": ("pair", "count")},
+    ).filter(expr=f"c >= {prune}")
+    df = agg.to_pandas()
+    return dict(zip(df["pair"].tolist(), df["c"].astype(int).tolist()))
