@@ -588,6 +588,113 @@ def q_qc_keep_by_role(sf_dir: str):
     return agg.map_batches(rates, batch_format="pandas")
 
 
+def q_fix_encoding(sf_dir: str):
+    """Mojibake (double-encoding) repair — the ftfy-core web-curation
+    staple and the north star's 'encoding normalization' item. The
+    documents fixture is ASCII, so REAL latin-1 misdecodes of Swedish
+    suffixes are planted deterministically by doc_id (incl. a C1-control
+    sequence), then repaired via the shared MOJIBAKE_MAP replace chain;
+    n_moji counts mojibake lead bytes before repair."""
+    import pyarrow.compute as pc
+
+    from . import rules as R
+
+    def f(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy()
+        suffix = np.where(
+            ids % 3 == 0, R.MOJI_PLANT_A, np.where(ids % 3 == 1, R.MOJI_PLANT_B, "")
+        )
+        planted = pc.binary_join_element_wise(
+            batch["text"].combine_chunks(), pa.array(suffix, type=pa.string()), ""
+        )
+        n_moji = pc.count_substring(planted, "Ã")
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "fixed_text": R.repair_mojibake(planted),
+                "n_moji": pc.cast(n_moji, pa.int64()),
+            }
+        )
+
+    return _read(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
+        f, batch_format="pyarrow"
+    )
+
+
+def q_nfc_docs(sf_dir: str):
+    """Unicode NFC normalization: decomposed Swedish suffixes planted by
+    doc_id, composed back by pyarrow's utf8_normalize — checked against
+    DuckDB's OWN nfc_normalize, a genuine cross-engine semantic check
+    (two independent Unicode implementations, not a restated formula)."""
+    import pyarrow.compute as pc
+
+    from . import rules as R
+
+    def f(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy()
+        suffix = np.where(ids % 2 == 0, R.NFC_PLANT, R.NFC_CLEAN)
+        planted = pc.binary_join_element_wise(
+            batch["text"].combine_chunks(), pa.array(suffix, type=pa.string()), ""
+        )
+        norm = R.nfc_normalize(planted)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "norm_text": norm,
+                "changed": pc.not_equal(planted, norm),
+            }
+        )
+
+    return _read(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
+        f, batch_format="pyarrow"
+    )
+
+
+def q_dup_ngrams(sf_dir: str):
+    """Gopher-style within-turn duplicate-bigram fraction (Rae et al. 2021
+    repetition signals): permille of adjacent token pairs that are
+    repeats of an earlier pair in the SAME turn — high values flag
+    degenerate/looping text that token-level distinct counts miss.
+    Vectorized: one bigram_pairs pass, per-row distinct via factorized
+    pair codes; Python work is O(1) per batch."""
+    from .tokens import bigram_pairs
+
+    def f(batch: pa.Table) -> pa.Table:
+        arr = batch["scrubbed_text"].combine_chunks()
+        n = len(arr)
+        rows, w1, w2 = bigram_pairs(arr)
+        total = np.bincount(rows, minlength=n).astype(np.int64)
+        if len(rows):
+            c1, v1 = pd.factorize(w1)
+            c2, v2 = pd.factorize(w2)
+            code = (rows.astype(np.int64) * max(1, len(v1)) + c1) * max(
+                1, len(v2)
+            ) + c2
+            urows = np.unique(code) // (max(1, len(v1)) * max(1, len(v2)))
+            distinct = np.bincount(urows, minlength=n).astype(np.int64)
+        else:
+            distinct = np.zeros(n, dtype=np.int64)
+        dup = np.zeros(n, dtype=np.int64)
+        nz = total > 0
+        dup[nz] = np.floor(1000.0 * (total[nz] - distinct[nz]) / total[nz]).astype(
+            np.int64
+        )
+        return pa.table(
+            {
+                "conv_id": batch["conv_id"],
+                "turn_idx": batch["turn_idx"],
+                "n_pairs": pa.array(total, type=pa.int64()),
+                "dup_permille": pa.array(dup, type=pa.int64()),
+            }
+        )
+
+    return (
+        derive_transcripts_ds(sf_dir)
+        .map_batches(scrub_batch, batch_format="pyarrow")
+        .map_batches(f, batch_format="pyarrow")
+    )
+
+
 def q_conv_gate(sf_dir: str):
     """Conversation-level quality gate: per-conv keep counts from the
     flagship filter, survive iff keep-fraction >= CONV_KEEP_NUM/DEN
@@ -1535,6 +1642,9 @@ QUERIES = {
     "qf_ppl_bigram": q_qf_ppl_bigram,
     "conv_gate": q_conv_gate,
     "conv_gate_turns": q_conv_gate_turns,
+    "dup_ngrams": q_dup_ngrams,
+    "fix_encoding": q_fix_encoding,
+    "nfc_docs": q_nfc_docs,
     "tox_turns": q_qf_toxicity,
     "merge_runs": q_merge_runs,
     "next_after_system": q_next_after_system,
@@ -1657,6 +1767,9 @@ ORACLES = {
     "qf_ppl_bigram": sql_ops.QF_PPL_BIGRAM_SQL,
     "conv_gate": sql_ops.CONV_GATE_SQL,
     "conv_gate_turns": sql_ops.CONV_GATE_TURNS_SQL,
+    "dup_ngrams": sql_ops.DUP_NGRAMS_SQL,
+    "fix_encoding": sql_ops.FIX_ENCODING_SQL,
+    "nfc_docs": sql_ops.NFC_DOCS_SQL,
     "tox_turns": sql_ops.QF_TOXICITY_SQL,
     "merge_runs": sql_ops.MERGE_RUNS_SQL,
     "next_after_system": sql_ops.NEXT_AFTER_SYSTEM_SQL,

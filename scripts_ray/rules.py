@@ -123,3 +123,63 @@ TOX_MARKERS = ("spam", "slow")
 # (/root/reference/src/cur-prot/reclassify.py:23); stored in floored
 # milli-nats so all arithmetic is integer. floor(1000*ln(0.8/0.2)) = 1386.
 PRIOR_MILLINATS = 1386
+
+
+# ----- encoding normalization (north-star item) -------------------------------
+# Mojibake repair table (ftfy-core analog): the UTF-8 byte pair of a
+# Latin-1-range char, mis-decoded as Latin-1, becomes U+00C3 plus one
+# continuation char (for uppercase targets that second char is a C1
+# control — written as escapes). SINGLE SOURCE OF TRUTH for both the
+# Arrow replace chain and the SQL oracle's replace chain, applied in
+# table order (second chars are all distinct: no prefix collisions).
+MOJIBAKE_MAP = (
+    ("Ã¤", "ä"),  # a-umlaut
+    ("Ã¥", "å"),  # a-ring
+    ("Ã¶", "ö"),  # o-umlaut
+    ("Ã©", "é"),  # e-acute
+    ("Ã", "Ä"),  # A-umlaut
+    ("Ã", "Å"),  # A-ring
+    ("Ã", "Ö"),  # O-umlaut
+)
+
+
+# Deterministic plants for the encoding queries (documents fixture is
+# ASCII): the mojibake plants are the REAL latin-1 misdecodes of Swedish
+# suffixes, derived — not typed — so they stay consistent with the map.
+MOJI_PLANT_A = " så är det".encode("utf-8").decode("latin-1")
+MOJI_PLANT_B = " först Är Över".encode("utf-8").decode("latin-1")
+NFC_PLANT = " färdig över"  # decomposed ä/ö (a/o + U+0308)
+NFC_CLEAN = " klar"
+
+
+def repair_mojibake(arr: pa.Array) -> pa.Array:
+    """Fixed-table double-encoding repair: plain (non-regex) substring
+    replaces in MOJIBAKE_MAP order."""
+    for bad, good in MOJIBAKE_MAP:
+        arr = pc.replace_substring(arr, pattern=bad, replacement=good)
+    return arr
+
+
+def nfc_normalize(arr: pa.Array) -> pa.Array:
+    """Unicode NFC canonical composition, checked against DuckDB's own
+    nfc_normalize — a genuine cross-engine semantic check.
+
+    pyarrow 16.1's pc.utf8_normalize is NOT usable here: every form
+    (including NFC) returns DECOMPOSED output (observed: composed 'ä' in,
+    'a'+U+0308 out under form='NFC'), so composition runs through
+    unicodedata instead — but only for rows containing non-ASCII bytes
+    (an ASCII string is NFC-invariant by definition), keeping the common
+    web-text path a vectorized regex prefilter with zero per-row Python."""
+    import unicodedata as ud
+
+    import numpy as np
+
+    mask = pc.match_substring_regex(arr, "[^\\x00-\\x7f]").to_numpy(
+        zero_copy_only=False
+    )
+    idx = np.flatnonzero(mask)
+    if len(idx) == 0:
+        return arr
+    out = arr.to_numpy(zero_copy_only=False).copy()
+    out[idx] = [ud.normalize("NFC", s) for s in out[idx]]
+    return pa.array(out, type=pa.string())

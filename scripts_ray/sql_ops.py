@@ -2189,3 +2189,88 @@ SELECT conv_id, turn_idx,
 FROM final
 """
 )
+
+
+# ---- Gopher-style duplicate-bigram repetition signal --------------------------
+# permille of adjacent token pairs in a turn that repeat an earlier pair of
+# the SAME turn: floor(1000*(total - distinct)/total), 0 when no pairs.
+# Pair key w1||' '||w2 is injective (tokens are letter-runs, no spaces).
+
+DUP_NGRAMS_SQL = (
+    _with(TRANSCRIPTS_CTE, SCRUBBED_CTE, _SIG_CTE)
+    + """,
+turn_pairs AS (
+  SELECT conv_id, turn_idx, z[1] AS w1, z[2] AS w2
+  FROM (SELECT s.conv_id, s.turn_idx, unnest(list_zip(s.toks, s.toks[2:])) AS z
+        FROM sig s)
+  WHERE z[2] IS NOT NULL
+),
+pair_counts AS (
+  SELECT conv_id, turn_idx,
+         CAST(count(*) AS BIGINT) AS total,
+         CAST(count(DISTINCT w1 || ' ' || w2) AS BIGINT) AS n_distinct
+  FROM turn_pairs GROUP BY conv_id, turn_idx
+)
+SELECT s.conv_id, s.turn_idx,
+       CAST(COALESCE(pc.total, 0) AS BIGINT) AS n_pairs,
+       CASE WHEN COALESCE(pc.total, 0) = 0 THEN CAST(0 AS BIGINT)
+            ELSE CAST(floor(1000.0 * (pc.total - pc.n_distinct) / pc.total) AS BIGINT)
+       END AS dup_permille
+FROM sig s
+LEFT JOIN pair_counts pc
+  ON pc.conv_id = s.conv_id AND pc.turn_idx = s.turn_idx
+"""
+)
+
+
+# ---- encoding normalization: mojibake repair + NFC ---------------------------
+# Plants and repair chain are GENERATED from rules.MOJIBAKE_MAP /
+# MOJI_PLANT_* / NFC_PLANT — non-ASCII and control chars are emitted as
+# chr(codepoint) concatenations so the SQL text stays 7-bit clean.
+
+
+def _sql_chr(s: str) -> str:
+    """SQL expression for an arbitrary string: ascii runs as quoted
+    literals, everything else as chr(n) — immune to encoding mangling."""
+    parts, run = [], []
+    for ch in s:
+        if 32 <= ord(ch) < 127 and ch != "'":
+            run.append(ch)
+        else:
+            if run:
+                parts.append("'" + "".join(run) + "'")
+                run = []
+            parts.append(f"chr({ord(ch)})")
+    if run:
+        parts.append("'" + "".join(run) + "'")
+    return "(" + " || ".join(parts) + ")" if parts else "''"
+
+
+_MOJI_REPAIR = "p"
+for _bad, _good in R.MOJIBAKE_MAP:
+    _MOJI_REPAIR = f"replace({_MOJI_REPAIR}, {_sql_chr(_bad)}, {_sql_chr(_good)})"
+
+FIX_ENCODING_SQL = f"""
+WITH planted AS (
+  SELECT doc_id,
+         text || CASE WHEN doc_id % 3 = 0 THEN {_sql_chr(R.MOJI_PLANT_A)}
+                      WHEN doc_id % 3 = 1 THEN {_sql_chr(R.MOJI_PLANT_B)}
+                      ELSE '' END AS p
+  FROM documents
+)
+SELECT doc_id,
+       {_MOJI_REPAIR} AS fixed_text,
+       CAST(length(p) - length(replace(p, chr(195), '')) AS BIGINT) AS n_moji
+FROM planted
+"""
+
+NFC_DOCS_SQL = f"""
+WITH planted AS (
+  SELECT doc_id,
+         text || CASE WHEN doc_id % 2 = 0 THEN {_sql_chr(R.NFC_PLANT)}
+                      ELSE {_sql_chr(R.NFC_CLEAN)} END AS p
+  FROM documents
+)
+SELECT doc_id, nfc_normalize(p) AS norm_text, p <> nfc_normalize(p) AS changed
+FROM planted
+"""
