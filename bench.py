@@ -264,6 +264,33 @@ def run_bench() -> dict:
 
     import ray.data as rd
 
+    # GRAFT_BENCH_JOB=minhash: headline = MinHash-LSH candidate generation
+    # over the synthetic near-dup corpus — the secondary scaling subject
+    # (shuffle-bound, unlike the map-dominated quality filter), so
+    # `--scaling` evidence isn't flagship-only.
+    if os.environ.get("GRAFT_BENCH_JOB") == "minhash":
+        from scripts_ray.ops import dedup as _dedup
+
+        n_docs = int(os.environ.get("GRAFT_BENCH_MINHASH_DOCS", "480000"))
+        path = prepare_minhash_docs(n_docs)
+        if WARMUP:
+            consume(_dedup.minhash_candidates(rd.read_parquet(path).limit(5000)))
+        t0 = time.time()
+        n_pairs = consume(_dedup.minhash_candidates(rd.read_parquet(path)))
+        headline = time.time() - t0
+        ray.shutdown()
+        return {
+            "metric": "minhash_candidates_sec",
+            "value": round(headline, 3),
+            "unit": "sec",
+            "queries": {"minhash_candidates": round(headline, 3)},
+            "sf": f"synthetic_{n_docs}_docs",
+            "num_cpus": NCPU,
+            "turns": n_docs,
+            "turns_per_sec": round(n_docs / headline, 1),
+            "cand_pairs": n_pairs,
+        }
+
     path = prepare_transcripts(SF_DIR, REPLICATE)
     counts_ref = ray.put(pipelines.build_model_counts(SF_DIR))
 
@@ -371,6 +398,10 @@ def run_bench() -> dict:
             "hll_users_by_type",
             "ann_ivf_fixed",
             "dsir_select",
+            "qf_ppl_bigram",
+            "conv_gate_turns",
+            "dup_ngrams",
+            "fix_encoding",
         ]
     )
     for name in secondary:
@@ -457,7 +488,10 @@ def run_scaling() -> dict:
                 print(f"leg ncpu={ncpu} attempt {attempt}: {e!r}", file=sys.stderr)
         raise RuntimeError(f"leg ncpu={ncpu} failed 3 attempts")
 
-    prepare_transcripts(SF_DIR, int(replicate))  # warm before either timed run
+    if os.environ.get("GRAFT_BENCH_JOB") == "minhash":
+        prepare_minhash_docs(int(os.environ.get("GRAFT_BENCH_MINHASH_DOCS", "480000")))
+    else:
+        prepare_transcripts(SF_DIR, int(replicate))  # warm before either timed run
 
     def best_of(ncpu: int, reps: int = int(os.environ.get("GRAFT_SCALING_REPS", "2"))) -> dict:
         # fresh process per rep; min wall filters scheduler/page-cache noise
