@@ -287,3 +287,82 @@ def dsir_select(docs_ds, v: np.ndarray, k: int = DSIR_TOP_K):
     )
     top["rank"] = np.arange(1, len(top) + 1, dtype=np.int64)
     return top[["rank", "doc_id", "dsir_micro"]]
+
+
+# ---- distributed Lloyd's k-means training ------------------------------------
+
+
+def kmeans_train(emb_ds_fn, k: int = KMEANS_N_SEEDS, iters: int = 3):
+    """Full spherical k-means TRAINING as a distributed iteration: per pass,
+    the assignment step is the same broadcast-matmul map as kmeans_assign,
+    and the centroid update is a CONSTANT-SIZE keyed aggregate — each batch
+    emits (cluster, dim, partial_sum, n) long-form rows (k x dim per batch,
+    independent of batch size), the driver folds the k x dim table and
+    renormalizes. Nothing corpus-sized ever reaches the driver (contrast:
+    the bounded-sample `similarity.train_centroids`, which trades passes
+    for a one-shot sampled fit). `emb_ds_fn` is a factory because a lazy
+    Dataset consumed once per iteration re-executes its upstream chain —
+    the caller hands us a fresh read each pass (the read is the chain).
+
+    Deterministic init: centroids = unit rows of vec_id < k (the pinned-
+    seed convention shared with kmeans_assign / ann_ivf_fixed). Returns
+    (centroids ndarray [k, dim], objective_per_iter list) where the
+    objective is the mean max-cosine — non-decreasing for spherical
+    k-means up to float summation noise.
+    """
+    from .hashagg import hash_aggregate
+    from .similarity import _to_matrix, _unit_rows
+
+    # init: the k pinned seed vectors (one tiny filtered read)
+    first = emb_ds_fn().filter(expr=f"vec_id < {k}").to_pandas()
+    first = first.sort_values("vec_id")
+    cn = _unit_rows(_to_matrix(pa.array(first["embedding"].tolist())))
+    assert cn.shape[0] == k, f"need {k} seed vectors, got {cn.shape[0]}"
+
+    objective = []
+    for _ in range(iters):
+        centroids = cn  # rebound per pass; captured by value in the closure
+
+        def partial(batch: pa.Table, _c=centroids) -> pd.DataFrame:
+            vecs = _unit_rows(_to_matrix(batch["embedding"].combine_chunks()))
+            sims = vecs @ _c.T
+            best = np.argmax(sims, axis=1)
+            d = _c.shape[1]
+            # per-cluster vector sums + counts + sim sums, long form
+            sums = np.zeros((_c.shape[0], d), dtype=np.float64)
+            np.add.at(sums, best, vecs)
+            n = np.bincount(best, minlength=_c.shape[0]).astype(np.int64)
+            sim_sum = np.bincount(
+                best, weights=sims[np.arange(len(best)), best],
+                minlength=_c.shape[0],
+            )
+            cl = np.repeat(np.arange(_c.shape[0], dtype=np.int64), d)
+            return pd.DataFrame(
+                {
+                    "cluster": cl,
+                    "dim": np.tile(np.arange(d, dtype=np.int64), _c.shape[0]),
+                    "s": sums.ravel(),
+                    "n": np.repeat(n, d),
+                    "sim": np.repeat(sim_sum, d),
+                }
+            )
+
+        agg = hash_aggregate(
+            emb_ds_fn().map_batches(partial, batch_format="pyarrow"),
+            keys=["cluster", "dim"],
+            aggs={"s": ("s", "sum"), "n": ("n", "sum"), "sim": ("sim", "sum")},
+        ).to_pandas()  # k x dim rows — constant-size, driver-safe
+        agg = agg.sort_values(["cluster", "dim"])
+        d = agg["dim"].max() + 1
+        sums = agg["s"].to_numpy().reshape(k, d)
+        counts = agg["n"].to_numpy().reshape(k, d)[:, 0]
+        total_sim = agg["sim"].to_numpy().reshape(k, d)[:, 0].sum()
+        n_vecs = counts.sum()
+        objective.append(float(total_sim / max(1, n_vecs)))
+        # empty cluster keeps its old centroid; others -> renormalized mean
+        nz = counts > 0
+        new = cn.copy()
+        new[nz] = sums[nz] / counts[nz, None]
+        cn = _unit_rows(new)
+
+    return cn, objective
