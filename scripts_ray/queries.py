@@ -588,6 +588,28 @@ def q_qc_keep_by_role(sf_dir: str):
     return agg.map_batches(rates, batch_format="pandas")
 
 
+def q_bpe_budgets(sf_dir: str):
+    """Per-document BPE token budgets from a tokenizer TRAINED on the same
+    corpus (64 merges): distributed word-count exchange → merge learning
+    on the bounded frequency table → broadcast-merges actor encoding.
+    NO SQL ORACLE BY DESIGN (rows-only, like ann_ivf): merge learning is
+    iterative-stateful; the trainer/encoder are pytest-verified against a
+    local reference incl. the textbook merge sequence (tests/test_bpe.py)."""
+    import ray
+
+    from .ops.bpe import BpeEncoder, bpe_train
+
+    merges = bpe_train(
+        _read(sf_dir, "documents", columns=["text"]), n_merges=64
+    )
+    return _read(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
+        BpeEncoder,
+        fn_constructor_args=(ray.put(merges),),
+        concurrency=(1, 2),
+        batch_format="pyarrow",
+    )
+
+
 def q_fix_encoding(sf_dir: str):
     """Mojibake (double-encoding) repair — the ftfy-core web-curation
     staple and the north star's 'encoding normalization' item. The
@@ -1645,6 +1667,7 @@ QUERIES = {
     "dup_ngrams": q_dup_ngrams,
     "fix_encoding": q_fix_encoding,
     "nfc_docs": q_nfc_docs,
+    "bpe_budgets": q_bpe_budgets,  # rows-only by design (iterative trainer)
     "tox_turns": q_qf_toxicity,
     "merge_runs": q_merge_runs,
     "next_after_system": q_next_after_system,
