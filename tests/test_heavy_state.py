@@ -52,7 +52,14 @@ def test_heavy_state_blob_loads_once_per_actor(ray_session):
         def __call__(self, batch: pa.Table) -> pa.Table:
             n = batch.num_rows
             idx = batch["id"].to_numpy() % len(self.blob)
-            rss_mb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss // 1024
+            # CURRENT resident set, not ru_maxrss: the high-water mark is
+            # process-lifetime, and Ray reuses worker processes across the
+            # rest of the pytest session, so earlier tests' peaks would
+            # pollute the accumulation check when the suite runs together.
+            with open("/proc/self/statm") as f:
+                rss_mb = (
+                    int(f.read().split()[1]) * resource.getpagesize() // (1024 * 1024)
+                )
             return pa.table(
                 {
                     "id": batch["id"],
