@@ -454,3 +454,121 @@ def domain_stats(docs_ds, blocked_ref):
         keys=["domain", "blocked"],
         aggs={"n_docs": ("n", "sum")},
     )
+
+
+# ---- Gopher quality rule battery (Rae et al. 2021, arXiv:2112.11446) --------
+# The full doc-level heuristic gate every web-scale curation pipeline runs
+# before model scoring: word-count bounds, mean-word-length band, symbol
+# (hash/ellipsis)-to-word ratio, alphabetic-word share, minimum stop-word
+# hits. Reference analog: the rule side of the keep/drop classifier
+# (/root/reference/src/cur-prot/reclassify.py:23-57 applies the model; the
+# line-shape validator /root/reference/src/references/compile-bib-references.py:26-68
+# is the rule-gate shape). All signals are integer (floored permille/milli)
+# so the SQL oracle reproduces them bit-for-bit.
+GOPHER_MIN_WORDS, GOPHER_MAX_WORDS = 8, 100_000
+GOPHER_WLEN_MIN_MILLI, GOPHER_WLEN_MAX_MILLI = 3_000, 10_000
+GOPHER_MAX_SYMBOL_PERMILLE = 100
+GOPHER_MIN_ALPHA_PERMILLE = 800
+GOPHER_MIN_STOP_HITS = 2
+# Deterministic plants (same rationale as plant_pii): the synthetic corpus
+# is uniformly clean prose, so two artifact classes are planted to make the
+# gate a real filter — symbol spam (fails the hash/ellipsis ratio) and
+# digit-run spam (fails the alphabetic-word share). %13 wins when both hit.
+GOPHER_SPAM_EVERY = 13
+GOPHER_SPAM_TAIL = " ### ... ## #spam ... ###"
+GOPHER_DIGIT_EVERY = 29
+GOPHER_DIGIT_TAIL = " " + " ".join(str(i) * 3 for i in range(16))
+# one match per whitespace-delimited token containing >=1 letter
+RE_ALPHA_WORD = r"[^ \t\r\n\f\v]*[a-zà-öø-ÿ][^ \t\r\n\f\v]*"
+
+
+def plant_gopher(batch_text, doc_id) -> pa.Array:
+    did = (
+        doc_id.combine_chunks() if isinstance(doc_id, pa.ChunkedArray) else doc_id
+    ).to_numpy(zero_copy_only=False).astype(np.int64)
+    tails = np.where(
+        did % GOPHER_SPAM_EVERY == 0,
+        GOPHER_SPAM_TAIL,
+        np.where(did % GOPHER_DIGIT_EVERY == 0, GOPHER_DIGIT_TAIL, ""),
+    )
+    text = (
+        batch_text.combine_chunks()
+        if isinstance(batch_text, pa.ChunkedArray)
+        else batch_text
+    )
+    return pc.binary_join_element_wise(
+        text, pa.array(tails, type=pa.string()), ""
+    )
+
+
+def gopher_quality(docs_ds):
+    """Per-doc Gopher rule signals + the composed keep verdict. Pure
+    vectorized map — Arrow RE2 counts and one tokenize pass, no exchange,
+    embarrassingly parallel at any corpus size."""
+    from ..rules import RE_WHITESPACE
+    from ..tokens import token_signals
+
+    def rules_batch(batch: pa.Table) -> pa.Table:
+        planted = plant_gopher(batch["text"], batch["doc_id"])
+        n_words = (
+            pc.count_substring_regex(planted, pattern=RE_NONWS)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        nonws_chars = (
+            pc.utf8_length(
+                pc.replace_substring_regex(
+                    planted, pattern=RE_WHITESPACE, replacement=""
+                )
+            )
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        n_sym = (
+            pc.count_substring(planted, pattern="#").to_numpy(zero_copy_only=False)
+            + pc.count_substring(planted, pattern="...").to_numpy(
+                zero_copy_only=False
+            )
+        ).astype(np.int64)
+        n_alpha = (
+            pc.count_substring_regex(planted, pattern=RE_ALPHA_WORD)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        n_stop = token_signals(planted)["n_en"]
+
+        def ratio(num, scale):
+            with np.errstate(divide="ignore", invalid="ignore"):
+                r = np.floor(scale * num / n_words)
+            return np.where(n_words > 0, r, 0).astype(np.int64)
+
+        wlen = ratio(nonws_chars, 1000.0)
+        sym = ratio(n_sym, 1000.0)
+        alpha = ratio(n_alpha, 1000.0)
+        ok = n_words > 0
+        keep = (
+            (n_words >= GOPHER_MIN_WORDS)
+            & (n_words <= GOPHER_MAX_WORDS)
+            & (wlen >= GOPHER_WLEN_MIN_MILLI)
+            & (wlen <= GOPHER_WLEN_MAX_MILLI)
+            & (sym < GOPHER_MAX_SYMBOL_PERMILLE)
+            & (alpha >= GOPHER_MIN_ALPHA_PERMILLE)
+            & (n_stop >= GOPHER_MIN_STOP_HITS)
+            & ok
+        )
+        maybe = lambda v: pa.array(  # noqa: E731 — NULL where no words
+            [int(v[i]) if ok[i] else None for i in range(len(v))], type=pa.int64()
+        )
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_words": pa.array(n_words, type=pa.int64()),
+                "mean_wlen_milli": maybe(wlen),
+                "symbol_permille": maybe(sym),
+                "alpha_permille": maybe(alpha),
+                "n_stop": pa.array(n_stop, type=pa.int64()),
+                "keep": pa.array(keep.tolist(), type=pa.bool_()),
+            }
+        )
+
+    return docs_ds.map_batches(rules_batch, batch_format="pyarrow")

@@ -1030,6 +1030,16 @@ def q_quality_docs(sf_dir: str):
     )
 
 
+def q_gopher_quality(sf_dir: str):
+    """Full Gopher heuristic quality gate (Rae et al. 2021): word-count
+    bounds, mean-word-length band, symbol-to-word ratio, alphabetic-word
+    share, minimum stop-word hits — the rule battery run before any model
+    scorer at web scale. Pure vectorized map, no exchange."""
+    return textstats.gopher_quality(
+        _read(sf_dir, "documents", columns=["doc_id", "text"])
+    )
+
+
 def q_boilerplate_docs(sf_dir: str):
     """Corpus-frequent shingle boilerplate filter (CCNet/RefinedWeb-style
     line dedup re-expressed over shingles): per-doc share of distinct
@@ -1724,6 +1734,7 @@ QUERIES = {
     "doc_stats": q_doc_stats,
     "lang_docs": q_lang_docs,
     "quality_docs": q_quality_docs,
+    "gopher_quality": q_gopher_quality,
     "boilerplate_docs": q_boilerplate_docs,
     "doc_repetition": q_doc_repetition,
     "decontaminate": q_decontaminate,
@@ -1853,6 +1864,7 @@ ORACLES = {
     "doc_stats": sql_ops.DOC_STATS_SQL,
     "lang_docs": sql_ops.LANG_DOCS_SQL,
     "quality_docs": sql_ops.QUALITY_DOCS_SQL,
+    "gopher_quality": sql_ops.GOPHER_QUALITY_SQL,
     "boilerplate_docs": sql_ops.BOILERPLATE_DOCS_SQL,
     "doc_repetition": sql_ops.DOC_REPETITION_SQL,
     "decontaminate": sql_ops.DECONTAMINATE_SQL,

@@ -2274,3 +2274,66 @@ WITH planted AS (
 SELECT doc_id, nfc_normalize(p) AS norm_text, p <> nfc_normalize(p) AS changed
 FROM planted
 """
+
+
+# ---- Gopher quality rule battery ---------------------------------------------
+# Constants and plant tails come from the Ray implementation so both engines
+# gate on the same thresholds (single source of truth).
+from .ops.textstats import (  # noqa: E402
+    GOPHER_DIGIT_EVERY,
+    GOPHER_DIGIT_TAIL,
+    GOPHER_MAX_SYMBOL_PERMILLE,
+    GOPHER_MAX_WORDS,
+    GOPHER_MIN_ALPHA_PERMILLE,
+    GOPHER_MIN_STOP_HITS,
+    GOPHER_MIN_WORDS,
+    GOPHER_SPAM_EVERY,
+    GOPHER_SPAM_TAIL,
+    GOPHER_WLEN_MAX_MILLI,
+    GOPHER_WLEN_MIN_MILLI,
+)
+
+GOPHER_QUALITY_SQL = f"""
+WITH p AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % {GOPHER_SPAM_EVERY} = 0 THEN text || '{GOPHER_SPAM_TAIL}'
+              WHEN doc_id % {GOPHER_DIGIT_EVERY} = 0 THEN text || '{GOPHER_DIGIT_TAIL}'
+              ELSE text END AS ptext
+  FROM documents
+),
+w AS (
+  SELECT doc_id, ptext,
+         list_filter(string_split_regex(ptext, '{R.RE_WHITESPACE}'), x -> x <> '') AS ws,
+         list_filter(string_split_regex(lower(ptext), '{R.RE_TOKEN_SEP}'), x -> x <> '') AS toks
+  FROM p
+),
+sig AS (
+  SELECT doc_id,
+    CAST(length(ws) AS BIGINT) AS n_words,
+    CAST(length(regexp_replace(ptext, '{R.RE_WHITESPACE}', '', 'g')) AS BIGINT) AS nonws,
+    CAST(length(ptext) - length(replace(ptext, '#', '')) AS BIGINT)
+      + CAST((length(ptext) - length(replace(ptext, '...', ''))) / 3 AS BIGINT) AS n_sym,
+    CAST(length(list_filter(ws, x -> regexp_matches(x, '[a-zà-öø-ÿ]'))) AS BIGINT) AS n_alpha,
+    CAST(length(list_filter(toks, x -> list_contains({_EN_LIST}, x))) AS BIGINT) AS n_stop
+  FROM w
+),
+r AS (
+  SELECT doc_id, n_words, n_stop,
+    CASE WHEN n_words = 0 THEN NULL
+         ELSE CAST(floor(1000.0 * nonws / n_words) AS BIGINT) END AS mean_wlen_milli,
+    CASE WHEN n_words = 0 THEN NULL
+         ELSE CAST(floor(1000.0 * n_sym / n_words) AS BIGINT) END AS symbol_permille,
+    CASE WHEN n_words = 0 THEN NULL
+         ELSE CAST(floor(1000.0 * n_alpha / n_words) AS BIGINT) END AS alpha_permille
+  FROM sig
+)
+SELECT doc_id, n_words, mean_wlen_milli, symbol_permille, alpha_permille, n_stop,
+  COALESCE(
+    n_words >= {GOPHER_MIN_WORDS} AND n_words <= {GOPHER_MAX_WORDS}
+    AND mean_wlen_milli >= {GOPHER_WLEN_MIN_MILLI}
+    AND mean_wlen_milli <= {GOPHER_WLEN_MAX_MILLI}
+    AND symbol_permille < {GOPHER_MAX_SYMBOL_PERMILLE}
+    AND alpha_permille >= {GOPHER_MIN_ALPHA_PERMILLE}
+    AND n_stop >= {GOPHER_MIN_STOP_HITS}, FALSE) AS keep
+FROM r
+"""
