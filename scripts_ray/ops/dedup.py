@@ -1197,3 +1197,146 @@ def span_cut(docs_ds_fn, num_partitions: int = 64):
         )
 
     return joined.map_batches(cut, batch_format="pandas")
+
+
+# ---- corpus-level exact line dedup (RefinedWeb / CCNet line dedup) ----------
+# The web-curation staple the span-level ops don't cover: an exact duplicate
+# LINE (boilerplate header/footer, nav text, cookie banner) is removed from
+# every document except its first occurrence corpus-wide (first = lowest
+# (doc_id, line_idx)). Reference analog: the whitespace-canonicalized
+# text-equality comparisons of /root/reference/src/cur-prot/dollar_sign_replace.py:26
+# applied at corpus scope. The fixture has no newlines, so line structure is
+# DERIVED deterministically (both engines, same rule): line 0 = a planted
+# boilerplate header (doc_id % 5), then the whitespace tokens in chunks of
+# LINE_TOKENS, then a planted footer (doc_id % 7) — giving real cross-doc
+# duplicate lines over unique bodies.
+LINE_TOKENS = 12
+LINE_HEADERS = tuple(
+    f"copyright h{i} all rights reserved by the publisher" for i in range(5)
+)
+LINE_FOOTERS = tuple(
+    f"subscribe f{i} to our newsletter for daily updates" for i in range(7)
+)
+_LINE_PACK = 1_000_000  # line_idx < this; pack = doc_id * _LINE_PACK + line_idx
+
+
+def _derive_lines(batch: pd.DataFrame) -> pd.DataFrame:
+    """(doc_id, line_idx, line, n_lines) per derived line — vectorized:
+    Arrow regex split, segmented-arange chunk offsets, and one C-level
+    `binary_join` to materialize line strings (no per-line Python)."""
+    from ..rules import RE_WHITESPACE
+
+    n = len(batch)
+    did = batch["doc_id"].to_numpy(dtype=np.int64)
+    text = pa.array(batch["text"].astype(object), type=pa.string())
+    lists = pc.split_pattern_regex(text, pattern=RE_WHITESPACE)
+    flat = pc.list_flatten(lists)
+    rows_all = pc.list_parent_indices(lists).to_numpy(zero_copy_only=False)
+    nonempty = pc.not_equal(flat, "")
+    flat_k = flat.filter(nonempty)
+    rows = rows_all[nonempty.to_numpy(zero_copy_only=False)]
+
+    c = np.bincount(rows, minlength=n).astype(np.int64)
+    starts = np.concatenate([[0], np.cumsum(c)[:-1]])
+    nbody = (c + LINE_TOKENS - 1) // LINE_TOKENS
+    total = int(nbody.sum())
+    rep_row = np.repeat(np.arange(n), nbody)
+    line_cum = np.concatenate([[0], np.cumsum(nbody)[:-1]])
+    within = np.arange(total, dtype=np.int64) - np.repeat(line_cum, nbody)
+    line_starts = starts[rep_row] + LINE_TOKENS * within
+    offsets = np.append(line_starts, len(rows)).astype(np.int32)
+    body_lines = pc.binary_join(
+        pa.ListArray.from_arrays(offsets, flat_k.combine_chunks()
+                                 if isinstance(flat_k, pa.ChunkedArray)
+                                 else flat_k),
+        " ",
+    ).to_pandas()
+
+    n_lines = nbody + 2
+    hdr = np.array(LINE_HEADERS, dtype=object)[did % len(LINE_HEADERS)]
+    ftr = np.array(LINE_FOOTERS, dtype=object)[did % len(LINE_FOOTERS)]
+    return pd.concat(
+        [
+            pd.DataFrame(
+                {"doc_id": did, "line_idx": np.int64(0), "line": hdr,
+                 "n_lines": n_lines}
+            ),
+            pd.DataFrame(
+                {"doc_id": did[rep_row], "line_idx": within + 1,
+                 "line": body_lines, "n_lines": n_lines[rep_row]}
+            ),
+            pd.DataFrame(
+                {"doc_id": did, "line_idx": nbody + 1, "line": ftr,
+                 "n_lines": n_lines}
+            ),
+        ],
+        ignore_index=True,
+    )
+
+
+def line_dedup(docs_ds, num_partitions: int = 64):
+    """Corpus-wide exact line dedup: keep each distinct line's first
+    occurrence, reassemble per-doc deduplicated text. Emits (doc_id,
+    n_lines, n_kept, text_dedup).
+
+    Plan: derive lines (pure map) → 128-bit content fingerprint → ONE fp
+    exchange where each partition holds complete fingerprint groups and a
+    C-kernel groupby-idxmin picks the winner → ONE doc_id exchange to
+    reassemble surviving lines in order. Both exchanges carry each line's
+    text exactly once — the floor for any exact line dedup (CCNet pays the
+    same); all other columns are narrow ints."""
+    from .hashagg import map_partitions_by_key
+
+    def add_fp(batch: pd.DataFrame) -> pd.DataFrame:
+        lines = _derive_lines(batch)
+        fp1, fp2 = content_fingerprints(lines["line"])
+        return lines.assign(fp1=fp1, fp2=fp2)
+
+    def keep_first(part: pd.DataFrame) -> pd.DataFrame:
+        if len(part) == 0:
+            return pd.DataFrame(
+                {
+                    "doc_id": np.array([], dtype=np.int64),
+                    "line_idx": np.array([], dtype=np.int64),
+                    "line": np.array([], dtype=object),
+                    "n_lines": np.array([], dtype=np.int64),
+                }
+            )
+        pack = part["doc_id"].to_numpy() * _LINE_PACK + part["line_idx"].to_numpy()
+        idx = (
+            part.assign(_pack=pack)
+            .groupby(["fp1", "fp2"], sort=False)["_pack"]
+            .idxmin()
+        )
+        return part.loc[idx, ["doc_id", "line_idx", "line", "n_lines"]]
+
+    def assemble(part: pd.DataFrame) -> pd.DataFrame:
+        if len(part) == 0:
+            return pd.DataFrame(
+                {
+                    "doc_id": np.array([], dtype=np.int64),
+                    "n_lines": np.array([], dtype=np.int64),
+                    "n_kept": np.array([], dtype=np.int64),
+                    "text_dedup": np.array([], dtype=object),
+                }
+            )
+        part = part.sort_values(["doc_id", "line_idx"], kind="mergesort")
+        g = part.groupby("doc_id", sort=False)
+        out = pd.DataFrame(
+            {
+                "n_lines": g["n_lines"].first(),
+                "n_kept": g.size().astype(np.int64),
+                "text_dedup": g["line"].agg("\n".join),
+            }
+        ).reset_index()
+        return out[["doc_id", "n_lines", "n_kept", "text_dedup"]]
+
+    survivors = map_partitions_by_key(
+        docs_ds.map_batches(add_fp, batch_format="pandas"),
+        ["fp1", "fp2"],
+        keep_first,
+        num_partitions=num_partitions,
+    )
+    return map_partitions_by_key(
+        survivors, "doc_id", assemble, num_partitions=num_partitions
+    )

@@ -1040,6 +1040,17 @@ def q_gopher_quality(sf_dir: str):
     )
 
 
+def q_line_dedup(sf_dir: str):
+    """Corpus-wide exact line dedup (RefinedWeb/CCNet line dedup): every
+    duplicate line keeps only its first (doc_id, line_idx) occurrence;
+    documents are re-emitted with surviving lines joined in order. One fp
+    exchange (winner pick) + one doc_id exchange (reassembly), each
+    carrying line text exactly once."""
+    return dedup.line_dedup(
+        _read(sf_dir, "documents", columns=["doc_id", "text"])
+    )
+
+
 def q_boilerplate_docs(sf_dir: str):
     """Corpus-frequent shingle boilerplate filter (CCNet/RefinedWeb-style
     line dedup re-expressed over shingles): per-doc share of distinct
@@ -1735,6 +1746,7 @@ QUERIES = {
     "lang_docs": q_lang_docs,
     "quality_docs": q_quality_docs,
     "gopher_quality": q_gopher_quality,
+    "line_dedup": q_line_dedup,
     "boilerplate_docs": q_boilerplate_docs,
     "doc_repetition": q_doc_repetition,
     "decontaminate": q_decontaminate,
@@ -1865,6 +1877,7 @@ ORACLES = {
     "lang_docs": sql_ops.LANG_DOCS_SQL,
     "quality_docs": sql_ops.QUALITY_DOCS_SQL,
     "gopher_quality": sql_ops.GOPHER_QUALITY_SQL,
+    "line_dedup": sql_ops.LINE_DEDUP_SQL,
     "boilerplate_docs": sql_ops.BOILERPLATE_DOCS_SQL,
     "doc_repetition": sql_ops.DOC_REPETITION_SQL,
     "decontaminate": sql_ops.DECONTAMINATE_SQL,

@@ -2337,3 +2337,60 @@ SELECT doc_id, n_words, mean_wlen_milli, symbol_permille, alpha_permille, n_stop
     AND n_stop >= {GOPHER_MIN_STOP_HITS}, FALSE) AS keep
 FROM r
 """
+
+
+# ---- corpus-level exact line dedup -------------------------------------------
+from .ops.dedup import LINE_FOOTERS, LINE_HEADERS, LINE_TOKENS  # noqa: E402
+
+
+def _sql_choice(expr: str, options) -> str:
+    cases = " ".join(
+        f"WHEN {i} THEN '{s}'" for i, s in enumerate(options)
+    )
+    return f"CASE {expr} {cases} END"
+
+
+LINE_DEDUP_SQL = f"""
+WITH tk AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '{R.RE_WHITESPACE}'), x -> x <> '') AS ws
+  FROM documents
+),
+counts AS (
+  SELECT doc_id,
+         CAST(2 + (length(ws) + {LINE_TOKENS - 1}) // {LINE_TOKENS} AS BIGINT) AS n_lines,
+         CAST((length(ws) + {LINE_TOKENS - 1}) // {LINE_TOKENS} AS BIGINT) AS nbody
+  FROM tk
+),
+body AS (
+  SELECT doc_id,
+         CAST(1 + (i - 1) // {LINE_TOKENS} AS BIGINT) AS line_idx,
+         string_agg(tok, ' ' ORDER BY i) AS line
+  FROM (
+    SELECT doc_id, unnest(ws) AS tok,
+           unnest(range(1, length(ws) + 1)) AS i
+    FROM tk
+  )
+  GROUP BY doc_id, 2
+),
+lines AS (
+  SELECT doc_id, CAST(0 AS BIGINT) AS line_idx,
+         {_sql_choice(f"doc_id % {len(LINE_HEADERS)}", LINE_HEADERS)} AS line
+  FROM documents
+  UNION ALL
+  SELECT doc_id, line_idx, line FROM body
+  UNION ALL
+  SELECT c.doc_id, c.nbody + 1 AS line_idx,
+         {_sql_choice(f"c.doc_id % {len(LINE_FOOTERS)}", LINE_FOOTERS)} AS line
+  FROM counts c
+),
+win AS (
+  SELECT doc_id, line_idx, line
+  FROM lines
+  QUALIFY row_number() OVER (PARTITION BY line ORDER BY doc_id, line_idx) = 1
+)
+SELECT w.doc_id, c.n_lines, CAST(count(*) AS BIGINT) AS n_kept,
+       string_agg(w.line, chr(10) ORDER BY w.line_idx) AS text_dedup
+FROM win w JOIN counts c USING (doc_id)
+GROUP BY w.doc_id, c.n_lines
+"""

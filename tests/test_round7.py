@@ -37,3 +37,48 @@ def test_gopher_gate_drops_planted_spam(ray_session, sf_dir):
     assert (clean_drops["n_stop"] < T.GOPHER_MIN_STOP_HITS).all()
     kept = df.loc[clean & df["keep"]]
     assert (kept["n_stop"] >= T.GOPHER_MIN_STOP_HITS).all()
+
+
+def test_line_dedup_keeps_each_boilerplate_line_once(ray_session, sf_dir):
+    """Corpus-wide: every planted header/footer line survives exactly once,
+    owned by the lowest (doc_id, line_idx) occurrence; body lines (unique
+    random prose) all survive, so n_kept == n_lines - lost boilerplate."""
+    from scripts_ray.ops import dedup as D
+    from scripts_ray.queries import QUERIES
+
+    df = QUERIES["line_dedup"](sf_dir).to_pandas().sort_values("doc_id")
+    all_lines = []
+    for _, r in df.iterrows():
+        for i, ln in enumerate(r["text_dedup"].split("\n")):
+            all_lines.append((r["doc_id"], ln))
+    lines = pd.DataFrame(all_lines, columns=["doc_id", "line"])
+
+    boiler = set(D.LINE_HEADERS) | set(D.LINE_FOOTERS)
+    b = lines[lines["line"].isin(boiler)]
+    counts = b.groupby("line").size()
+    # each planted line appears exactly once in the deduplicated corpus
+    assert (counts == 1).all()
+    assert len(counts) == len(boiler & set(lines["line"]))
+    # the survivor is the lowest doc_id bearing that line class
+    doc_ids = df["doc_id"].to_numpy()
+    for i, h in enumerate(D.LINE_HEADERS):
+        owners = doc_ids[doc_ids % len(D.LINE_HEADERS) == i]
+        if h in set(b["line"]):
+            assert b.loc[b["line"] == h, "doc_id"].iloc[0] == owners.min()
+    # global conservation: kept lines == corpus-distinct derived lines
+    # (short trailing body chunks genuinely collide across docs too, so
+    # losses are NOT limited to the planted boilerplate)
+    import pyarrow.parquet as pq
+
+    docs = pq.read_table(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"]).to_pandas()
+    derived = D._derive_lines(docs)
+    assert df["n_kept"].sum() == derived["line"].nunique()
+    assert (df["n_kept"] <= df["n_lines"]).all()
+    # docs absent from the output lost every line to earlier occurrences
+    lost_all = set(docs["doc_id"]) - set(df["doc_id"])
+    if lost_all:
+        dup_counts = derived.groupby("line").size()
+        gone = derived[derived["doc_id"].isin(lost_all)]
+        # every line of a vanished doc is genuinely duplicated corpus-wide
+        assert (dup_counts[gone["line"]] > 1).all()
