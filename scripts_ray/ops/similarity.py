@@ -591,3 +591,124 @@ def ann_lsh(emb_ds, query_ids: np.ndarray, queries: np.ndarray,
         .groupby("query_id")
         .map_groups(merge_topk, batch_format="pandas")
     )
+
+
+# ---- product quantization (Jégou et al. 2011, IEEE TPAMI 33(1)) --------------
+# PQ compresses each embedding to PQ_SUBS sub-space codebook codes (here
+# 8 × 4 bits = one uint32 per 64-dim vector at deployment) and answers ANN
+# queries with asymmetric distance computation (ADC): per query, one
+# (subspace × centroid) distance table, then a table-lookup sum per corpus
+# code — no float vector math per candidate. Everything runs on an INTEGER
+# grid (floor(PQ_QUANT·x), exact in float64 and in DuckDB DOUBLE→BIGINT) so
+# codes, distance tables, and ADC ranks are bit-reproducible in SQL — the
+# same rational-arithmetic trick as the BM25 idf. Codebooks are pinned to
+# the quantized sub-vectors of vec_id < PQ_K (the ann_ivf_fixed /
+# kmeans_assign convention: deterministic, data-derived, oracle-shared).
+PQ_SUBS = 8
+PQ_SUBDIM = 8
+PQ_K = 16
+PQ_QUANT = 1024
+
+
+def _pq_quantize(m: np.ndarray) -> np.ndarray:
+    """(n, dim) float -> int64 grid points; float32→float64 is exact and
+    ×1024 (a power of two) is exact, so both engines floor the same real."""
+    return np.floor(m.astype(np.float64) * PQ_QUANT).astype(np.int64)
+
+
+def load_pq_codebooks(sf_dir: str) -> np.ndarray:
+    """(PQ_SUBS, PQ_K, PQ_SUBDIM) int64 codebooks from the pinned training
+    rows (vec_id < PQ_K) — dimension-sized, loaded once, broadcast."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    ids = t["vec_id"].to_numpy(zero_copy_only=False)
+    order = np.argsort(ids[ids < PQ_K])
+    mat = _to_matrix(t["embedding"].combine_chunks().filter(pa.array(ids < PQ_K)))
+    q = _pq_quantize(mat[order])  # (PQ_K, dim), row index == cid
+    return np.stack(
+        [q[:, m * PQ_SUBDIM:(m + 1) * PQ_SUBDIM] for m in range(PQ_SUBS)]
+    )
+
+
+def _pq_encode(X: np.ndarray, cb: np.ndarray) -> np.ndarray:
+    """(n, dim) quantized vectors -> (n, PQ_SUBS) int64 codes; argmin takes
+    the first (lowest cid) on exact integer ties."""
+    n = X.shape[0]
+    codes = np.empty((n, PQ_SUBS), dtype=np.int64)
+    for m in range(PQ_SUBS):
+        xs = X[:, m * PQ_SUBDIM:(m + 1) * PQ_SUBDIM]
+        diff = xs[:, None, :] - cb[m][None, :, :]  # (n, PQ_K, PQ_SUBDIM)
+        codes[:, m] = np.argmin(np.einsum("nkd,nkd->nk", diff, diff), axis=1)
+    return codes
+
+
+def pq_codes(emb_ds, codebooks: np.ndarray):
+    """Encode every vector: emits (vec_id, sub, code) rows. One broadcast
+    of the codebooks, one vectorized encode per batch — the PQ build pass
+    (at deployment the 8 codes pack into one uint32 column the index
+    stores instead of 256 bytes of floats)."""
+    import ray
+
+    ref = ray.put(codebooks)
+
+    def enc(batch: pa.Table) -> pd.DataFrame:
+        cb = ray.get(ref)
+        X = _pq_quantize(_to_matrix(batch["embedding"].combine_chunks()))
+        vids = batch["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        codes = _pq_encode(X, cb)
+        n = len(vids)
+        return pd.DataFrame(
+            {
+                "vec_id": np.repeat(vids, PQ_SUBS),
+                "sub": np.tile(np.arange(PQ_SUBS, dtype=np.int64), n),
+                "code": codes.ravel(),
+            }
+        )
+
+    return emb_ds.map_batches(enc, batch_format="pyarrow")
+
+
+def ann_pq(emb_ds, query_ids: np.ndarray, queries: np.ndarray,
+           codebooks: np.ndarray, k: int = 5):
+    """ANN via PQ/ADC: per query one integer (PQ_SUBS, PQ_K) distance
+    table; each corpus vector's approximate distance is the sum of table
+    entries at its codes (pure gather, no per-candidate vector math).
+    Local top-k per batch, global merge — same shape as ann_cosine.
+    Integer distances < 2^31 sum exactly in float64, so ranks are
+    bit-reproducible in SQL. Emits (query_id, rank, neighbor_id)."""
+    import ray
+
+    Q = _pq_quantize(queries)
+    # tables[q, m, c] = ||Q[q] sub m - codebook[m, c]||^2 (int64)
+    diff = Q.reshape(len(Q), PQ_SUBS, 1, PQ_SUBDIM) - codebooks[None]
+    tables = np.einsum("qmcd,qmcd->qmc", diff, diff)
+    ref = ray.put((query_ids.astype(np.int64), tables, codebooks))
+
+    def candidates(batch: pa.Table) -> pd.DataFrame:
+        qids, tbl, cb = ray.get(ref)
+        X = _pq_quantize(_to_matrix(batch["embedding"].combine_chunks()))
+        vids = batch["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        codes = _pq_encode(X, cb)  # (n, PQ_SUBS)
+        # adc[n, q] = sum_m tbl[q, m, codes[n, m]]
+        adc = np.zeros((len(vids), len(qids)), dtype=np.int64)
+        for m in range(PQ_SUBS):
+            adc += tbl[:, m, codes[:, m]].T  # (n, nq)
+        sims = -adc.astype(np.float64)  # exact: adc < 2^53
+        sims[vids[:, None] == qids[None, :]] = -np.inf
+        return _gather_candidates(sims, vids, qids, k)
+
+    def merge_topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(
+            ["sim", "neighbor_id"], ascending=[False, True], kind="mergesort"
+        ).head(k)
+        g = g.assign(rank=np.arange(1, len(g) + 1, dtype=np.int64))
+        return g[["query_id", "rank", "neighbor_id"]]
+
+    return (
+        emb_ds.map_batches(candidates, batch_format="pyarrow")
+        .groupby("query_id")
+        .map_groups(merge_topk, batch_format="pandas")
+    )

@@ -1676,6 +1676,35 @@ def q_page_align(sf_dir: str):
     )
 
 
+
+def q_pq_codes(sf_dir: str):
+    """Product-quantization build pass (Jegou et al. 2011): every vector
+    encoded to PQ_SUBS codebook codes on an exact integer grid. Pinned
+    codebooks (vec_id < PQ_K sub-vectors), one broadcast, vectorized
+    encode per batch; fully value-checked."""
+    from .ops import similarity
+
+    return similarity.pq_codes(
+        _read(sf_dir, "embeddings", columns=["vec_id", "embedding"]),
+        similarity.load_pq_codebooks(sf_dir),
+    )
+
+
+def q_ann_pq(sf_dir: str):
+    """ANN via PQ asymmetric distance computation: integer per-query
+    distance tables, table-lookup sums per corpus code, local top-k +
+    global merge. Integer arithmetic end to end, so the full ranking is
+    value-checked in SQL (not just recall-bounded)."""
+    from .ops import similarity
+
+    qids, qvecs = similarity.load_queries(sf_dir)
+    return similarity.ann_pq(
+        _read(sf_dir, "embeddings", columns=["vec_id", "embedding"]),
+        qids, qvecs, similarity.load_pq_codebooks(sf_dir), k=5,
+    )
+
+
+
 QUERIES = {
     "qf_pipeline": q_qf_pipeline,
     "qf_scrub": q_qf_scrub,
@@ -1747,6 +1776,8 @@ QUERIES = {
     "quality_docs": q_quality_docs,
     "gopher_quality": q_gopher_quality,
     "line_dedup": q_line_dedup,
+    "pq_codes": q_pq_codes,
+    "ann_pq": q_ann_pq,
     "boilerplate_docs": q_boilerplate_docs,
     "doc_repetition": q_doc_repetition,
     "decontaminate": q_decontaminate,
@@ -1878,6 +1909,8 @@ ORACLES = {
     "quality_docs": sql_ops.QUALITY_DOCS_SQL,
     "gopher_quality": sql_ops.GOPHER_QUALITY_SQL,
     "line_dedup": sql_ops.LINE_DEDUP_SQL,
+    "pq_codes": sql_ops.PQ_CODES_SQL,
+    "ann_pq": sql_ops.ANN_PQ_SQL,
     "boilerplate_docs": sql_ops.BOILERPLATE_DOCS_SQL,
     "doc_repetition": sql_ops.DOC_REPETITION_SQL,
     "decontaminate": sql_ops.DECONTAMINATE_SQL,

@@ -2394,3 +2394,60 @@ SELECT w.doc_id, c.n_lines, CAST(count(*) AS BIGINT) AS n_kept,
 FROM win w JOIN counts c USING (doc_id)
 GROUP BY w.doc_id, c.n_lines
 """
+
+
+# ---- product quantization (integer-grid PQ + ADC) ------------------------------
+from .ops.similarity import (  # noqa: E402
+    PQ_K,
+    PQ_QUANT,
+    PQ_SUBDIM,
+    PQ_SUBS,
+)
+
+# Shared PQ pipeline: quantized vectors, pinned codebooks (vec_id < PQ_K),
+# per-(vector, subspace, centroid) integer squared distances, and the
+# resulting codes. Everything integral, so argmin/rank can never diverge
+# between engines on float rounding.
+_PQ_BASE_CTE = f"""qv AS (
+  SELECT vec_id,
+         list_transform(embedding, v -> CAST(floor({PQ_QUANT} * CAST(v AS DOUBLE)) AS BIGINT)) AS q
+  FROM embeddings
+),
+cb AS (SELECT vec_id AS cid, q AS cq FROM qv WHERE vec_id < {PQ_K}),
+subs AS (SELECT unnest(range(0, {PQ_SUBS})) AS sub),
+d AS (
+  SELECT v.vec_id, s.sub, c.cid,
+         list_sum(list_transform(range(1, {PQ_SUBDIM + 1}),
+           i -> (v.q[s.sub * {PQ_SUBDIM} + i] - c.cq[s.sub * {PQ_SUBDIM} + i])
+              * (v.q[s.sub * {PQ_SUBDIM} + i] - c.cq[s.sub * {PQ_SUBDIM} + i]))) AS dist
+  FROM qv v, subs s, cb c
+),
+codes AS (
+  SELECT vec_id, sub, cid AS code
+  FROM d QUALIFY row_number() OVER (PARTITION BY vec_id, sub ORDER BY dist, cid) = 1
+)"""
+
+PQ_CODES_SQL = f"""
+WITH {_PQ_BASE_CTE}
+SELECT CAST(vec_id AS BIGINT) AS vec_id, CAST(sub AS BIGINT) AS sub,
+       CAST(code AS BIGINT) AS code
+FROM codes
+"""
+
+ANN_PQ_SQL = f"""
+WITH {_PQ_BASE_CTE},
+dt AS (
+  SELECT vec_id AS query_id, sub, cid, dist FROM d WHERE vec_id < 10
+),
+adc AS (
+  SELECT dt.query_id, x.vec_id AS neighbor_id, CAST(sum(dt.dist) AS BIGINT) AS dist
+  FROM codes x
+  JOIN dt ON dt.sub = x.sub AND dt.cid = x.code
+  WHERE x.vec_id <> dt.query_id
+  GROUP BY 1, 2
+)
+SELECT CAST(query_id AS BIGINT) AS query_id,
+       CAST(row_number() OVER (PARTITION BY query_id ORDER BY dist, neighbor_id) AS BIGINT) AS rank,
+       CAST(neighbor_id AS BIGINT) AS neighbor_id
+FROM adc QUALIFY rank <= 5
+"""
