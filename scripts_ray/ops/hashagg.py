@@ -345,3 +345,67 @@ def distinct(ds, keys: str | list[str], num_partitions: int = DEFAULT_PARTITIONS
         .groupby("_part")
         .map_groups(final, batch_format="pandas")
     )
+
+
+def salted_join(
+    left_ds,
+    right_ds,
+    on: str,
+    right_on: str | None = None,
+    how: str = "inner",
+    hot_keys=(),
+    salt: int = 8,
+    num_partitions: int = DEFAULT_PARTITIONS,
+):
+    """Skew-aware hash join: rows whose join key is in `hot_keys` are
+    salted into `salt` sub-keys on the probe (left) side and REPLICATED
+    `salt`× on the build (right) side, so a hot key's rows spread over
+    `salt` partitions instead of landing on one straggler — the standard
+    treatment for the heavy-hitter keys every web corpus has (one domain,
+    one template, one bot user). The result is row-identical to
+    `hash_join` for 'inner' | 'left' | 'semi' | 'anti'; 'outer' is
+    rejected (a replicated unmatched build row would surface `salt`
+    times). Which salt a probe row draws is irrelevant to the result
+    (each salt bucket holds a full copy of the build rows for that key),
+    so the salt assignment needs no determinism.
+
+    `hot_keys` is a SMALL driver-known set (from a prior heavy-hitter
+    sketch — e.g. cms_registers — or domain knowledge), broadcast by
+    closure capture; never a corpus-sized structure."""
+    if how not in ("inner", "left", "semi", "anti"):
+        raise ValueError(f"salted_join: unsupported join type {how!r}")
+    rkey = right_on or on
+    hot = frozenset(hot_keys)
+
+    def salt_probe(batch: pd.DataFrame) -> pd.DataFrame:
+        s = np.where(
+            batch[on].isin(hot),
+            np.arange(len(batch), dtype=np.int64) % salt,
+            0,
+        )
+        return batch.assign(_jsalt=s.astype(np.int64))
+
+    def salt_build(batch: pd.DataFrame) -> pd.DataFrame:
+        ishot = batch[rkey].isin(hot).to_numpy()
+        cold = batch.loc[~ishot].assign(_jsalt=np.int64(0))
+        hotr = batch.loc[ishot]
+        if len(hotr) == 0:
+            return cold
+        rep = hotr.loc[hotr.index.repeat(salt)].assign(
+            _jsalt=np.tile(np.arange(salt, dtype=np.int64), len(hotr))
+        )
+        return pd.concat([cold, rep], ignore_index=True)
+
+    joined = hash_join(
+        left_ds.map_batches(salt_probe, batch_format="pandas"),
+        right_ds.map_batches(salt_build, batch_format="pandas"),
+        on=[on, "_jsalt"],
+        right_on=[rkey, "_jsalt"],
+        how=how,
+        num_partitions=num_partitions,
+    )
+
+    def drop_salt(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.drop(columns=["_jsalt"])
+
+    return joined.map_batches(drop_salt, batch_format="pandas")

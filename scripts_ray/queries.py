@@ -1705,6 +1705,28 @@ def q_ann_pq(sf_dir: str):
 
 
 
+
+def q_events_user_join_salted(sf_dir: str):
+    """Skew-salted distributed join: the hot heavy-hitter user ids (every
+    web corpus has a bot/template analog) are salted across 8 sub-keys on
+    the event side and replicated on the customer side, spreading each hot
+    key over 8 partitions. Row-identical to the unsalted hash_join — the
+    oracle is the plain SQL join; the salting changes physical layout only."""
+    from .ops.hashagg import salted_join
+
+    joined = salted_join(
+        _read(sf_dir, "events", columns=["event_id", "user_id"]),
+        _read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"]),
+        on="user_id",
+        right_on="c_custkey",
+        how="inner",
+        hot_keys=tuple(range(0, 100, 3)),
+        salt=8,
+    )
+    return joined.select_columns(["event_id", "user_id", "c_mktsegment"])
+
+
+
 QUERIES = {
     "qf_pipeline": q_qf_pipeline,
     "qf_scrub": q_qf_scrub,
@@ -1778,6 +1800,7 @@ QUERIES = {
     "line_dedup": q_line_dedup,
     "pq_codes": q_pq_codes,
     "ann_pq": q_ann_pq,
+    "events_user_join_salted": q_events_user_join_salted,
     "boilerplate_docs": q_boilerplate_docs,
     "doc_repetition": q_doc_repetition,
     "decontaminate": q_decontaminate,
@@ -1911,6 +1934,7 @@ ORACLES = {
     "line_dedup": sql_ops.LINE_DEDUP_SQL,
     "pq_codes": sql_ops.PQ_CODES_SQL,
     "ann_pq": sql_ops.ANN_PQ_SQL,
+    "events_user_join_salted": sql_ops.EVENTS_USER_JOIN_SALTED_SQL,
     "boilerplate_docs": sql_ops.BOILERPLATE_DOCS_SQL,
     "doc_repetition": sql_ops.DOC_REPETITION_SQL,
     "decontaminate": sql_ops.DECONTAMINATE_SQL,

@@ -2451,3 +2451,16 @@ SELECT CAST(query_id AS BIGINT) AS query_id,
        CAST(neighbor_id AS BIGINT) AS neighbor_id
 FROM adc QUALIFY rank <= 5
 """
+
+
+# ---- skew-salted join exhibit --------------------------------------------------
+# The salted plan is row-identical to the plain join, so the oracle is the
+# logical join itself — what's being proven is that salting (probe-side
+# sub-keys + salt-times build replication for the hot key set) changes the
+# PHYSICAL distribution only.
+EVENTS_USER_JOIN_SALTED_SQL = """
+SELECT CAST(e.event_id AS BIGINT) AS event_id,
+       CAST(e.user_id AS BIGINT) AS user_id,
+       c.c_mktsegment
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+"""

@@ -107,3 +107,49 @@ def test_pq_codes_compress_and_adc_approximates(ray_session, sf_dir):
     P = set(zip(pq["query_id"], pq["neighbor_id"]))
     E = set(zip(ex["query_id"], ex["neighbor_id"]))
     assert len(P & E) / len(E) >= 0.1
+
+
+def test_salted_join_equals_plain_join_under_heavy_skew(ray_session):
+    """One key owns half the probe side; salted_join must be row-identical
+    to hash_join (and to a pandas merge) for every supported join type,
+    and must reject 'outer'."""
+    import numpy as np
+    import pytest
+    import ray.data as rd
+
+    from scripts_ray.ops.hashagg import hash_join, salted_join
+
+    rng = np.random.default_rng(7)
+    n = 20_000
+    keys = np.where(rng.random(n) < 0.5, 42, rng.integers(0, 500, n))
+    left = pd.DataFrame({"k": keys.astype(np.int64),
+                         "v": np.arange(n, dtype=np.int64)})
+    right = pd.DataFrame({"k2": np.arange(0, 400, dtype=np.int64),
+                          "w": np.arange(0, 400, dtype=np.int64) * 10})
+
+    def norm(df):
+        return (df.sort_values(list(df.columns))
+                  .reset_index(drop=True).astype("int64"))
+
+    for how in ("inner", "left", "semi", "anti"):
+        got = salted_join(
+            rd.from_pandas(left).repartition(8),
+            rd.from_pandas(right).repartition(4),
+            on="k", right_on="k2", how=how,
+            hot_keys=(42,), salt=8,
+        ).to_pandas()
+        ref = hash_join(
+            rd.from_pandas(left).repartition(8),
+            rd.from_pandas(right).repartition(4),
+            on="k", right_on="k2", how=how,
+        ).to_pandas()
+        if how == "left":
+            got, ref = got.fillna(-1), ref.fillna(-1)
+        assert norm(got).equals(norm(ref)), how
+        if how == "inner":
+            # the hot key actually joined (42 < 400 so it has a build row)
+            assert (got["k"] == 42).sum() == (left["k"] == 42).sum()
+
+    with pytest.raises(ValueError):
+        salted_join(rd.from_pandas(left), rd.from_pandas(right),
+                    on="k", right_on="k2", how="outer", hot_keys=(42,))
