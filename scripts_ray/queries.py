@@ -1727,6 +1727,54 @@ def q_events_user_join_salted(sf_dir: str):
 
 
 
+
+def q_corpus_rollup(sf_dir: str):
+    """GROUP BY ROLLUP(source, lang): leaf counts plus per-source subtotals
+    and the grand total, NULL-padded like the SQL rollup. The corpus is
+    scanned ONCE (the leaf hash_aggregate); both rollup levels are derived
+    from the leaf table, whose cardinality is bounded by sources x langs —
+    the two extra "aggregations" never touch the corpus again."""
+    import pandas as pd
+
+    from .ops.hashagg import hash_aggregate, map_partitions_by_key
+
+    cols = ["source", "lang", "n_docs", "sum_chars"]
+    leaf = hash_aggregate(
+        _read(sf_dir, "documents", columns=["source", "lang", "n_chars"]),
+        keys=["source", "lang"],
+        aggs={"n_docs": ("n_chars", "count"), "sum_chars": ("n_chars", "sum")},
+    )
+
+    def with_subtotals(part: pd.DataFrame) -> pd.DataFrame:
+        if len(part) == 0:
+            return part.reindex(columns=cols)
+        sub = part.groupby("source", as_index=False)[["n_docs", "sum_chars"]].sum()
+        sub["lang"] = None
+        return pd.concat([part[cols], sub[cols]], ignore_index=True)
+
+    def to_total(part: pd.DataFrame) -> pd.DataFrame:
+        if len(part) == 0:
+            return part.reindex(columns=cols)
+        return pd.DataFrame(
+            {
+                "source": [None],
+                "lang": [None],
+                "n_docs": [int(part["n_docs"].sum())],
+                "sum_chars": [int(part["sum_chars"].sum())],
+            }
+        )
+
+    levels = map_partitions_by_key(leaf, "source", with_subtotals)
+    total = map_partitions_by_key(
+        leaf.map_batches(lambda b: b.assign(_g=np.int64(0)), batch_format="pandas"),
+        "_g",
+        to_total,
+        num_partitions=1,
+    )
+    return levels.union(total)
+
+
+
 QUERIES = {
     "qf_pipeline": q_qf_pipeline,
     "qf_scrub": q_qf_scrub,
@@ -1801,6 +1849,7 @@ QUERIES = {
     "pq_codes": q_pq_codes,
     "ann_pq": q_ann_pq,
     "events_user_join_salted": q_events_user_join_salted,
+    "corpus_rollup": q_corpus_rollup,
     "boilerplate_docs": q_boilerplate_docs,
     "doc_repetition": q_doc_repetition,
     "decontaminate": q_decontaminate,
@@ -1935,6 +1984,7 @@ ORACLES = {
     "pq_codes": sql_ops.PQ_CODES_SQL,
     "ann_pq": sql_ops.ANN_PQ_SQL,
     "events_user_join_salted": sql_ops.EVENTS_USER_JOIN_SALTED_SQL,
+    "corpus_rollup": sql_ops.CORPUS_ROLLUP_SQL,
     "boilerplate_docs": sql_ops.BOILERPLATE_DOCS_SQL,
     "doc_repetition": sql_ops.DOC_REPETITION_SQL,
     "decontaminate": sql_ops.DECONTAMINATE_SQL,

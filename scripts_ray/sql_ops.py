@@ -2464,3 +2464,13 @@ SELECT CAST(e.event_id AS BIGINT) AS event_id,
        c.c_mktsegment
 FROM events e JOIN customer c ON e.user_id = c.c_custkey
 """
+
+
+# ---- ROLLUP aggregation --------------------------------------------------------
+CORPUS_ROLLUP_SQL = """
+SELECT source, lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+FROM documents
+GROUP BY ROLLUP(source, lang)
+"""
