@@ -572,3 +572,69 @@ def gopher_quality(docs_ds):
         )
 
     return docs_ds.map_batches(rules_batch, batch_format="pyarrow")
+
+
+# ---- HTML text extraction (trafilatura-lite web-pipeline stage) --------------
+# Web corpora arrive as markup; training text wants the prose. The plant
+# wraps each document in a deterministic page skeleton (script block,
+# nested tags, encoded entities) so extraction is a real transformation
+# the oracle verifies byte-for-byte. Semantics (all RE2, same chain both
+# engines, order matters): drop <script> blocks, strip every tag to a
+# space, decode entities (&amp; LAST so double-encoded text can't
+# double-decode), canonicalize whitespace.
+RE_SCRIPT_BLOCK = r"<script[^>]*>[^<]*</script>"
+RE_TAG = r"<[^>]*>"
+HTML_ENTITIES = (("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'), ("&amp;", "&"))
+
+
+def plant_html(batch_text, doc_id) -> pa.Array:
+    did = pc.cast(
+        doc_id.combine_chunks() if isinstance(doc_id, pa.ChunkedArray) else doc_id,
+        pa.string(),
+    )
+    text = (
+        batch_text.combine_chunks()
+        if isinstance(batch_text, pa.ChunkedArray)
+        else batch_text
+    )
+    n = len(did)
+
+    def lit(s: str) -> pa.Array:
+        return pa.array([s] * n, type=pa.string())
+
+    return pc.binary_join_element_wise(
+        lit('<html><head><title>doc '), did,
+        lit('</title><script type="text/javascript">var x = '), did,
+        lit(';</script></head><body><div class="main"><p>'), text,
+        lit('</p></div><br/><footer>&amp; copyright &lt;2026&gt;</footer>'
+            "</body></html>"),
+        "",
+    )
+
+
+def html_strip(docs_ds):
+    """Extract training prose from markup: emits (doc_id, clean_text,
+    n_tags). Pure vectorized RE2 map — embarrassingly parallel, the
+    canonical first stage of a web-crawl pipeline."""
+    from ..rules import normalize_whitespace
+
+    def strip(batch: pa.Table) -> pa.Table:
+        planted = plant_html(batch["text"], batch["doc_id"])
+        n_tags = pc.cast(
+            pc.count_substring_regex(planted, pattern=RE_TAG), pa.int64()
+        )
+        out = pc.replace_substring_regex(
+            planted, pattern=RE_SCRIPT_BLOCK, replacement=" "
+        )
+        out = pc.replace_substring_regex(out, pattern=RE_TAG, replacement=" ")
+        for ent, ch in HTML_ENTITIES:
+            out = pc.replace_substring(out, pattern=ent, replacement=ch)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "clean_text": normalize_whitespace(out),
+                "n_tags": n_tags,
+            }
+        )
+
+    return docs_ds.map_batches(strip, batch_format="pyarrow")

@@ -37,6 +37,22 @@ def _read(sf_dir: str, table: str, columns=None):
     return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
 
 
+def _scorer_band() -> tuple[int, int]:
+    """Autoscaling actor-pool band for scorer stages, sized to the live
+    session: up to half the CPUs (the other half feeds read/scrub tasks
+    and Ray system threads), min 1 so a single pending actor can never
+    wedge the operator (ray#53727 class). On the 4-CPU test session this
+    is the old (1, 2); at 32 CPUs the pool can reach 16 instead of
+    starving 30 cores behind a hardcoded 2."""
+    import ray
+
+    try:
+        ncpu = int(ray.cluster_resources().get("CPU", 4))
+    except Exception:  # noqa: BLE001 — before init, stay conservative
+        ncpu = 4
+    return (1, max(2, ncpu // 2))
+
+
 def _conv_grouped(sf_dir: str, fn):
     from .ops.hashagg import map_partitions_by_key
 
@@ -133,7 +149,7 @@ def q_qf_ppl_bigram(sf_dir: str):
             fn_constructor_args=(bundle,),
             batch_format="pyarrow",
             batch_size=4096,
-            concurrency=(1, 2),
+            concurrency=_scorer_band(),
             num_cpus=1,
         )
         .select_columns(["conv_id", "turn_idx", "bigram_score"])
@@ -149,7 +165,7 @@ def q_qf_ppl(sf_dir: str):
             fn_constructor_args=(_put_counts(sf_dir),),
             batch_format="pyarrow",
             batch_size=4096,
-            concurrency=(1, 2),
+            concurrency=_scorer_band(),
             num_cpus=1,
         )
         .select_columns(["conv_id", "turn_idx", "ppl_score"])
@@ -605,7 +621,7 @@ def q_bpe_budgets(sf_dir: str):
     return _read(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
         BpeEncoder,
         fn_constructor_args=(ray.put(merges),),
-        concurrency=(1, 2),
+        concurrency=_scorer_band(),
         batch_format="pyarrow",
     )
 
@@ -1775,6 +1791,18 @@ def q_corpus_rollup(sf_dir: str):
 
 
 
+
+def q_html_strip(sf_dir: str):
+    """HTML -> training prose (trafilatura-lite): drop script blocks,
+    strip tags to spaces, decode entities (&amp; last), canonicalize
+    whitespace. Byte-identical RE2 chain on both engines over a planted
+    deterministic page skeleton."""
+    return textstats.html_strip(
+        _read(sf_dir, "documents", columns=["doc_id", "text"])
+    )
+
+
+
 QUERIES = {
     "qf_pipeline": q_qf_pipeline,
     "qf_scrub": q_qf_scrub,
@@ -1850,6 +1878,7 @@ QUERIES = {
     "ann_pq": q_ann_pq,
     "events_user_join_salted": q_events_user_join_salted,
     "corpus_rollup": q_corpus_rollup,
+    "html_strip": q_html_strip,
     "boilerplate_docs": q_boilerplate_docs,
     "doc_repetition": q_doc_repetition,
     "decontaminate": q_decontaminate,
@@ -1985,6 +2014,7 @@ ORACLES = {
     "ann_pq": sql_ops.ANN_PQ_SQL,
     "events_user_join_salted": sql_ops.EVENTS_USER_JOIN_SALTED_SQL,
     "corpus_rollup": sql_ops.CORPUS_ROLLUP_SQL,
+    "html_strip": sql_ops.HTML_STRIP_SQL,
     "boilerplate_docs": sql_ops.BOILERPLATE_DOCS_SQL,
     "doc_repetition": sql_ops.DOC_REPETITION_SQL,
     "decontaminate": sql_ops.DECONTAMINATE_SQL,

@@ -2474,3 +2474,37 @@ SELECT source, lang,
 FROM documents
 GROUP BY ROLLUP(source, lang)
 """
+
+
+# ---- HTML text extraction ------------------------------------------------------
+from .ops.textstats import HTML_ENTITIES, RE_SCRIPT_BLOCK, RE_TAG  # noqa: E402
+
+_HTML_ENTITY_CHAIN = "c"
+for _ent, _ch in HTML_ENTITIES:
+    _rep = _ch.replace("'", "''")
+    _HTML_ENTITY_CHAIN = (
+        f"replace({_HTML_ENTITY_CHAIN}, '{_ent}', '{_rep}')"
+    )
+
+HTML_STRIP_SQL = f"""
+WITH p AS (
+  SELECT doc_id,
+    '<html><head><title>doc ' || CAST(doc_id AS VARCHAR)
+    || '</title><script type="text/javascript">var x = ' || CAST(doc_id AS VARCHAR)
+    || ';</script></head><body><div class="main"><p>' || text
+    || '</p></div><br/><footer>&amp; copyright &lt;2026&gt;</footer></body></html>'
+    AS h
+  FROM documents
+),
+s AS (
+  SELECT doc_id,
+         regexp_replace(regexp_replace(h, '{RE_SCRIPT_BLOCK}', ' ', 'g'),
+                        '{RE_TAG}', ' ', 'g') AS c,
+         CAST(length(regexp_extract_all(h, '{RE_TAG}')) AS BIGINT) AS n_tags
+  FROM p
+)
+SELECT doc_id,
+       trim(regexp_replace({_HTML_ENTITY_CHAIN}, '{R.RE_WHITESPACE}', ' ', 'g'), ' ') AS clean_text,
+       n_tags
+FROM s
+"""

@@ -153,3 +153,22 @@ def test_salted_join_equals_plain_join_under_heavy_skew(ray_session):
     with pytest.raises(ValueError):
         salted_join(rd.from_pandas(left), rd.from_pandas(right),
                     on="k", right_on="k2", how="outer", hot_keys=(42,))
+
+
+def test_html_strip_recovers_prose_exactly(ray_session, sf_dir):
+    """Extraction must recover exactly: title text + the original prose +
+    decoded footer entities, with script content gone and a constant tag
+    count from the planted skeleton."""
+    import pyarrow.parquet as pq
+
+    from scripts_ray.queries import QUERIES
+
+    out = QUERIES["html_strip"](sf_dir).to_pandas().set_index("doc_id")
+    docs = pq.read_table(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"]).to_pandas()
+    for _, r in docs.sample(20, random_state=1).iterrows():
+        got = out.loc[r["doc_id"]]
+        want = f"doc {r['doc_id']} {' '.join(r['text'].split())} & copyright <2026>"
+        assert got["clean_text"] == want
+        assert "var x" not in got["clean_text"]  # script content removed
+    assert (out["n_tags"] == out["n_tags"].iloc[0]).all()  # fixed skeleton
