@@ -364,3 +364,76 @@ def corpus_diff_sample(docs_fn):
         )
 
     return joined.map_batches(classify_sample, batch_format="pandas")
+
+
+SEQ_LEN = 128  # tokens per packed training sequence
+SEQ_BUCKETS = 8
+
+
+def seq_pack(docs_ds, seq_len: int = SEQ_LEN, n_buckets: int = SEQ_BUCKETS):
+    """Pack the curated corpus into FIXED-LENGTH training sequences that
+    cross document boundaries (GPT-style pretraining prep — the step after
+    shard_pack's whole-doc shard assignment): inside each of `n_buckets`
+    independent packing streams, documents are laid out in deterministic
+    affine-hash order, each followed by one implicit EOD position, and the
+    resulting token stream is cut every `seq_len` tokens. Emits one row
+    per (sequence, document) SEGMENT: seq_id, doc_id, doc_start/doc_end
+    (token slice within the document) and seq_off (where the slice lands
+    in the sequence) — exactly what a loader needs to materialize input
+    ids without ever shuffling text. One bucket exchange; the segment
+    expansion is vectorized (repeat + segmented arange).
+    seq_id = bucket-local index * n_buckets + bucket (injective for any
+    per-bucket sequence count, as in shard_pack)."""
+    from .hashagg import map_partitions_by_key
+
+    def counts(batch: pd.DataFrame) -> pd.DataFrame:
+        ids = batch["doc_id"].to_numpy(dtype=np.int64)
+        return pd.DataFrame(
+            {
+                "doc_id": ids,
+                "n_tok": doc_token_counts(batch),
+                "bucket": ids % n_buckets,
+            }
+        )
+
+    def pack(part: pd.DataFrame) -> pd.DataFrame:
+        cols = ["seq_id", "doc_id", "doc_start", "doc_end", "seq_off"]
+        if len(part) == 0:
+            return pd.DataFrame({c: np.array([], dtype=np.int64) for c in cols})
+        d = part.copy()
+        ids = d["doc_id"].to_numpy(dtype=np.int64)
+        d["_h"] = ((ids % MIX_HASH_M) * MIX_HASH_MULT + MIX_HASH_ADD) % MIX_HASH_M
+        d = d.sort_values(["bucket", "_h", "doc_id"], kind="mergesort")
+        n = d["n_tok"].to_numpy(dtype=np.int64)
+        # global start of each doc in its bucket stream (+1 EOD per doc)
+        g = (
+            d.groupby("bucket", sort=False)["n_tok"]
+            .transform(lambda s: (s + 1).cumsum())
+            .to_numpy(dtype=np.int64)
+            - (n + 1)
+        )
+        keep = n > 0
+        d, n, g = d.loc[keep], n[keep], g[keep]
+        s0 = g // seq_len
+        s1 = (g + n - 1) // seq_len
+        nseg = s1 - s0 + 1
+        total = int(nseg.sum())
+        rep = np.repeat(np.arange(len(d)), nseg)
+        seg_cum = np.concatenate([[0], np.cumsum(nseg)[:-1]])
+        s = np.repeat(s0, nseg) + (np.arange(total) - np.repeat(seg_cum, nseg))
+        gr, nr = g[rep], n[rep]
+        seg_start = np.maximum(gr, s * seq_len)
+        seg_end = np.minimum(gr + nr, (s + 1) * seq_len)
+        return pd.DataFrame(
+            {
+                "seq_id": s * n_buckets
+                + d["bucket"].to_numpy(dtype=np.int64)[rep],
+                "doc_id": d["doc_id"].to_numpy(dtype=np.int64)[rep],
+                "doc_start": seg_start - gr,
+                "doc_end": seg_end - gr,
+                "seq_off": seg_start - s * seq_len,
+            }
+        )
+
+    per_doc = docs_ds.map_batches(counts, batch_format="pandas")
+    return map_partitions_by_key(per_doc, "bucket", pack)

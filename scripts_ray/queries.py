@@ -1803,6 +1803,19 @@ def q_html_strip(sf_dir: str):
 
 
 
+
+def q_seq_pack(sf_dir: str):
+    """Fixed-length training-sequence packing (GPT pretraining prep):
+    documents laid out per bucket in deterministic hash order with one
+    implicit EOD position each, cut every SEQ_LEN tokens; emits the
+    (sequence, document) segment map a loader needs. One bucket exchange,
+    vectorized segment expansion."""
+    return sampling.seq_pack(
+        _read(sf_dir, "documents", columns=["doc_id", "text"])
+    )
+
+
+
 QUERIES = {
     "qf_pipeline": q_qf_pipeline,
     "qf_scrub": q_qf_scrub,
@@ -1879,6 +1892,7 @@ QUERIES = {
     "events_user_join_salted": q_events_user_join_salted,
     "corpus_rollup": q_corpus_rollup,
     "html_strip": q_html_strip,
+    "seq_pack": q_seq_pack,
     "boilerplate_docs": q_boilerplate_docs,
     "doc_repetition": q_doc_repetition,
     "decontaminate": q_decontaminate,
@@ -2015,6 +2029,7 @@ ORACLES = {
     "events_user_join_salted": sql_ops.EVENTS_USER_JOIN_SALTED_SQL,
     "corpus_rollup": sql_ops.CORPUS_ROLLUP_SQL,
     "html_strip": sql_ops.HTML_STRIP_SQL,
+    "seq_pack": sql_ops.SEQ_PACK_SQL,
     "boilerplate_docs": sql_ops.BOILERPLATE_DOCS_SQL,
     "doc_repetition": sql_ops.DOC_REPETITION_SQL,
     "decontaminate": sql_ops.DECONTAMINATE_SQL,

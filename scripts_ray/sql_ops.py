@@ -2508,3 +2508,35 @@ SELECT doc_id,
        n_tags
 FROM s
 """
+
+
+# ---- fixed-length training-sequence packing -------------------------------------
+from .ops.sampling import SEQ_BUCKETS, SEQ_LEN  # noqa: E402
+
+SEQ_PACK_SQL = f"""
+WITH tt AS (
+  SELECT doc_id, len({_DOC_TOKS}) AS n_tok, doc_id % {SEQ_BUCKETS} AS bucket
+  FROM documents
+),
+o AS (
+  SELECT doc_id, n_tok, bucket,
+         sum(n_tok + 1) OVER (
+           PARTITION BY bucket
+           ORDER BY ((doc_id % {MIX_HASH_M}) * {MIX_HASH_MULT}
+                     + {MIX_HASH_ADD}) % {MIX_HASH_M}, doc_id
+         ) - (n_tok + 1) AS g
+  FROM tt
+),
+seg AS (
+  SELECT bucket, doc_id, n_tok, g,
+         unnest(range(CAST(g // {SEQ_LEN} AS BIGINT),
+                      CAST((g + n_tok - 1) // {SEQ_LEN} + 1 AS BIGINT))) AS s
+  FROM o WHERE n_tok > 0
+)
+SELECT CAST(s * {SEQ_BUCKETS} + bucket AS BIGINT) AS seq_id,
+       CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(greatest(g, s * {SEQ_LEN}) - g AS BIGINT) AS doc_start,
+       CAST(least(g + n_tok, (s + 1) * {SEQ_LEN}) - g AS BIGINT) AS doc_end,
+       CAST(greatest(g, s * {SEQ_LEN}) - s * {SEQ_LEN} AS BIGINT) AS seq_off
+FROM seg
+"""

@@ -172,3 +172,32 @@ def test_html_strip_recovers_prose_exactly(ray_session, sf_dir):
         assert got["clean_text"] == want
         assert "var x" not in got["clean_text"]  # script content removed
     assert (out["n_tags"] == out["n_tags"].iloc[0]).all()  # fixed skeleton
+
+
+def test_seq_pack_segments_tile_docs_and_sequences(ray_session, sf_dir):
+    """Packing invariants: each document's segments cover [0, n_tok)
+    contiguously in seq order; within a sequence, segments never overlap
+    and stay inside [0, SEQ_LEN); no segment is empty."""
+    import numpy as np
+
+    from scripts_ray.ops.sampling import SEQ_LEN
+    from scripts_ray.queries import QUERIES
+
+    df = QUERIES["seq_pack"](sf_dir).to_pandas()
+    assert (df["doc_end"] > df["doc_start"]).all()
+    assert (df["seq_off"] >= 0).all()
+    assert (df["seq_off"] + (df["doc_end"] - df["doc_start"]) <= SEQ_LEN).all()
+
+    for doc_id, g in df.groupby("doc_id"):
+        g = g.sort_values("seq_id")
+        assert g["doc_start"].iloc[0] == 0
+        assert (g["doc_start"].iloc[1:].to_numpy()
+                == g["doc_end"].iloc[:-1].to_numpy()).all(), doc_id
+
+    for seq_id, g in df.groupby("seq_id"):
+        g = g.sort_values("seq_off")
+        ends = g["seq_off"] + (g["doc_end"] - g["doc_start"])
+        # consecutive segments are separated by exactly one EOD position
+        # unless the cut fell on the document edge
+        gaps = g["seq_off"].iloc[1:].to_numpy() - ends.iloc[:-1].to_numpy()
+        assert (gaps >= 0).all() and (gaps <= 1).all(), seq_id
