@@ -366,3 +366,92 @@ def kmeans_train(emb_ds_fn, k: int = KMEANS_N_SEEDS, iters: int = 3):
         cn = _unit_rows(new)
 
     return cn, objective
+
+
+# ---- TF-IDF top terms per document ------------------------------------------
+TFIDF_TOP_K = 3
+TFIDF_SCALE = 1_000_000
+
+
+def tfidf_terms(docs_ds, k: int = TFIDF_TOP_K):
+    """Top-k characteristic terms per document by tf·idf — the keyword
+    extractor every corpus-exploration dashboard needs (BM25's cousin over
+    the FULL vocabulary instead of a fixed query). idf is the log-free
+    rational floor(1e6·N/df) (exact in float64 both engines, the BM25 idf
+    trick), score = tf · idf_micro (integer product, order-independent).
+
+    Plan: one (doc, tok) hash aggregate for tf; df and N derive from THAT
+    table (token-level work never repeats); tf⋈df is a distributed join on
+    tok (the vocabulary is unbounded at corpus scale — never broadcast);
+    per-doc top-k via the grouped-top-k exchange. Emits
+    (doc_id, rank, tok, score_micro)."""
+    from ..tokens import explode
+    from .hashagg import hash_aggregate, hash_join
+    from .quantiles import group_topk
+
+    def tf_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        rows, toks = explode(pa.array(batch["text"].tolist(), type=pa.string()))
+        did = batch["doc_id"].to_numpy(dtype=np.int64)
+        if len(toks) == 0:
+            return pd.DataFrame(
+                {"doc_id": np.array([], dtype=np.int64),
+                 "tok": np.array([], dtype=object),
+                 "tf": np.array([], dtype=np.int64)}
+            )
+        return (
+            pd.DataFrame({"doc_id": did[rows], "tok": toks})
+            .groupby(["doc_id", "tok"], sort=False)
+            .size()
+            .reset_index(name="tf")
+        )
+
+    # Three consumers read tf (df aggregate, N count, join probe); Ray Data
+    # re-executes a lazy chain once PER consumer, so pin the blocks once —
+    # the one legitimate mid-pipeline materialize (the tokenize+aggregate
+    # above must not run three times).
+    tf = hash_aggregate(
+        docs_ds.map_batches(tf_partial, batch_format="pandas"),
+        keys=["doc_id", "tok"],
+        aggs={"tf": ("tf", "sum")},
+    ).materialize()
+    # df and N from the tf table: each (doc, tok) row counts once
+    df = hash_aggregate(tf, keys=["tok"], aggs={"df": ("doc_id", "count")})
+    n_docs = int(
+        hash_aggregate(
+            tf.map_batches(
+                lambda b: b[["doc_id"]].drop_duplicates(), batch_format="pandas"
+            ),
+            keys=["doc_id"],
+            aggs={"n": ("doc_id", "count")},
+        ).count()
+    )
+
+    def idf(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.copy()
+        batch["idf_micro"] = np.floor(
+            TFIDF_SCALE * float(n_docs) / batch["df"].to_numpy(np.float64)
+        ).astype(np.int64)
+        return batch[["tok", "idf_micro"]]
+
+    scored = hash_join(
+        tf, df.map_batches(idf, batch_format="pandas"), on="tok", how="inner"
+    )
+
+    def score(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"].to_numpy(np.int64),
+                "tok": batch["tok"],
+                "tf": batch["tf"].to_numpy(np.int64),
+                "score_micro": batch["tf"].to_numpy(np.int64)
+                * batch["idf_micro"].to_numpy(np.int64),
+            }
+        )
+
+    return group_topk(
+        scored.map_batches(score, batch_format="pandas"),
+        keys=["doc_id"],
+        sort_col="score_micro",
+        k=k,
+        tie_cols=["tok"],
+    )

@@ -1816,6 +1816,17 @@ def q_seq_pack(sf_dir: str):
 
 
 
+
+def q_tfidf_terms(sf_dir: str):
+    """Top characteristic terms per doc by tf-idf (rational integer idf,
+    BM25's trick over the full vocabulary): one (doc, tok) aggregate, df/N
+    derived from that table, distributed tok join, grouped top-k."""
+    from .ops.retrieval import tfidf_terms
+
+    return tfidf_terms(_read(sf_dir, "documents", columns=["doc_id", "text"]))
+
+
+
 QUERIES = {
     "qf_pipeline": q_qf_pipeline,
     "qf_scrub": q_qf_scrub,
@@ -1893,6 +1904,7 @@ QUERIES = {
     "corpus_rollup": q_corpus_rollup,
     "html_strip": q_html_strip,
     "seq_pack": q_seq_pack,
+    "tfidf_terms": q_tfidf_terms,
     "boilerplate_docs": q_boilerplate_docs,
     "doc_repetition": q_doc_repetition,
     "decontaminate": q_decontaminate,
@@ -2030,6 +2042,7 @@ ORACLES = {
     "corpus_rollup": sql_ops.CORPUS_ROLLUP_SQL,
     "html_strip": sql_ops.HTML_STRIP_SQL,
     "seq_pack": sql_ops.SEQ_PACK_SQL,
+    "tfidf_terms": sql_ops.TFIDF_TERMS_SQL,
     "boilerplate_docs": sql_ops.BOILERPLATE_DOCS_SQL,
     "doc_repetition": sql_ops.DOC_REPETITION_SQL,
     "decontaminate": sql_ops.DECONTAMINATE_SQL,

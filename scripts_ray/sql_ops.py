@@ -2540,3 +2540,27 @@ SELECT CAST(s * {SEQ_BUCKETS} + bucket AS BIGINT) AS seq_id,
        CAST(greatest(g, s * {SEQ_LEN}) - s * {SEQ_LEN} AS BIGINT) AS seq_off
 FROM seg
 """
+
+
+# ---- TF-IDF top terms per document ---------------------------------------------
+from .ops.retrieval import TFIDF_SCALE, TFIDF_TOP_K  # noqa: E402
+
+TFIDF_TERMS_SQL = f"""
+WITH toks AS (SELECT doc_id, unnest({_DOC_TOKS}) AS tok FROM documents),
+tf AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf FROM toks GROUP BY 1, 2),
+df AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY tok),
+nd AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n FROM tf),
+sc AS (
+  SELECT tf.doc_id, tf.tok,
+         tf.tf * CAST(floor({TFIDF_SCALE} * 1.0 * nd.n / df.df) AS BIGINT)
+           AS score_micro,
+         tf.tf
+  FROM tf JOIN df USING (tok) CROSS JOIN nd
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, tok,
+       CAST(tf AS BIGINT) AS tf, score_micro,
+       CAST(row_number() OVER (
+         PARTITION BY doc_id ORDER BY score_micro DESC, tok
+       ) AS BIGINT) AS rank
+FROM sc QUALIFY rank <= {TFIDF_TOP_K}
+"""
