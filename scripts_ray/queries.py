@@ -1827,6 +1827,25 @@ def q_tfidf_terms(sf_dir: str):
 
 
 
+
+def q_pagerank(sf_dir: str):
+    """PageRank centrality over the planted citation graph — the BSP
+    vertex-program shape (per iteration: one src join + one dst aggregate
+    at edge cardinality; the driver holds only the loop counter). Integer
+    micro-unit arithmetic with per-edge floor BEFORE the sum, so all
+    PR_ITERS iterations are value-checked bit-for-bit by the unrolled
+    SQL CTE chain."""
+    import pyarrow.parquet as _pq
+
+    from .ops import graph
+
+    n_docs = _pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
+    return graph.pagerank(
+        lambda: _read(sf_dir, "documents", columns=["doc_id"]), n_docs
+    )
+
+
+
 QUERIES = {
     "qf_pipeline": q_qf_pipeline,
     "qf_scrub": q_qf_scrub,
@@ -1905,6 +1924,7 @@ QUERIES = {
     "html_strip": q_html_strip,
     "seq_pack": q_seq_pack,
     "tfidf_terms": q_tfidf_terms,
+    "pagerank": q_pagerank,
     "boilerplate_docs": q_boilerplate_docs,
     "doc_repetition": q_doc_repetition,
     "decontaminate": q_decontaminate,
@@ -2043,6 +2063,7 @@ ORACLES = {
     "html_strip": sql_ops.HTML_STRIP_SQL,
     "seq_pack": sql_ops.SEQ_PACK_SQL,
     "tfidf_terms": sql_ops.TFIDF_TERMS_SQL,
+    "pagerank": sql_ops.PAGERANK_SQL,
     "boilerplate_docs": sql_ops.BOILERPLATE_DOCS_SQL,
     "doc_repetition": sql_ops.DOC_REPETITION_SQL,
     "decontaminate": sql_ops.DECONTAMINATE_SQL,

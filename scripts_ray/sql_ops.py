@@ -2564,3 +2564,45 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id, tok,
        ) AS BIGINT) AS rank
 FROM sc QUALIFY rank <= {TFIDF_TOP_K}
 """
+
+
+# ---- PageRank over the planted citation graph -----------------------------------
+from .ops.graph import (  # noqa: E402
+    PR_DAMP_DEN,
+    PR_DAMP_NUM,
+    PR_EDGE_MULS,
+    PR_INIT,
+    PR_ITERS,
+    PR_OUT_DEG,
+    PR_TELEPORT,
+)
+
+
+def _pagerank_sql(iters: int = PR_ITERS) -> str:
+    edges = " UNION ALL ".join(
+        f"SELECT doc_id AS src, (doc_id * {a} + {b}) % n.n AS dst "
+        "FROM documents, n"
+        for a, b in PR_EDGE_MULS
+    )
+    ctes = [
+        f"n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents)",
+        f"e AS ({edges})",
+        f"r0 AS (SELECT doc_id, CAST({PR_INIT} AS BIGINT) AS r FROM documents)",
+    ]
+    for k in range(1, iters + 1):
+        ctes.append(f"""r{k} AS (
+  SELECT d.doc_id,
+         CAST({PR_TELEPORT} + ({PR_DAMP_NUM} * COALESCE(s.c, 0)) // {PR_DAMP_DEN}
+              AS BIGINT) AS r
+  FROM documents d LEFT JOIN (
+    SELECT e.dst AS doc_id, CAST(sum(r.r // {PR_OUT_DEG}) AS BIGINT) AS c
+    FROM e JOIN r{k - 1} r ON r.doc_id = e.src GROUP BY e.dst
+  ) s USING (doc_id)
+)""")
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT CAST(doc_id AS BIGINT) AS doc_id, r AS rank_micro FROM r{iters}"
+    )
+
+
+PAGERANK_SQL = _pagerank_sql()

@@ -201,3 +201,28 @@ def test_seq_pack_segments_tile_docs_and_sequences(ray_session, sf_dir):
         # unless the cut fell on the document edge
         gaps = g["seq_off"].iloc[1:].to_numpy() - ends.iloc[:-1].to_numpy()
         assert (gaps >= 0).all() and (gaps <= 1).all(), seq_id
+
+
+def test_pagerank_mass_and_hubs(ray_session, sf_dir):
+    """Mass stays within floor-loss of N * (teleport + damp) and the
+    planted hub nodes (in-degree concentrated by the non-invertible edge
+    multiplier) outrank non-hubs."""
+    import numpy as np
+
+    from scripts_ray.ops import graph as G
+    from scripts_ray.queries import QUERIES
+
+    df = QUERIES["pagerank"](sf_dir).to_pandas()
+    n = len(df)
+    total = df["rank_micro"].sum()
+    # teleport contributes exactly N*PR_TELEPORT; damped link mass is at
+    # most N*(PR_INIT - PR_TELEPORT)-ish; just bound loosely both ways
+    assert n * G.PR_TELEPORT <= total <= n * G.PR_INIT
+    a = G.PR_EDGE_MULS[0][0]
+    import math
+
+    g = math.gcd(a, n)
+    assert g > 1, "fixture N must make the first multiplier non-invertible"
+    hubs = df["doc_id"] % g == 1 % g
+    assert df.loc[hubs, "rank_micro"].mean() > 2 * df.loc[~hubs, "rank_micro"].mean()
+    assert df["rank_micro"].nunique() > 10  # genuinely non-uniform
