@@ -40,34 +40,27 @@ PR_OUT_DEG = 2
 PR_EDGE_MULS = ((10, 1), (13, 2))  # dst = (a*src + b) mod N
 
 
-def _edges(docs_ids_ds, n_docs: int):
-    def emit(batch: pd.DataFrame) -> pd.DataFrame:
-        src = batch["doc_id"].to_numpy(dtype=np.int64)
-        outs = [
-            pd.DataFrame({"src": src, "dst": (a * src + b) % n_docs})
-            for a, b in PR_EDGE_MULS
-        ]
-        return pd.concat(outs, ignore_index=True)
-
-    return docs_ids_ds.map_batches(emit, batch_format="pandas")
-
-
 def pagerank(docs_ids_ds_fn, n_docs: int, iters: int = PR_ITERS,
              num_partitions: int = 16):
     """`iters` synchronous PageRank steps; emits (doc_id, rank_micro).
 
-    `num_partitions` sizes every superstep exchange — raise it with the
-    cluster (the default suits the test fixture; exchange count is fixed
-    at 2 per superstep regardless).
+    Each superstep is exactly ONE exchange: the map stage SCATTERS every
+    vertex's per-edge contribution (rank // out_degree) to its planted
+    destinations plus one zero-mass anchor row per vertex (so nodes with
+    no in-links survive with pure teleport mass), and a single
+    destination-keyed hash aggregate folds them; reassignment is a pure
+    map. The rank vector is materialized per superstep — the Pregel
+    barrier; without it the lazy lineage nests each iteration's DAG
+    inside the next. For a REAL (extracted, non-formulaic) edge table the
+    scatter becomes a distributed `hash_join(ranks, edges, on='src')` —
+    with `salted_join` when the link graph has hub-scale in-degree skew —
+    at one extra exchange per superstep; the aggregate and barrier are
+    identical.
 
-    `docs_ids_ds_fn()` must return a fresh (doc_id) Dataset — it seeds the
-    rank vector once and anchors the per-iteration left join (nodes with
-    no in-links keep teleport mass). The edge Dataset is materialized ONCE
-    (the "cache the graph" move every BSP engine makes: re-deriving edges
-    per iteration would re-run the extractor `iters` times)."""
-    from .hashagg import hash_aggregate, hash_join
-
-    edges = _edges(docs_ids_ds_fn(), n_docs).materialize()
+    `docs_ids_ds_fn()` must return a fresh (doc_id) Dataset (seeds the
+    rank vector). `num_partitions` sizes the superstep exchange — raise
+    it with the cluster."""
+    from .hashagg import hash_aggregate
 
     def seed(batch: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame(
@@ -79,56 +72,34 @@ def pagerank(docs_ids_ds_fn, n_docs: int, iters: int = PR_ITERS,
 
     ranks = docs_ids_ds_fn().map_batches(seed, batch_format="pandas")
 
+    def contribs(batch: pd.DataFrame) -> pd.DataFrame:
+        did = batch["doc_id"].to_numpy(dtype=np.int64)
+        give = batch["rank_micro"].to_numpy(dtype=np.int64) // PR_OUT_DEG
+        frames = [
+            pd.DataFrame({"doc_id": (a * did + b) % n_docs, "c": give})
+            for a, b in PR_EDGE_MULS
+        ]
+        frames.append(
+            pd.DataFrame({"doc_id": did, "c": np.zeros(len(did), np.int64)})
+        )
+        return pd.concat(frames, ignore_index=True)
+
+    def reassign(batch: pd.DataFrame) -> pd.DataFrame:
+        c = batch["c"].to_numpy(dtype=np.int64)
+        return pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"].to_numpy(dtype=np.int64),
+                "rank_micro": PR_TELEPORT + (PR_DAMP_NUM * c) // PR_DAMP_DEN,
+            }
+        )
+
     for _ in range(iters):
-        def share(batch: pd.DataFrame) -> pd.DataFrame:
-            return pd.DataFrame(
-                {
-                    "src": batch["doc_id"].to_numpy(dtype=np.int64),
-                    "give": batch["rank_micro"].to_numpy(dtype=np.int64)
-                    // PR_OUT_DEG,
-                }
-            )
-
-        contrib = hash_join(
-            edges,
-            ranks.map_batches(share, batch_format="pandas"),
-            on="src",
-            how="inner",
-            num_partitions=num_partitions,
-        )
         sums = hash_aggregate(
-            contrib, keys=["dst"], aggs={"c": ("give", "sum")},
+            ranks.map_batches(contribs, batch_format="pandas"),
+            keys=["doc_id"],
+            aggs={"c": ("c", "sum")},
             num_partitions=num_partitions,
         )
-
-        def reassign(batch: pd.DataFrame) -> pd.DataFrame:
-            c = batch["c"].fillna(0).to_numpy(dtype=np.int64)
-            return pd.DataFrame(
-                {
-                    "doc_id": batch["doc_id"].to_numpy(dtype=np.int64),
-                    "rank_micro": PR_TELEPORT
-                    + (PR_DAMP_NUM * c) // PR_DAMP_DEN,
-                }
-            )
-
-        # BSP superstep barrier: pin each iteration's rank vector. Without
-        # it the lazy lineage nests one full iteration DAG inside the next
-        # (and hash_join's schema probe re-executes the whole chain), so a
-        # 4-iteration run pays far more than 4 supersteps. The rank vector
-        # is the algorithm's state — materializing it per superstep into
-        # the object store IS the Pregel design, and it spills if large.
-        ranks = (
-            hash_join(
-                docs_ids_ds_fn(),
-                sums,
-                on="doc_id",
-                right_on="dst",
-                how="left",
-                empty_right_cols=["c"],
-                num_partitions=num_partitions,
-            )
-            .map_batches(reassign, batch_format="pandas")
-            .materialize()
-        )
+        ranks = sums.map_batches(reassign, batch_format="pandas").materialize()
 
     return ranks
