@@ -402,6 +402,14 @@ def run_bench() -> dict:
             "conv_gate_turns",
             "dup_ngrams",
             "fix_encoding",
+            "gopher_quality",
+            "line_dedup",
+            "html_strip",
+            "tfidf_terms",
+            "seq_pack",
+            "pagerank",
+            "ann_pq",
+            "events_user_join_salted",
         ]
     )
     for name in secondary:

@@ -455,3 +455,61 @@ def tfidf_terms(docs_ds, k: int = TFIDF_TOP_K):
         k=k,
         tie_cols=["tok"],
     )
+
+
+# ---- pairwise source-distribution divergence ----------------------------------
+def source_divergence(docs_ds):
+    """Total-variation distance between every pair of per-source
+    hashed-unigram token distributions — the data-mixture diagnostic
+    ("how different are my sources?") behind reweighting decisions (cf.
+    DSIR's importance weights, which use the same hashed feature space).
+
+    Distributed work is ONE constant-size aggregate: per-batch
+    (source, bucket) partials folded to sources × DSIR_BUCKETS rows; the
+    driver computes the bounded sources² matrix with exact PYTHON-INT
+    rationals (tv_micro = floor(1e6 · Σ_b |n_a·N_b − n_b·N_a| /
+    (2·N_a·N_b)) — no float, no overflow at any corpus size), which the
+    HUGEINT oracle reproduces bit-for-bit. Emits (src_a, src_b, tv_micro),
+    src_a < src_b."""
+    from .hashagg import hash_aggregate
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        rows, b = _token_buckets(batch["text"])
+        src = batch["source"].to_numpy(zero_copy_only=False)
+        if len(rows) == 0:
+            return pd.DataFrame(
+                {"source": np.array([], dtype=object),
+                 "bucket": np.array([], dtype=np.int64),
+                 "n": np.array([], dtype=np.int64)}
+            )
+        return (
+            pd.DataFrame({"source": src[rows], "bucket": b})
+            .groupby(["source", "bucket"], sort=False)
+            .size()
+            .reset_index(name="n")
+        )
+
+    cnt = hash_aggregate(
+        docs_ds.map_batches(partial, batch_format="pyarrow"),
+        keys=["source", "bucket"],
+        aggs={"n": ("n", "sum")},
+    ).to_pandas()
+
+    piv = cnt.pivot_table(index="bucket", columns="source", values="n",
+                          aggfunc="sum", fill_value=0)
+    sources = sorted(piv.columns)
+    totals = {s: int(piv[s].sum()) for s in sources}
+    rows = []
+    for i, a in enumerate(sources):
+        for bsrc in sources[i + 1:]:
+            na, nb = piv[a].astype(object), piv[bsrc].astype(object)
+            Na, Nb = totals[a], totals[bsrc]
+            s_abs = int(sum(abs(int(x) * Nb - int(y) * Na)
+                            for x, y in zip(na, nb)))
+            rows.append(
+                {"src_a": a, "src_b": bsrc,
+                 "tv_micro": (1_000_000 * s_abs) // (2 * Na * Nb)}
+            )
+    out = pd.DataFrame(rows, columns=["src_a", "src_b", "tv_micro"])
+    out["tv_micro"] = out["tv_micro"].astype(np.int64)
+    return out

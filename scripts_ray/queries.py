@@ -1846,6 +1846,19 @@ def q_pagerank(sf_dir: str):
 
 
 
+
+def q_source_divergence(sf_dir: str):
+    """Pairwise total-variation distance between per-source hashed-unigram
+    distributions — one constant-size (source, bucket) aggregate, exact
+    integer-rational driver fold over the bounded sources^2 matrix."""
+    from .ops.retrieval import source_divergence
+
+    return source_divergence(
+        _read(sf_dir, "documents", columns=["source", "text"])
+    )
+
+
+
 QUERIES = {
     "qf_pipeline": q_qf_pipeline,
     "qf_scrub": q_qf_scrub,
@@ -1925,6 +1938,7 @@ QUERIES = {
     "seq_pack": q_seq_pack,
     "tfidf_terms": q_tfidf_terms,
     "pagerank": q_pagerank,
+    "source_divergence": q_source_divergence,
     "boilerplate_docs": q_boilerplate_docs,
     "doc_repetition": q_doc_repetition,
     "decontaminate": q_decontaminate,
@@ -2064,6 +2078,7 @@ ORACLES = {
     "seq_pack": sql_ops.SEQ_PACK_SQL,
     "tfidf_terms": sql_ops.TFIDF_TERMS_SQL,
     "pagerank": sql_ops.PAGERANK_SQL,
+    "source_divergence": sql_ops.SOURCE_DIVERGENCE_SQL,
     "boilerplate_docs": sql_ops.BOILERPLATE_DOCS_SQL,
     "doc_repetition": sql_ops.DOC_REPETITION_SQL,
     "decontaminate": sql_ops.DECONTAMINATE_SQL,

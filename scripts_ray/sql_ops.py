@@ -2606,3 +2606,32 @@ def _pagerank_sql(iters: int = PR_ITERS) -> str:
 
 
 PAGERANK_SQL = _pagerank_sql()
+
+
+# ---- pairwise source total-variation divergence ---------------------------------
+from .ops.retrieval import DSIR_BUCKETS  # noqa: E402
+
+SOURCE_DIVERGENCE_SQL = f"""
+WITH toks AS (
+  SELECT source, unnest({_DOC_TOKS}) AS tok FROM documents
+),
+bt AS (SELECT source, CAST(({_WINNOW_TH}) % {DSIR_BUCKETS} AS BIGINT) AS b FROM toks),
+cnt AS (SELECT source, b, CAST(count(*) AS HUGEINT) AS n FROM bt GROUP BY 1, 2),
+tot AS (SELECT source, CAST(sum(n) AS HUGEINT) AS N FROM cnt GROUP BY source),
+grid AS (
+  SELECT ta.source AS sa, tb.source AS sb, ta.N AS na_tot, tb.N AS nb_tot, g.b
+  FROM tot ta, tot tb,
+       (SELECT unnest(range(0, {DSIR_BUCKETS})) AS b) g
+  WHERE ta.source < tb.source
+),
+diff AS (
+  SELECT g.sa, g.sb, g.na_tot, g.nb_tot,
+         abs(COALESCE(ca.n, 0) * g.nb_tot - COALESCE(cb.n, 0) * g.na_tot) AS d
+  FROM grid g
+  LEFT JOIN cnt ca ON ca.source = g.sa AND ca.b = g.b
+  LEFT JOIN cnt cb ON cb.source = g.sb AND cb.b = g.b
+)
+SELECT sa AS src_a, sb AS src_b,
+       CAST(1000000::HUGEINT * sum(d) // (2 * na_tot * nb_tot) AS BIGINT) AS tv_micro
+FROM diff GROUP BY sa, sb, na_tot, nb_tot
+"""
