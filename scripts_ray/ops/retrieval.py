@@ -513,3 +513,50 @@ def source_divergence(docs_ds):
     out = pd.DataFrame(rows, columns=["src_a", "src_b", "tv_micro"])
     out["tv_micro"] = out["tv_micro"].astype(np.int64)
     return out
+
+
+# ---- cluster topic terms (clustering x text composition) ----------------------
+CLUSTER_TOP_K = 5
+
+
+def cluster_topics(emb_ds, seed_ids, seeds, docs_ds, k: int = CLUSTER_TOP_K):
+    """Top terms per embedding cluster — the corpus-exploration composition
+    (what is each semantic cluster ABOUT?): pinned-seed k-means assignment
+    joined to per-(doc, tok) term frequencies on vec_id = doc_id, folded
+    to (cluster, tok) counts, grouped top-k. Every stage is an existing
+    value-checked primitive; the join is distributed (doc cardinality both
+    sides), the (cluster, tok) aggregate is bounded by k_clusters x vocab.
+    Emits (cluster, rank, tok, n)."""
+    from ..tokens import explode
+    from .hashagg import hash_aggregate, hash_join
+    from .quantiles import group_topk
+
+    def tf_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        rows, toks = explode(pa.array(batch["text"].tolist(), type=pa.string()))
+        did = batch["doc_id"].to_numpy(dtype=np.int64)
+        if len(toks) == 0:
+            return pd.DataFrame(
+                {"doc_id": np.array([], dtype=np.int64),
+                 "tok": np.array([], dtype=object),
+                 "tf": np.array([], dtype=np.int64)}
+            )
+        return (
+            pd.DataFrame({"doc_id": did[rows], "tok": toks})
+            .groupby(["doc_id", "tok"], sort=False)
+            .size()
+            .reset_index(name="tf")
+        )
+
+    assigned = kmeans_assign(emb_ds, seed_ids, seeds)
+    joined = hash_join(
+        docs_ds.map_batches(tf_partial, batch_format="pandas"),
+        assigned,
+        on="doc_id",
+        right_on="vec_id",
+        how="inner",
+    )
+    counts = hash_aggregate(
+        joined, keys=["cluster", "tok"], aggs={"n": ("tf", "sum")}
+    )
+    return group_topk(counts, keys=["cluster"], sort_col="n", k=k,
+                      tie_cols=["tok"])

@@ -1859,6 +1859,22 @@ def q_source_divergence(sf_dir: str):
 
 
 
+
+def q_cluster_topics(sf_dir: str):
+    """Top terms per embedding cluster (pinned-seed k-means assignment
+    joined to term frequencies on vec_id = doc_id): the corpus-exploration
+    composition of two value-checked primitives."""
+    from .ops.retrieval import KMEANS_N_SEEDS, cluster_topics
+
+    seed_ids, seeds = similarity.load_queries(sf_dir, n_queries=KMEANS_N_SEEDS)
+    return cluster_topics(
+        _read(sf_dir, "embeddings", columns=["vec_id", "embedding"]),
+        seed_ids, seeds,
+        _read(sf_dir, "documents", columns=["doc_id", "text"]),
+    )
+
+
+
 QUERIES = {
     "qf_pipeline": q_qf_pipeline,
     "qf_scrub": q_qf_scrub,
@@ -1939,6 +1955,7 @@ QUERIES = {
     "tfidf_terms": q_tfidf_terms,
     "pagerank": q_pagerank,
     "source_divergence": q_source_divergence,
+    "cluster_topics": q_cluster_topics,
     "boilerplate_docs": q_boilerplate_docs,
     "doc_repetition": q_doc_repetition,
     "decontaminate": q_decontaminate,
@@ -2079,6 +2096,7 @@ ORACLES = {
     "tfidf_terms": sql_ops.TFIDF_TERMS_SQL,
     "pagerank": sql_ops.PAGERANK_SQL,
     "source_divergence": sql_ops.SOURCE_DIVERGENCE_SQL,
+    "cluster_topics": sql_ops.CLUSTER_TOPICS_SQL,
     "boilerplate_docs": sql_ops.BOILERPLATE_DOCS_SQL,
     "doc_repetition": sql_ops.DOC_REPETITION_SQL,
     "decontaminate": sql_ops.DECONTAMINATE_SQL,

@@ -2635,3 +2635,35 @@ SELECT sa AS src_a, sb AS src_b,
        CAST(1000000::HUGEINT * sum(d) // (2 * na_tot * nb_tot) AS BIGINT) AS tv_micro
 FROM diff GROUP BY sa, sb, na_tot, nb_tot
 """
+
+
+# ---- cluster topic terms ---------------------------------------------------------
+from .ops.retrieval import CLUSTER_TOP_K  # noqa: E402
+
+CLUSTER_TOPICS_SQL = f"""
+WITH c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id < 8),
+s AS (
+  SELECT e.vec_id, c.cid,
+         row_number() OVER (
+           PARTITION BY e.vec_id
+           ORDER BY list_cosine_similarity(e.embedding, c.ce) DESC, c.cid
+         ) AS rn
+  FROM embeddings e, c
+),
+assign AS (SELECT vec_id, cid AS cluster FROM s WHERE rn = 1),
+tf AS (
+  SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+  FROM (SELECT doc_id, unnest({_DOC_TOKS}) AS tok FROM documents)
+  GROUP BY 1, 2
+),
+cnt AS (
+  SELECT a.cluster, tf.tok, CAST(sum(tf.tf) AS BIGINT) AS n
+  FROM tf JOIN assign a ON a.vec_id = tf.doc_id
+  GROUP BY 1, 2
+)
+SELECT CAST(cluster AS BIGINT) AS cluster, tok, n,
+       CAST(row_number() OVER (
+         PARTITION BY cluster ORDER BY n DESC, tok
+       ) AS BIGINT) AS rank
+FROM cnt QUALIFY rank <= {CLUSTER_TOP_K}
+"""
