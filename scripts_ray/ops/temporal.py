@@ -172,6 +172,77 @@ def range_join_events(events_ds):
     )
 
 
+ROLL_WINDOW_ROWS = 5  # current row + 4 preceding
+
+
+def rolling_agg(events_ds, window: int = ROLL_WINDOW_ROWS):
+    """Per-user moving-window aggregate over the ordered event stream —
+    the SQL ``ROWS BETWEEN window-1 PRECEDING AND CURRENT ROW`` frame
+    (a windowed aggregate Ray Data has no primitive for): for every
+    event, the rolling sum of `value` and the row count over the last
+    `window` events of the SAME user, ordered by (ts, event_id).
+
+    One exchange on user_id, then a single vectorized per-partition
+    pass: sort by (user_id, ts, event_id), per-user cumulative sum,
+    rolling value = cumsum - cumsum shifted by `window` WITHIN the user
+    (numpy gather against per-user row offsets — no pandas .rolling per
+    group, no per-row Python). Values are floored to integer micro-units
+    first so the rolling sum is exact int64 arithmetic, bit-reproducible
+    by the SQL window oracle regardless of summation order.
+
+    Scale: the exchange carries (event_id, user_id, ts, v_micro) only;
+    per-user history must fit a partition (same atomic-unit rule as the
+    conv_id window family). Emits (event_id, user_id, ts,
+    roll_sum_micro, n_win)."""
+
+    def project(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "event_id": batch["event_id"].astype(np.int64),
+                "user_id": batch["user_id"].astype(np.int64),
+                "ts": batch["ts"],
+                "v_micro": np.floor(
+                    batch["value"].to_numpy(dtype=np.float64) * 1_000_000.0
+                ).astype(np.int64),
+            }
+        )
+
+    def roll_part(part: pd.DataFrame) -> pd.DataFrame:
+        part = part.sort_values(
+            ["user_id", "ts", "event_id"], kind="mergesort"
+        ).reset_index(drop=True)
+        v = part["v_micro"].to_numpy()
+        cum = np.cumsum(v)
+        # index of each user's first row, broadcast back to its rows
+        uid = part["user_id"].to_numpy()
+        new_user = np.empty(len(part), dtype=bool)
+        if len(part):
+            new_user[0] = True
+            new_user[1:] = uid[1:] != uid[:-1]
+        starts = np.flatnonzero(new_user)
+        first_idx = starts[np.cumsum(new_user) - 1]  # per row: user's start
+        pos_in_user = np.arange(len(part)) - first_idx
+        n_win = np.minimum(pos_in_user + 1, window).astype(np.int64)
+        # frame start index (inclusive); sum = cum[i] - cum[start-1]
+        lo = np.arange(len(part)) - n_win + 1
+        base = np.where(lo > 0, cum[np.maximum(lo - 1, 0)], 0)
+        return pd.DataFrame(
+            {
+                "event_id": part["event_id"],
+                "user_id": part["user_id"],
+                "ts": part["ts"],
+                "roll_sum_micro": (cum - base).astype(np.int64),
+                "n_win": n_win,
+            }
+        )
+
+    return map_partitions_by_key(
+        events_ds.map_batches(project, batch_format="pandas"),
+        keys="user_id",
+        fn=roll_part,
+    )
+
+
 def hopping_windows(events_ds):
     """Hopping-window aggregate: 10-minute windows every 5 minutes, so each
     event is replicated into exactly window/hop = 2 windows. Replication

@@ -1656,6 +1656,16 @@ def q_hopping_windows(sf_dir: str):
     )
 
 
+def q_rolling_events(sf_dir: str):
+    """Per-user moving-window sum/count (ROWS frame window aggregate)."""
+    from .ops import temporal
+
+    return temporal.rolling_agg(
+        _read(sf_dir, "events",
+              columns=["event_id", "user_id", "ts", "value"])
+    )
+
+
 def q_dataset_split(sf_dir: str):
     """Deterministic 90/5/5 train/val/test assignment per document —
     pure map, append-stable, value-checked splitmix64 bucket."""
@@ -2002,6 +2012,7 @@ QUERIES = {
     "asof_events": q_asof_events,
     "clicks_before_purchase": q_clicks_before_purchase,
     "hopping_windows": q_hopping_windows,
+    "rolling_events": q_rolling_events,
     "page_align": q_page_align,
     "cms_words": q_cms_words,
     "docs_csv_by_source": q_docs_csv_by_source,
@@ -2154,6 +2165,7 @@ ORACLES = {
     "asof_events": sql_ops.ASOF_EVENTS_SQL,
     "clicks_before_purchase": sql_ops.RANGE_JOIN_EVENTS_SQL,
     "hopping_windows": sql_ops.HOPPING_WINDOWS_SQL,
+    "rolling_events": sql_ops.ROLLING_EVENTS_SQL,
     "page_align": sql_ops.PAGE_ALIGN_SQL,
     "cms_words": sql_ops.CMS_WORDS_SQL,
     "docs_csv_by_source": sql_ops.DOCS_BY_SOURCE_SQL,

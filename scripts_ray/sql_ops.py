@@ -1403,6 +1403,22 @@ SELECT event_type, win_start, CAST(count(*) AS BIGINT) AS n,
 FROM x GROUP BY 1, 2
 """
 
+ROLLING_EVENTS_SQL = """
+SELECT CAST(event_id AS BIGINT) AS event_id,
+       CAST(user_id AS BIGINT) AS user_id, ts,
+       CAST(sum(v) OVER w AS BIGINT) AS roll_sum_micro,
+       CAST(count(*) OVER w AS BIGINT) AS n_win
+FROM (
+  SELECT event_id, user_id, ts,
+         CAST(floor(value * 1000000.0) AS BIGINT) AS v
+  FROM events
+)
+WINDOW w AS (
+  PARTITION BY user_id ORDER BY ts, event_id
+  ROWS BETWEEN 4 PRECEDING AND CURRENT ROW
+)
+"""
+
 
 # ---- fragment-to-page alignment (ops/align.py, M17 analog) -----------------
 # Page side: every sliding 5-token window of every document; element side:

@@ -226,3 +226,41 @@ def test_pagerank_mass_and_hubs(ray_session, sf_dir):
     hubs = df["doc_id"] % g == 1 % g
     assert df.loc[hubs, "rank_micro"].mean() > 2 * df.loc[~hubs, "rank_micro"].mean()
     assert df["rank_micro"].nunique() > 10  # genuinely non-uniform
+
+
+def test_rolling_agg_hand_case(ray_session):
+    """Hand-built stream: rolling ROWS-frame sum/count per user; the frame
+    never crosses into the previous user's rows even when the two users'
+    rows are adjacent after the partition sort; negative values exercise
+    the floor-toward-minus-infinity micro conversion."""
+    import pandas as pd
+    import ray.data as rd
+
+    from scripts_ray.ops.temporal import rolling_agg
+
+    t0 = pd.Timestamp("2024-03-01 12:00:00")
+    s = pd.Timedelta(seconds=1)
+    # user 1: values 1..7 at increasing ts; user 2: two rows incl. negative
+    rows = [
+        dict(event_id=i, user_id=1, ts=t0 + i * s, value=float(i))
+        for i in range(1, 8)
+    ] + [
+        dict(event_id=100, user_id=2, ts=t0, value=-1.5),
+        dict(event_id=101, user_id=2, ts=t0 + s, value=2.25),
+    ]
+    out = (
+        rolling_agg(rd.from_pandas(pd.DataFrame(rows)), window=3)
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    u1 = out[out["user_id"] == 1]
+    # window=3 rolling sums of 1..7: 1,3,6,9,12,15,18 (micro units)
+    assert u1["roll_sum_micro"].tolist() == [
+        v * 1_000_000 for v in [1, 3, 6, 9, 12, 15, 18]
+    ]
+    assert u1["n_win"].tolist() == [1, 2, 3, 3, 3, 3, 3]
+    u2 = out[out["user_id"] == 2].reset_index(drop=True)
+    # floor(-1.5e6) = -1500000 exactly; second row adds floor(2.25e6)
+    assert u2["roll_sum_micro"].tolist() == [-1_500_000, 750_000]
+    assert u2["n_win"].tolist() == [1, 2]  # never sees user 1's rows
