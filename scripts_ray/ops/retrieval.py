@@ -560,3 +560,93 @@ def cluster_topics(emb_ds, seed_ids, seeds, docs_ds, k: int = CLUSTER_TOP_K):
     )
     return group_topk(counts, keys=["cluster"], sort_col="n", k=k,
                       tie_cols=["tok"])
+
+
+# ---- inverted index + phrase search -----------------------------------------
+PHRASE = ("spark", "window")
+
+
+def inverted_index(docs_ds, num_partitions: int = 64):
+    """Materialize the positional-free inverted index: per token, its
+    document frequency and the full postings list (sorted doc_ids,
+    comma-joined so the artifact is a flat string column both engines
+    and the SQL oracle render identically).
+
+    Plan: per-batch (tok, doc_id) DISTINCT pairs (the combiner — a doc
+    repeating a token a thousand times ships one pair), ONE exchange on
+    tok, then per-partition sort + group-concat. Per-group work is
+    bounded by the OUTPUT artifact (vocabulary-sized, like the BPE merge
+    table), not the corpus. Skew note: a stopword's postings list is
+    O(N_docs) in one group — at real corpus scale postings must be
+    chunked per (tok, doc_id-range) into fixed-size segments (the
+    standard index-shard layout); the single-string form here is the
+    small-vocabulary exhibit. Emits (tok, df, postings)."""
+    from ..tokens import explode
+    from .hashagg import map_partitions_by_key
+
+    def pairs(batch: pa.Table) -> pd.DataFrame:
+        rows, toks = explode(batch["text"].combine_chunks())
+        ids = batch["doc_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        out = pd.DataFrame({"tok": toks, "doc_id": ids[rows].astype(np.int64)})
+        return out.drop_duplicates(ignore_index=True)
+
+    def build(part: pd.DataFrame) -> pd.DataFrame:
+        # cross-batch duplicates of one (tok, doc) pair collapse here
+        part = part.drop_duplicates(["tok", "doc_id"]).sort_values(
+            ["tok", "doc_id"], kind="mergesort"
+        )
+        part["doc_str"] = part["doc_id"].astype(str)
+        g = part.groupby("tok", sort=False)
+        out = g.agg(df=("doc_id", "size"), postings=("doc_str", ",".join))
+        out["df"] = out["df"].astype(np.int64)
+        return out.reset_index()
+
+    return map_partitions_by_key(
+        docs_ds.map_batches(pairs, batch_format="pyarrow"),
+        keys="tok",
+        fn=build,
+        num_partitions=num_partitions,
+    )
+
+
+def phrase_search(docs_ds, phrase: tuple[str, ...] = PHRASE):
+    """Exact phrase query: every (doc_id, pos) where the document's
+    token stream contains `phrase` as consecutive tokens starting at
+    0-based position `pos` (positions counted over non-empty tokens,
+    the same filtered space as the SQL oracle's zipped unnest).
+
+    Embarrassingly parallel — a phrase never crosses documents and a
+    document never crosses batches, so this is one vectorized scan per
+    batch with NO exchange: flat token array + parent row ids from the
+    shared explode kernel, candidate start indices refined per phrase
+    word by shifted equality (`toks[idx+j] == w_j` within the same
+    parent). Contrast bm25/inverted_index, whose statistics are global.
+    Emits (doc_id, pos)."""
+    from ..tokens import explode
+
+    w = [t.lower() for t in phrase]
+    assert len(w) >= 1
+
+    def scan(batch: pa.Table) -> pd.DataFrame:
+        rows, toks = explode(batch["text"].combine_chunks())
+        ids = batch["doc_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        n = len(toks)
+        empty = pd.DataFrame(
+            {"doc_id": np.array([], dtype=np.int64),
+             "pos": np.array([], dtype=np.int64)}
+        )
+        if n == 0:
+            return empty
+        idx = np.flatnonzero(toks == w[0])
+        for j, wj in enumerate(w[1:], start=1):
+            idx = idx[idx + j < n]
+            idx = idx[(toks[idx + j] == wj) & (rows[idx + j] == rows[idx])]
+            if len(idx) == 0:
+                return empty
+        pos = idx - np.searchsorted(rows, rows[idx])  # 0-based within doc
+        return pd.DataFrame(
+            {"doc_id": ids[rows[idx]].astype(np.int64),
+             "pos": pos.astype(np.int64)}
+        )
+
+    return docs_ds.map_batches(scan, batch_format="pyarrow")

@@ -1870,6 +1870,20 @@ def q_source_divergence(sf_dir: str):
 
 
 
+def q_inverted_index(sf_dir: str):
+    """Vocabulary-wide inverted index: (tok, df, comma-joined postings)."""
+    from .ops.retrieval import inverted_index
+
+    return inverted_index(_read(sf_dir, "documents", columns=["doc_id", "text"]))
+
+
+def q_phrase_search(sf_dir: str):
+    """Exact consecutive-token phrase hits as (doc_id, pos)."""
+    from .ops.retrieval import phrase_search
+
+    return phrase_search(_read(sf_dir, "documents", columns=["doc_id", "text"]))
+
+
 def q_cluster_topics(sf_dir: str):
     """Top terms per embedding cluster (pinned-seed k-means assignment
     joined to term frequencies on vec_id = doc_id): the corpus-exploration
@@ -1966,6 +1980,8 @@ QUERIES = {
     "pagerank": q_pagerank,
     "source_divergence": q_source_divergence,
     "cluster_topics": q_cluster_topics,
+    "inverted_index": q_inverted_index,
+    "phrase_search": q_phrase_search,
     "boilerplate_docs": q_boilerplate_docs,
     "doc_repetition": q_doc_repetition,
     "decontaminate": q_decontaminate,
@@ -2108,6 +2124,8 @@ ORACLES = {
     "pagerank": sql_ops.PAGERANK_SQL,
     "source_divergence": sql_ops.SOURCE_DIVERGENCE_SQL,
     "cluster_topics": sql_ops.CLUSTER_TOPICS_SQL,
+    "inverted_index": sql_ops.INVERTED_INDEX_SQL,
+    "phrase_search": sql_ops.PHRASE_SEARCH_SQL,
     "boilerplate_docs": sql_ops.BOILERPLATE_DOCS_SQL,
     "doc_repetition": sql_ops.DOC_REPETITION_SQL,
     "decontaminate": sql_ops.DECONTAMINATE_SQL,

@@ -2683,3 +2683,29 @@ SELECT CAST(cluster AS BIGINT) AS cluster, tok, n,
        ) AS BIGINT) AS rank
 FROM cnt QUALIFY rank <= {CLUSTER_TOP_K}
 """
+
+
+# ---- inverted index + phrase search -----------------------------------------
+from .ops.retrieval import PHRASE  # noqa: E402
+
+INVERTED_INDEX_SQL = f"""
+WITH pairs AS (
+  SELECT DISTINCT doc_id, tok
+  FROM (SELECT doc_id, unnest({_DOC_TOKS}) AS tok FROM documents)
+)
+SELECT tok, CAST(count(*) AS BIGINT) AS df,
+       string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings
+FROM pairs GROUP BY tok
+"""
+
+_PHRASE_CONDS = " AND ".join(
+    f"list_extract(l, p.pos + {j} + 1) = '{w}'" for j, w in enumerate(PHRASE)
+)
+PHRASE_SEARCH_SQL = f"""
+WITH d AS (SELECT doc_id, {_DOC_TOKS} AS l FROM documents)
+SELECT CAST(d.doc_id AS BIGINT) AS doc_id, CAST(p.pos AS BIGINT) AS pos
+FROM d, LATERAL (
+  SELECT unnest(range(len(l) - {len(PHRASE) - 1})) AS pos
+) p
+WHERE {_PHRASE_CONDS}
+"""

