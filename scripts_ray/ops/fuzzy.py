@@ -319,3 +319,118 @@ def fuzzy_attribute(events_ds, reg_ref,
         )
 
     return events_ds.map_batches(probe, batch_format="pyarrow")
+
+
+# ---- blocked similarity self-join -------------------------------------------
+FUZZY_TITLE_TOKENS = 4
+FUZZY_TITLE_MAX_DIST = 2
+
+
+def fuzzy_title_pairs(docs_ds, max_dist: int = FUZZY_TITLE_MAX_DIST,
+                      n_tokens: int = FUZZY_TITLE_TOKENS,
+                      num_partitions: int = 64):
+    """Blocked edit-distance similarity SELF-join — the entity-resolution
+    shape (dedupe.py / OpenRefine style) the attribution ladder's
+    probe-vs-registry form can't express: all (doc_a < doc_b) pairs whose
+    derived title keys (first `n_tokens` tokens, space-joined) are within
+    `max_dist` byte-level Levenshtein edits.
+
+    Blocking = the standard recall/cost knob, stated explicitly: a pair
+    is a candidate iff both keys share their FIRST TOKEN and differ in
+    length by <= max_dist (the length filter is lossless for edit
+    distance; the first-token block is the deliberately lossy part —
+    production ER runs several complementary blocking passes). The SQL
+    oracle applies the identical blocking, so the check is exact.
+
+    Plan: one map derives (doc_id, block, key); ONE exchange on block;
+    per partition, bucket runs expand to candidate pairs via the
+    per-distinct-bucket-size triu pass (the minhash pattern — one Python
+    call per partition), then ONE vectorized `lev_pairs` DP verifies all
+    candidates at once. Byte-level Levenshtein matches DuckDB's
+    `levenshtein()` exactly (it counts bytes for multi-byte chars: probed
+    'åä'↔'ab' = 4). Skew: a hot first token of m docs yields m(m-1)/2
+    candidates pre-length-filter — salt hot blocks with a second token
+    at real scale. Emits (doc_a, doc_b, dist)."""
+    from ..tokens import explode
+    from .hashagg import map_partitions_by_key
+
+    def keys(batch: pa.Table) -> pd.DataFrame:
+        rows, toks = explode(batch["text"].combine_chunks())
+        ids = batch["doc_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        if len(rows) == 0:
+            return pd.DataFrame(
+                {"doc_id": np.array([], dtype=np.int64),
+                 "block": np.array([], dtype=object),
+                 "key": np.array([], dtype=object)}
+            )
+        pos = np.arange(len(rows)) - np.searchsorted(rows, rows)
+        head = pos < n_tokens
+        df = pd.DataFrame({"r": rows[head], "tok": toks[head]})
+        joined = df.groupby("r", sort=True)["tok"].agg(" ".join)
+        r = joined.index.to_numpy()
+        return pd.DataFrame(
+            {
+                "doc_id": ids[r].astype(np.int64),
+                "block": df.groupby("r", sort=True)["tok"].first().to_numpy(),
+                "key": joined.to_numpy(),
+            }
+        )
+
+    empty = pd.DataFrame(
+        {"doc_a": np.array([], dtype=np.int64),
+         "doc_b": np.array([], dtype=np.int64),
+         "dist": np.array([], dtype=np.int64)}
+    )
+
+    def pairs_part(part: pd.DataFrame) -> pd.DataFrame:
+        part = part.sort_values(["block", "doc_id"], kind="mergesort").reset_index(
+            drop=True
+        )
+        if len(part) == 0:
+            return empty
+        blk = part["block"].to_numpy()
+        new = np.empty(len(part), dtype=bool)
+        new[0] = True
+        new[1:] = blk[1:] != blk[:-1]
+        starts = np.flatnonzero(new)
+        sizes = np.diff(np.append(starts, len(part)))
+        ia, ib = [], []
+        for m in np.unique(sizes):
+            if m < 2:
+                continue
+            s = starts[sizes == m]
+            mat = s[:, None] + np.arange(m)[None, :]
+            r, c = np.triu_indices(m, k=1)
+            ia.append(mat[:, r].ravel())
+            ib.append(mat[:, c].ravel())
+        if not ia:
+            return empty
+        ia = np.concatenate(ia)
+        ib = np.concatenate(ib)
+        # vocabulary-bounded encode: one code row per DISTINCT key
+        ukeys, inv = np.unique(part["key"].to_numpy(), return_inverse=True)
+        klen = np.array([len(k.encode("utf-8")) for k in ukeys], dtype=np.int64)
+        la, lb = klen[inv[ia]], klen[inv[ib]]
+        keep = np.abs(la - lb) <= max_dist  # lossless length filter
+        ia, ib, la, lb = ia[keep], ib[keep], la[keep], lb[keep]
+        if len(ia) == 0:
+            return empty
+        width = int(klen.max())
+        codes = _encode(ukeys, width)
+        dist = lev_pairs(codes[inv[ia]], la, codes[inv[ib]], lb)
+        hit = dist <= max_dist
+        ids = part["doc_id"].to_numpy()
+        return pd.DataFrame(
+            {
+                "doc_a": ids[ia[hit]].astype(np.int64),
+                "doc_b": ids[ib[hit]].astype(np.int64),
+                "dist": dist[hit].astype(np.int64),
+            }
+        )
+
+    return map_partitions_by_key(
+        docs_ds.map_batches(keys, batch_format="pyarrow"),
+        keys="block",
+        fn=pairs_part,
+        num_partitions=num_partitions,
+    )

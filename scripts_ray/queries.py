@@ -1884,6 +1884,13 @@ def q_phrase_search(sf_dir: str):
     return phrase_search(_read(sf_dir, "documents", columns=["doc_id", "text"]))
 
 
+def q_fuzzy_title_pairs(sf_dir: str):
+    """Blocked Levenshtein similarity self-join over derived title keys."""
+    from .ops.fuzzy import fuzzy_title_pairs
+
+    return fuzzy_title_pairs(_read(sf_dir, "documents", columns=["doc_id", "text"]))
+
+
 def q_cluster_topics(sf_dir: str):
     """Top terms per embedding cluster (pinned-seed k-means assignment
     joined to term frequencies on vec_id = doc_id): the corpus-exploration
@@ -1981,6 +1988,7 @@ QUERIES = {
     "source_divergence": q_source_divergence,
     "cluster_topics": q_cluster_topics,
     "inverted_index": q_inverted_index,
+    "fuzzy_title_pairs": q_fuzzy_title_pairs,
     "phrase_search": q_phrase_search,
     "boilerplate_docs": q_boilerplate_docs,
     "doc_repetition": q_doc_repetition,
@@ -2125,6 +2133,7 @@ ORACLES = {
     "source_divergence": sql_ops.SOURCE_DIVERGENCE_SQL,
     "cluster_topics": sql_ops.CLUSTER_TOPICS_SQL,
     "inverted_index": sql_ops.INVERTED_INDEX_SQL,
+    "fuzzy_title_pairs": sql_ops.FUZZY_TITLE_PAIRS_SQL,
     "phrase_search": sql_ops.PHRASE_SEARCH_SQL,
     "boilerplate_docs": sql_ops.BOILERPLATE_DOCS_SQL,
     "doc_repetition": sql_ops.DOC_REPETITION_SQL,

@@ -2709,3 +2709,23 @@ FROM d, LATERAL (
 ) p
 WHERE {_PHRASE_CONDS}
 """
+
+
+# ---- blocked similarity self-join -------------------------------------------
+from .ops.fuzzy import FUZZY_TITLE_MAX_DIST, FUZZY_TITLE_TOKENS  # noqa: E402
+
+# strlen() = BYTE length, matching the engine's lossless byte-length filter
+# (DuckDB levenshtein is byte-level, as is the engine's uint8 DP kernel).
+FUZZY_TITLE_PAIRS_SQL = f"""
+WITH k AS (
+  SELECT doc_id,
+         array_to_string(list_slice({_DOC_TOKS}, 1, {FUZZY_TITLE_TOKENS}), ' ') AS key,
+         list_extract({_DOC_TOKS}, 1) AS block
+  FROM documents
+)
+SELECT CAST(a.doc_id AS BIGINT) AS doc_a, CAST(b.doc_id AS BIGINT) AS doc_b,
+       CAST(levenshtein(a.key, b.key) AS BIGINT) AS dist
+FROM k a JOIN k b ON a.block = b.block AND a.doc_id < b.doc_id
+WHERE abs(strlen(a.key) - strlen(b.key)) <= {FUZZY_TITLE_MAX_DIST}
+  AND levenshtein(a.key, b.key) <= {FUZZY_TITLE_MAX_DIST}
+"""

@@ -309,3 +309,37 @@ def test_inverted_index_consistency(ray_session, sf_dir):
         ids = [int(x) for x in r["postings"].split(",")]
         assert len(ids) == r["df"]
         assert all(a < b for a, b in zip(ids, ids[1:]))
+
+
+def test_fuzzy_title_pairs_planted_typos(ray_session):
+    """Planted titles: a one-edit typo pair is found with dist=1, an exact
+    duplicate with dist=0, a same-block pair beyond max_dist is rejected,
+    and a near-identical pair in a DIFFERENT block is (by documented
+    blocking design) not a candidate."""
+    import pandas as pd
+    import ray.data as rd
+
+    from scripts_ray.ops.fuzzy import fuzzy_title_pairs
+
+    df = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4, 5, 6],
+            "text": [
+                "alpha beta gamma delta tail words here",
+                "alpha beta gamma delta other tail",        # exact key dup of 1
+                "alpha beta gamma delte x",                 # 1 edit from 1/2
+                "alpha completely different words",          # same block, far
+                "alpho beta gamma delta y",                  # 1 edit but block 'alpho'
+                "zeta eta theta iota",                       # unrelated block
+            ],
+        }
+    )
+    out = (
+        fuzzy_title_pairs(rd.from_pandas(df))
+        .to_pandas()
+        .sort_values(["doc_a", "doc_b"])
+        .reset_index(drop=True)
+    )
+    got = {(int(a), int(b)): int(d)
+           for a, b, d in out.itertuples(index=False)}
+    assert got == {(1, 2): 0, (1, 3): 1, (2, 3): 1}
