@@ -638,3 +638,100 @@ def html_strip(docs_ds):
         )
 
     return docs_ds.map_batches(strip, batch_format="pyarrow")
+
+
+# ---- PMI collocations --------------------------------------------------------
+PMI_MIN_COUNT = 5
+PMI_TOP_K = 20
+
+
+def pmi_bigrams(docs_ds, min_count: int = PMI_MIN_COUNT, k: int = PMI_TOP_K):
+    """Top-k collocations by pointwise-mutual-information LIFT
+    (N·c(a,b) / (c(a)·c(b)), the PMI argument before the log — same
+    ordering, no libm): the classic collocation-extraction pass
+    (Church & Hanks 1990) a curation pipeline runs to find multi-word
+    units worth protecting from tokenization/dedup.
+
+    One explode pass emits BOTH row kinds — (t1, t2) adjacent-bigram and
+    (t, '') unigram partials ('' is unreachable as a token since empties
+    are filtered) — so corpus text is tokenized exactly once; one hash
+    aggregate yields the vocabulary+bigram-bounded count artifact, which
+    is materialized (it is the small intermediate, nothing corpus-sized).
+    The unigram side of that artifact is VOCABULARY-bounded — the same
+    class as the BPE merge table — so it is broadcast once (`ray.put`)
+    and c(t1)/c(t2) resolve map-side by sorted-array searchsorted; the
+    distributed-join form (hash_join bi⋈uni twice) is the fallback if a
+    corpus's vocabulary ever outgrows broadcast. Lift is computed in
+    EXACT Python-int rationals (1e6·N·c_ab overflows int64 at real
+    corpus scale, so exactness beats vectorization here, the same trade
+    source_divergence makes) over the bounded bigram table, which
+    finishes with a combiner-pruned top-k.
+    Emits (t1, t2, n_ab, lift_micro, rank)."""
+    import ray
+
+    from ..tokens import explode
+    from .hashagg import hash_aggregate
+    from .quantiles import group_topk
+
+    def emit(batch: pa.Table) -> pd.DataFrame:
+        rows, toks = explode(batch["text"].combine_chunks())
+        if len(toks) == 0:
+            return pd.DataFrame(
+                {"t1": np.array([], dtype=object),
+                 "t2": np.array([], dtype=object),
+                 "n": np.array([], dtype=np.int64)}
+            )
+        adj = rows[1:] == rows[:-1]
+        bi = pd.DataFrame({"t1": toks[:-1][adj], "t2": toks[1:][adj]})
+        uni = pd.DataFrame({"t1": toks, "t2": ""})
+        out = (
+            pd.concat([bi, uni], ignore_index=True)
+            .groupby(["t1", "t2"], sort=False)
+            .size()
+            .reset_index(name="n")
+        )
+        return out
+
+    counts = hash_aggregate(
+        docs_ds.map_batches(emit, batch_format="pyarrow"),
+        keys=["t1", "t2"],
+        aggs={"n": ("n", "sum")},
+    ).materialize()  # vocab+bigram bounded artifact; 2 consumers below
+
+    # vocabulary-bounded driver artifact (BPE-merge-table class): sorted
+    # token array + counts, broadcast once
+    uni = counts.filter(expr="t2 == ''").to_pandas()
+    uni = uni.sort_values("t1", kind="mergesort")
+    n_total = int(uni["n"].sum())
+    ref = ray.put(
+        (uni["t1"].to_numpy(), uni["n"].to_numpy(dtype=np.int64), n_total)
+    )
+
+    bi = counts.filter(expr=f"t2 != '' and n >= {min_count}")
+
+    def lift(batch: pd.DataFrame) -> pd.DataFrame:
+        toks, cnts, nn = ray.get(ref)
+        n_a = cnts[np.searchsorted(toks, batch["t1"].to_numpy())]
+        n_b = cnts[np.searchsorted(toks, batch["t2"].to_numpy())]
+        lm = [
+            (1_000_000 * nn * int(ab)) // (int(a) * int(b))
+            for ab, a, b in zip(batch["n"].tolist(), n_a, n_b)
+        ]
+        return pd.DataFrame(
+            {
+                "t1": batch["t1"],
+                "t2": batch["t2"],
+                "n_ab": batch["n"].astype(np.int64),
+                "lift_micro": pd.Series(lm, dtype=np.int64, index=batch.index),
+                "_g": np.int64(0),
+            }
+        )
+
+    ranked = group_topk(
+        bi.map_batches(lift, batch_format="pandas"),
+        keys=["_g"],
+        sort_col="lift_micro",
+        k=k,
+        tie_cols=["t1", "t2"],
+    )
+    return ranked.drop_columns(["_g"])

@@ -1884,6 +1884,13 @@ def q_phrase_search(sf_dir: str):
     return phrase_search(_read(sf_dir, "documents", columns=["doc_id", "text"]))
 
 
+def q_pmi_bigrams(sf_dir: str):
+    """Top collocations by exact-rational PMI lift."""
+    return textstats.pmi_bigrams(
+        _read(sf_dir, "documents", columns=["text"])
+    )
+
+
 def q_fuzzy_title_pairs(sf_dir: str):
     """Blocked Levenshtein similarity self-join over derived title keys."""
     from .ops.fuzzy import fuzzy_title_pairs
@@ -1989,6 +1996,7 @@ QUERIES = {
     "cluster_topics": q_cluster_topics,
     "inverted_index": q_inverted_index,
     "fuzzy_title_pairs": q_fuzzy_title_pairs,
+    "pmi_bigrams": q_pmi_bigrams,
     "phrase_search": q_phrase_search,
     "boilerplate_docs": q_boilerplate_docs,
     "doc_repetition": q_doc_repetition,
@@ -2134,6 +2142,7 @@ ORACLES = {
     "cluster_topics": sql_ops.CLUSTER_TOPICS_SQL,
     "inverted_index": sql_ops.INVERTED_INDEX_SQL,
     "fuzzy_title_pairs": sql_ops.FUZZY_TITLE_PAIRS_SQL,
+    "pmi_bigrams": sql_ops.PMI_BIGRAMS_SQL,
     "phrase_search": sql_ops.PHRASE_SEARCH_SQL,
     "boilerplate_docs": sql_ops.BOILERPLATE_DOCS_SQL,
     "doc_repetition": sql_ops.DOC_REPETITION_SQL,

@@ -2729,3 +2729,29 @@ FROM k a JOIN k b ON a.block = b.block AND a.doc_id < b.doc_id
 WHERE abs(strlen(a.key) - strlen(b.key)) <= {FUZZY_TITLE_MAX_DIST}
   AND levenshtein(a.key, b.key) <= {FUZZY_TITLE_MAX_DIST}
 """
+
+
+# ---- PMI collocations --------------------------------------------------------
+from .ops.textstats import PMI_MIN_COUNT, PMI_TOP_K  # noqa: E402
+
+PMI_BIGRAMS_SQL = f"""
+WITH d AS (SELECT doc_id, {_DOC_TOKS} AS l FROM documents),
+t AS (SELECT doc_id, unnest(l) AS tok, unnest(range(len(l))) AS pos FROM d),
+b AS (
+  SELECT a.tok AS t1, c.tok AS t2, CAST(count(*) AS BIGINT) AS n_ab
+  FROM t a JOIN t c ON c.doc_id = a.doc_id AND c.pos = a.pos + 1
+  GROUP BY 1, 2 HAVING count(*) >= {PMI_MIN_COUNT}
+),
+u AS (SELECT tok, count(*) AS n FROM t GROUP BY tok),
+tot AS (SELECT CAST(sum(n) AS HUGEINT) AS nn FROM u),
+lift AS (
+  SELECT b.t1, b.t2, b.n_ab,
+         CAST(1000000::HUGEINT * tot.nn * b.n_ab // (ua.n * ub.n) AS BIGINT)
+           AS lift_micro
+  FROM b JOIN u ua ON ua.tok = b.t1 JOIN u ub ON ub.tok = b.t2 CROSS JOIN tot
+)
+SELECT t1, t2, n_ab, lift_micro,
+       CAST(row_number() OVER (ORDER BY lift_micro DESC, t1, t2) AS BIGINT)
+         AS rank
+FROM lift QUALIFY rank <= {PMI_TOP_K}
+"""

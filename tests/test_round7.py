@@ -343,3 +343,30 @@ def test_fuzzy_title_pairs_planted_typos(ray_session):
     got = {(int(a), int(b)): int(d)
            for a, b, d in out.itertuples(index=False)}
     assert got == {(1, 2): 0, (1, 3): 1, (2, 3): 1}
+
+
+def test_pmi_planted_collocation(ray_session):
+    """A planted always-together pair must out-lift a frequent pair of
+    independently common words, and lift must equal the exact rational."""
+    import pandas as pd
+    import ray.data as rd
+
+    from scripts_ray.ops.textstats import pmi_bigrams
+
+    # 30 docs: filler 'data table' style common words appear everywhere;
+    # 'naxos drone' appears exactly together 6 times and nowhere apart
+    filler = "data table data table data table"
+    docs = [filler] * 24 + [f"{filler} naxos drone"] * 6
+    out = (
+        pmi_bigrams(
+            rd.from_pandas(pd.DataFrame({"text": docs})), min_count=5, k=10
+        )
+        .to_pandas()
+        .sort_values("rank")
+        .reset_index(drop=True)
+    )
+    assert out.loc[0, ["t1", "t2"]].tolist() == ["naxos", "drone"]
+    n_total = 30 * 6 + 6 * 2  # filler tokens + planted tokens
+    assert out.loc[0, "lift_micro"] == (1_000_000 * n_total * 6) // (6 * 6)
+    # independent frequent pair has lift ~ N*c_ab/(c_a*c_b) far below
+    assert out.loc[0, "lift_micro"] > 5 * out.loc[1, "lift_micro"]
