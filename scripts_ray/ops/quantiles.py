@@ -158,3 +158,61 @@ def quality_buckets(docs_ds, value_col: str = "n_chars"):
         )
 
     return docs_ds.map_batches(bucketize, batch_format="pandas")
+
+
+MAD_K = 3
+
+
+def robust_outliers(docs_ds, value_col: str = "n_chars", key: str = "source",
+                    k_mad: int = MAD_K):
+    """Robust per-group outlier detection: flag rows whose value deviates
+    from the group MEDIAN by more than `k_mad`× the group's MAD (median
+    absolute deviation) — the standard-deviation-free outlier rule that
+    heavy-tailed web-corpus lengths need (a z-score is itself dragged by
+    the outliers it is supposed to find; the median/MAD pair is not, and
+    stays in exact integer arithmetic — no sqrt, no float, oracle-exact).
+
+    Two distributed-histogram passes (both reuse `group_quantiles`, so
+    each shuffle moves only a (group, value, count) histogram): group
+    medians, then group MADs over the broadcast-median deviations. The
+    per-group statistics are dimension-bounded and broadcast; the corpus
+    is never exchanged — each pass re-executes the pruned parquet read,
+    which is the documented trade for keeping the corpus out of the
+    object store (the read IS the chain). Emits flagged rows only:
+    (doc_id, group, value, med, mad)."""
+    import ray
+
+    med_df = group_quantiles(docs_ds, value_col, [key], [500], prefix="m").to_pandas()
+    med_ref = ray.put(dict(zip(med_df[key], med_df["m500"].astype(np.int64))))
+
+    def dev(batch: pd.DataFrame) -> pd.DataFrame:
+        m = ray.get(med_ref)
+        med = batch[key].map(m).to_numpy(dtype=np.int64)
+        v = batch[value_col].to_numpy(dtype=np.int64)
+        return pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"].to_numpy(dtype=np.int64),
+                key: batch[key],
+                value_col: v,
+                "med": med,
+                "ad": np.abs(v - med),
+            }
+        )
+
+    def dev_ds():
+        return docs_ds.map_batches(dev, batch_format="pandas")
+
+    mad_df = group_quantiles(dev_ds(), "ad", [key], [500], prefix="q").to_pandas()
+    mad_ref = ray.put(dict(zip(mad_df[key], mad_df["q500"].astype(np.int64))))
+
+    def flag(batch: pd.DataFrame) -> pd.DataFrame:
+        mm = ray.get(mad_ref)
+        mad = batch[key].map(mm).to_numpy(dtype=np.int64)
+        hit = batch["ad"].to_numpy() > k_mad * mad
+        out = batch.loc[hit, ["doc_id", key, value_col, "med"]].reset_index(
+            drop=True
+        )
+        out["mad"] = mad[hit]
+        return out
+
+    return dev_ds().map_batches(flag, batch_format="pandas")

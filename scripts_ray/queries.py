@@ -1884,6 +1884,15 @@ def q_phrase_search(sf_dir: str):
     return phrase_search(_read(sf_dir, "documents", columns=["doc_id", "text"]))
 
 
+def q_len_outliers(sf_dir: str):
+    """MAD-rule robust length outliers per source (exact integer)."""
+    from .ops.quantiles import robust_outliers
+
+    return robust_outliers(
+        _read(sf_dir, "documents", columns=["doc_id", "source", "n_chars"])
+    )
+
+
 def q_pmi_bigrams(sf_dir: str):
     """Top collocations by exact-rational PMI lift."""
     return textstats.pmi_bigrams(
@@ -1997,6 +2006,7 @@ QUERIES = {
     "inverted_index": q_inverted_index,
     "fuzzy_title_pairs": q_fuzzy_title_pairs,
     "pmi_bigrams": q_pmi_bigrams,
+    "len_outliers": q_len_outliers,
     "phrase_search": q_phrase_search,
     "boilerplate_docs": q_boilerplate_docs,
     "doc_repetition": q_doc_repetition,
@@ -2143,6 +2153,7 @@ ORACLES = {
     "inverted_index": sql_ops.INVERTED_INDEX_SQL,
     "fuzzy_title_pairs": sql_ops.FUZZY_TITLE_PAIRS_SQL,
     "pmi_bigrams": sql_ops.PMI_BIGRAMS_SQL,
+    "len_outliers": sql_ops.LEN_OUTLIERS_SQL,
     "phrase_search": sql_ops.PHRASE_SEARCH_SQL,
     "boilerplate_docs": sql_ops.BOILERPLATE_DOCS_SQL,
     "doc_repetition": sql_ops.DOC_REPETITION_SQL,

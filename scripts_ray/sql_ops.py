@@ -2755,3 +2755,28 @@ SELECT t1, t2, n_ab, lift_micro,
          AS rank
 FROM lift QUALIFY rank <= {PMI_TOP_K}
 """
+
+
+# ---- MAD robust outliers ------------------------------------------------------
+from .ops.quantiles import MAD_K  # noqa: E402
+
+LEN_OUTLIERS_SQL = f"""
+WITH med AS (
+  SELECT source, CAST(quantile_disc(n_chars, 0.5) AS BIGINT) AS med
+  FROM documents GROUP BY source
+),
+dev AS (
+  SELECT d.doc_id, d.source, d.n_chars, m.med,
+         abs(d.n_chars - m.med) AS ad
+  FROM documents d JOIN med m USING (source)
+),
+mad AS (
+  SELECT source, CAST(quantile_disc(ad, 0.5) AS BIGINT) AS mad
+  FROM dev GROUP BY source
+)
+SELECT CAST(dev.doc_id AS BIGINT) AS doc_id, dev.source,
+       CAST(dev.n_chars AS BIGINT) AS n_chars,
+       dev.med, mad.mad
+FROM dev JOIN mad USING (source)
+WHERE dev.ad > {MAD_K} * mad.mad
+"""

@@ -370,3 +370,25 @@ def test_pmi_planted_collocation(ray_session):
     assert out.loc[0, "lift_micro"] == (1_000_000 * n_total * 6) // (6 * 6)
     # independent frequent pair has lift ~ N*c_ab/(c_a*c_b) far below
     assert out.loc[0, "lift_micro"] > 5 * out.loc[1, "lift_micro"]
+
+
+def test_robust_outliers_planted(ray_session):
+    """A planted extreme row is flagged; the MAD rule resists the outlier
+    itself (unlike a z-score the plant would inflate)."""
+    import pandas as pd
+    import ray.data as rd
+
+    from scripts_ray.ops.quantiles import robust_outliers
+
+    # group 'a': 20 values tightly around 100 (MAD=2), one plant at 1000
+    vals = [98, 99, 100, 101, 102] * 4 + [1000]
+    df = pd.DataFrame(
+        {
+            "doc_id": range(len(vals)),
+            "source": ["a"] * len(vals),
+            "n_chars": vals,
+        }
+    )
+    out = robust_outliers(rd.from_pandas(df)).to_pandas()
+    assert out["doc_id"].tolist() == [20]
+    assert out.loc[0, "med"] == 100 and out.loc[0, "mad"] <= 2
