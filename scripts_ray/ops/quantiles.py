@@ -216,3 +216,22 @@ def robust_outliers(docs_ds, value_col: str = "n_chars", key: str = "source",
         return out
 
     return dev_ds().map_batches(flag, batch_format="pandas")
+
+
+def group_rank(ds, keys: list[str], value_col: str):
+    """SQL RANK()/DENSE_RANK() OVER (PARTITION BY keys ORDER BY value) —
+    the per-row ranking window functions (group_topk gives row_number;
+    this completes the ranking family). One exchange on the group keys,
+    then pandas' C-kernel groupby rank per partition (method='min' is
+    SQL RANK, 'dense' is DENSE_RANK). Same partitioning contract as the
+    window family: one group fits one partition."""
+
+    def rank_part(part: pd.DataFrame) -> pd.DataFrame:
+        g = part.groupby(keys, sort=False, observed=True)[value_col]
+        part = part.assign(
+            rnk=g.rank(method="min").astype(np.int64),
+            dense_rnk=g.rank(method="dense").astype(np.int64),
+        )
+        return part.reset_index(drop=True)
+
+    return map_partitions_by_key(ds, keys, rank_part)

@@ -1765,11 +1765,14 @@ def q_corpus_rollup(sf_dir: str):
     from .ops.hashagg import hash_aggregate, map_partitions_by_key
 
     cols = ["source", "lang", "n_docs", "sum_chars"]
+    # materialize the dimension-bounded leaf: it has TWO consumers below
+    # (subtotal levels + grand total) and a lazy chain would re-run the
+    # corpus scan once per consumer
     leaf = hash_aggregate(
         _read(sf_dir, "documents", columns=["source", "lang", "n_chars"]),
         keys=["source", "lang"],
         aggs={"n_docs": ("n_chars", "count"), "sum_chars": ("n_chars", "sum")},
-    )
+    ).materialize()
 
     def with_subtotals(part: pd.DataFrame) -> pd.DataFrame:
         if len(part) == 0:
@@ -1882,6 +1885,57 @@ def q_phrase_search(sf_dir: str):
     from .ops.retrieval import phrase_search
 
     return phrase_search(_read(sf_dir, "documents", columns=["doc_id", "text"]))
+
+
+def q_len_ranks(sf_dir: str):
+    """RANK and DENSE_RANK of each doc's length within its source."""
+    from .ops.quantiles import group_rank
+
+    return group_rank(
+        _read(sf_dir, "documents", columns=["doc_id", "source", "n_chars"]),
+        keys=["source"],
+        value_col="n_chars",
+    )
+
+
+def q_corpus_cube(sf_dir: str):
+    """GROUP BY CUBE(source, lang): every subtotal level derived from ONE
+    materialized leaf aggregate (bounded by sources × langs) in a single
+    partition pass — the corpus is scanned exactly once; only the tiny
+    leaf artifact is re-grouped."""
+    import pandas as pd
+
+    from .ops.hashagg import hash_aggregate, map_partitions_by_key
+
+    cols = ["source", "lang", "n_docs", "sum_chars"]
+    leaf = hash_aggregate(
+        _read(sf_dir, "documents", columns=["source", "lang", "n_chars"]),
+        keys=["source", "lang"],
+        aggs={"n_docs": ("n_chars", "count"), "sum_chars": ("n_chars", "sum")},
+    )
+
+    def all_levels(part: pd.DataFrame) -> pd.DataFrame:
+        if len(part) == 0:
+            return part.reindex(columns=cols)
+        m = ["n_docs", "sum_chars"]
+        by_src = part.groupby("source", as_index=False)[m].sum().assign(lang=None)
+        by_lang = part.groupby("lang", as_index=False)[m].sum().assign(source=None)
+        total = pd.DataFrame(
+            {"source": [None], "lang": [None],
+             "n_docs": [int(part["n_docs"].sum())],
+             "sum_chars": [int(part["sum_chars"].sum())]}
+        )
+        return pd.concat(
+            [part[cols], by_src[cols], by_lang[cols], total[cols]],
+            ignore_index=True,
+        )
+
+    return map_partitions_by_key(
+        leaf.map_batches(lambda b: b.assign(_g=np.int64(0)), batch_format="pandas"),
+        "_g",
+        all_levels,
+        num_partitions=1,
+    )
 
 
 def q_len_outliers(sf_dir: str):
@@ -2007,6 +2061,8 @@ QUERIES = {
     "fuzzy_title_pairs": q_fuzzy_title_pairs,
     "pmi_bigrams": q_pmi_bigrams,
     "len_outliers": q_len_outliers,
+    "corpus_cube": q_corpus_cube,
+    "len_ranks": q_len_ranks,
     "phrase_search": q_phrase_search,
     "boilerplate_docs": q_boilerplate_docs,
     "doc_repetition": q_doc_repetition,
@@ -2154,6 +2210,8 @@ ORACLES = {
     "fuzzy_title_pairs": sql_ops.FUZZY_TITLE_PAIRS_SQL,
     "pmi_bigrams": sql_ops.PMI_BIGRAMS_SQL,
     "len_outliers": sql_ops.LEN_OUTLIERS_SQL,
+    "corpus_cube": sql_ops.CORPUS_CUBE_SQL,
+    "len_ranks": sql_ops.LEN_RANKS_SQL,
     "phrase_search": sql_ops.PHRASE_SEARCH_SQL,
     "boilerplate_docs": sql_ops.BOILERPLATE_DOCS_SQL,
     "doc_repetition": sql_ops.DOC_REPETITION_SQL,

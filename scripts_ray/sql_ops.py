@@ -2780,3 +2780,22 @@ SELECT CAST(dev.doc_id AS BIGINT) AS doc_id, dev.source,
 FROM dev JOIN mad USING (source)
 WHERE dev.ad > {MAD_K} * mad.mad
 """
+
+
+CORPUS_CUBE_SQL = """
+SELECT source, lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+FROM documents
+GROUP BY CUBE(source, lang)
+"""
+
+
+LEN_RANKS_SQL = """
+SELECT CAST(doc_id AS BIGINT) AS doc_id, source,
+       CAST(n_chars AS BIGINT) AS n_chars,
+       CAST(rank() OVER w AS BIGINT) AS rnk,
+       CAST(dense_rank() OVER w AS BIGINT) AS dense_rnk
+FROM documents
+WINDOW w AS (PARTITION BY source ORDER BY n_chars)
+"""
