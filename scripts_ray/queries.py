@@ -1938,6 +1938,18 @@ def q_corpus_cube(sf_dir: str):
     )
 
 
+def q_triangle_counts(sf_dir: str):
+    """Per-vertex triangle counts (wedge-check) over the planted graph."""
+    import pyarrow.parquet as _pq
+
+    from .ops import graph
+
+    n_docs = _pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
+    return graph.triangle_counts(
+        _read(sf_dir, "documents", columns=["doc_id"]), n_docs
+    )
+
+
 def q_len_outliers(sf_dir: str):
     """MAD-rule robust length outliers per source (exact integer)."""
     from .ops.quantiles import robust_outliers
@@ -2063,6 +2075,7 @@ QUERIES = {
     "len_outliers": q_len_outliers,
     "corpus_cube": q_corpus_cube,
     "len_ranks": q_len_ranks,
+    "triangle_counts": q_triangle_counts,
     "phrase_search": q_phrase_search,
     "boilerplate_docs": q_boilerplate_docs,
     "doc_repetition": q_doc_repetition,
@@ -2212,6 +2225,7 @@ ORACLES = {
     "len_outliers": sql_ops.LEN_OUTLIERS_SQL,
     "corpus_cube": sql_ops.CORPUS_CUBE_SQL,
     "len_ranks": sql_ops.LEN_RANKS_SQL,
+    "triangle_counts": sql_ops.TRIANGLE_COUNTS_SQL,
     "phrase_search": sql_ops.PHRASE_SEARCH_SQL,
     "boilerplate_docs": sql_ops.BOILERPLATE_DOCS_SQL,
     "doc_repetition": sql_ops.DOC_REPETITION_SQL,

@@ -2799,3 +2799,31 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id, source,
 FROM documents
 WINDOW w AS (PARTITION BY source ORDER BY n_chars)
 """
+
+
+# ---- triangle counting ---------------------------------------------------------
+TRIANGLE_COUNTS_SQL = """
+WITH n AS (SELECT count(*) AS n FROM documents),
+raw AS (
+  SELECT doc_id AS i, (10 * doc_id + 1) % n.n AS d FROM documents, n
+  UNION ALL
+  SELECT doc_id AS i, (13 * doc_id + 2) % n.n AS d FROM documents, n
+),
+e AS (
+  SELECT DISTINCT least(i, d) AS a, greatest(i, d) AS b
+  FROM raw WHERE i <> d
+),
+tri AS (
+  SELECT e1.a AS a, e1.b AS b, e2.b AS c
+  FROM e e1
+  JOIN e e2 ON e2.a = e1.a AND e2.b > e1.b
+  JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b
+),
+x AS (
+  SELECT a AS v FROM tri
+  UNION ALL SELECT b FROM tri
+  UNION ALL SELECT c FROM tri
+)
+SELECT CAST(v AS BIGINT) AS doc_id, CAST(count(*) AS BIGINT) AS n_tri
+FROM x GROUP BY v
+"""

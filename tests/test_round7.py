@@ -392,3 +392,33 @@ def test_robust_outliers_planted(ray_session):
     out = robust_outliers(rd.from_pandas(df)).to_pandas()
     assert out["doc_id"].tolist() == [20]
     assert out.loc[0, "med"] == 100 and out.loc[0, "mad"] <= 2
+
+
+def test_triangle_counts_vs_bruteforce(ray_session, sf_dir):
+    """Engine per-vertex triangle counts equal an independent set-based
+    enumeration of the same planted graph."""
+    import pyarrow.parquet as pq
+
+    from scripts_ray.queries import QUERIES
+
+    n = pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
+    edges = set()
+    for i in range(n):
+        for a, b in ((10, 1), (13, 2)):
+            d = (a * i + b) % n
+            if d != i:
+                edges.add((min(i, d), max(i, d)))
+    adj: dict[int, set[int]] = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    expect: dict[int, int] = {}
+    for a, b in edges:
+        for c in adj[a] & adj[b]:
+            if c > b:
+                for v in (a, b, c):
+                    expect[v] = expect.get(v, 0) + 1
+
+    out = QUERIES["triangle_counts"](sf_dir).to_pandas()
+    got = dict(zip(out["doc_id"].astype(int), out["n_tri"].astype(int)))
+    assert got == expect and len(got) > 0
