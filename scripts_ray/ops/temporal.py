@@ -275,3 +275,56 @@ def hopping_windows(events_ds):
             "max_value": ("value", "max"),
         },
     )
+
+
+FUNNEL_STEPS = ("view", "click", "purchase")
+
+
+def event_funnel(events_ds, steps: tuple[str, ...] = FUNNEL_STEPS):
+    """Ordered funnel progression per user — the sequential-pattern query
+    (view → click-after-that-view → purchase-after-that-click) that
+    windowless aggregates cannot express: `reached` = how many funnel
+    steps the user completed in strict timestamp order, each step
+    anchored at the EARLIEST completion of the previous one (min-ts
+    chaining, the standard product-analytics semantics; strict `>`
+    between steps).
+
+    One exchange on user_id carrying (user_id, ts, event_type) for the
+    step types only; per partition the chain is len(steps) vectorized
+    groupby-min passes — no per-user Python. Emits (user_id, reached)
+    for every user appearing in any step event."""
+
+    def project(batch: pd.DataFrame) -> pd.DataFrame:
+        keep = batch["event_type"].isin(list(steps))
+        return batch.loc[keep, ["user_id", "ts", "event_type"]]
+
+    def funnel_part(part: pd.DataFrame) -> pd.DataFrame:
+        users = pd.Series(
+            np.sort(part["user_id"].unique()), name="user_id"
+        )
+        reached = pd.Series(np.zeros(len(users), dtype=np.int64),
+                            index=users.to_numpy())
+        # anchor per user: ts of the previous step's earliest completion
+        anchor = pd.Series(pd.NaT, index=reached.index, dtype=part["ts"].dtype)
+        for i, step in enumerate(steps):
+            ev = part[part["event_type"] == step]
+            if i > 0:
+                # only events strictly after the user's current anchor
+                a = ev["user_id"].map(anchor)
+                ev = ev[a.notna().to_numpy() & (ev["ts"].to_numpy() > a.to_numpy())]
+            t = ev.groupby("user_id")["ts"].min()
+            done = reached.index.isin(t.index)
+            reached[done & (reached.to_numpy() == i)] = i + 1
+            nxt = pd.Series(pd.NaT, index=reached.index, dtype=part["ts"].dtype)
+            nxt[t.index] = t.to_numpy()
+            anchor = nxt
+        return pd.DataFrame(
+            {"user_id": reached.index.to_numpy().astype(np.int64),
+             "reached": reached.to_numpy()}
+        )
+
+    return map_partitions_by_key(
+        events_ds.map_batches(project, batch_format="pandas"),
+        keys="user_id",
+        fn=funnel_part,
+    )

@@ -1656,6 +1656,15 @@ def q_hopping_windows(sf_dir: str):
     )
 
 
+def q_event_funnel(sf_dir: str):
+    """Per-user ordered funnel progression (view → click → purchase)."""
+    from .ops import temporal
+
+    return temporal.event_funnel(
+        _read(sf_dir, "events", columns=["user_id", "ts", "event_type"])
+    )
+
+
 def q_rolling_events(sf_dir: str):
     """Per-user moving-window sum/count (ROWS frame window aggregate)."""
     from .ops import temporal
@@ -2124,6 +2133,7 @@ QUERIES = {
     "clicks_before_purchase": q_clicks_before_purchase,
     "hopping_windows": q_hopping_windows,
     "rolling_events": q_rolling_events,
+    "event_funnel": q_event_funnel,
     "page_align": q_page_align,
     "cms_words": q_cms_words,
     "docs_csv_by_source": q_docs_csv_by_source,
@@ -2285,6 +2295,7 @@ ORACLES = {
     "clicks_before_purchase": sql_ops.RANGE_JOIN_EVENTS_SQL,
     "hopping_windows": sql_ops.HOPPING_WINDOWS_SQL,
     "rolling_events": sql_ops.ROLLING_EVENTS_SQL,
+    "event_funnel": sql_ops.EVENT_FUNNEL_SQL,
     "page_align": sql_ops.PAGE_ALIGN_SQL,
     "cms_words": sql_ops.CMS_WORDS_SQL,
     "docs_csv_by_source": sql_ops.DOCS_BY_SOURCE_SQL,

@@ -422,3 +422,33 @@ def test_triangle_counts_vs_bruteforce(ray_session, sf_dir):
     out = QUERIES["triangle_counts"](sf_dir).to_pandas()
     got = dict(zip(out["doc_id"].astype(int), out["n_tri"].astype(int)))
     assert got == expect and len(got) > 0
+
+
+def test_event_funnel_ordering(ray_session):
+    """Order matters: a user with click BEFORE their first view does not
+    advance; a full in-order chain reaches 3; anchor is the EARLIEST
+    qualifying completion (a later view cannot resurrect a dead chain);
+    purchase-only users appear with reached 0."""
+    import pandas as pd
+    import ray.data as rd
+
+    from scripts_ray.ops.temporal import event_funnel
+
+    t0 = pd.Timestamp("2024-03-01 12:00:00")
+    m = pd.Timedelta(minutes=1)
+    rows = [
+        # user 1: view, click, purchase in order -> 3
+        (1, t0, "view"), (1, t0 + m, "click"), (1, t0 + 2 * m, "purchase"),
+        # user 2: click before view, purchase after view but no click after -> 1
+        (2, t0, "click"), (2, t0 + m, "view"), (2, t0 + 2 * m, "purchase"),
+        # user 3: simultaneous view/click (strict >) -> 1
+        (3, t0, "view"), (3, t0, "click"),
+        # user 4: purchase only -> 0
+        (4, t0, "purchase"),
+        # user 5: view, click, purchase BETWEEN view and click -> 2
+        (5, t0, "view"), (5, t0 + m, "purchase"), (5, t0 + 2 * m, "click"),
+    ]
+    df = pd.DataFrame(rows, columns=["user_id", "ts", "event_type"])
+    out = event_funnel(rd.from_pandas(df)).to_pandas()
+    got = dict(zip(out["user_id"].astype(int), out["reached"].astype(int)))
+    assert got == {1: 3, 2: 1, 3: 1, 4: 0, 5: 2}
