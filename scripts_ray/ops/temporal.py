@@ -328,3 +328,39 @@ def event_funnel(events_ds, steps: tuple[str, ...] = FUNNEL_STEPS):
         keys="user_id",
         fn=funnel_part,
     )
+
+
+def hopping_distinct_users(events_ds):
+    """Exact DISTINCT-user count per hopping window (10-minute windows
+    every 5 minutes) — the windowed count-distinct that `hopping_windows`'
+    additive aggregates can't give: distinctness is not mergeable, so the
+    plan is window replication in the map pass (exactly window/hop = 2
+    rows per event, same as hopping_windows), then the two-level
+    distributed DISTINCT on (win_start, user_id), then a count aggregate
+    whose input is already distinct — two bounded exchanges, never a
+    per-window user set in one task's memory. (The mergeable-sketch
+    alternative at 100 TB is hll_registers grouped by win_start — same
+    map, constant-size partials; this operator is the exact twin.)
+    Emits (win_start, n_users)."""
+    from .hashagg import distinct
+
+    hop = f"{HOP_MINUTES}min"
+    back = pd.Timedelta(minutes=HOP_MINUTES)
+
+    def explode(batch: pd.DataFrame) -> pd.DataFrame:
+        base = batch["ts"].dt.floor(hop)
+        a = pd.DataFrame(
+            {"user_id": batch["user_id"].astype(np.int64), "win_start": base}
+        )
+        b = a.assign(win_start=(base - back).astype(base.dtype))
+        return pd.concat([a, b], ignore_index=True)
+
+    pairs = distinct(
+        events_ds.map_batches(explode, batch_format="pandas"),
+        keys=["win_start", "user_id"],
+    )
+    return hash_aggregate(
+        pairs,
+        keys=["win_start"],
+        aggs={"n_users": ("user_id", "count")},
+    )

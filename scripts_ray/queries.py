@@ -1656,6 +1656,15 @@ def q_hopping_windows(sf_dir: str):
     )
 
 
+def q_hopping_distinct_users(sf_dir: str):
+    """Exact distinct users per hopping window (windowed count-distinct)."""
+    from .ops import temporal
+
+    return temporal.hopping_distinct_users(
+        _read(sf_dir, "events", columns=["user_id", "ts"])
+    )
+
+
 def q_event_funnel(sf_dir: str):
     """Per-user ordered funnel progression (view → click → purchase)."""
     from .ops import temporal
@@ -2134,6 +2143,7 @@ QUERIES = {
     "hopping_windows": q_hopping_windows,
     "rolling_events": q_rolling_events,
     "event_funnel": q_event_funnel,
+    "hopping_distinct_users": q_hopping_distinct_users,
     "page_align": q_page_align,
     "cms_words": q_cms_words,
     "docs_csv_by_source": q_docs_csv_by_source,
@@ -2296,6 +2306,7 @@ ORACLES = {
     "hopping_windows": sql_ops.HOPPING_WINDOWS_SQL,
     "rolling_events": sql_ops.ROLLING_EVENTS_SQL,
     "event_funnel": sql_ops.EVENT_FUNNEL_SQL,
+    "hopping_distinct_users": sql_ops.HOPPING_DISTINCT_USERS_SQL,
     "page_align": sql_ops.PAGE_ALIGN_SQL,
     "cms_words": sql_ops.CMS_WORDS_SQL,
     "docs_csv_by_source": sql_ops.DOCS_BY_SOURCE_SQL,

@@ -2859,3 +2859,17 @@ LEFT JOIN s1 USING (user_id)
 LEFT JOIN s2 USING (user_id)
 LEFT JOIN s3 USING (user_id)
 """
+
+
+HOPPING_DISTINCT_USERS_SQL = """
+WITH h AS (
+  SELECT user_id, time_bucket(INTERVAL 5 MINUTE, ts) AS b FROM events
+),
+x AS (
+  SELECT user_id, b AS win_start FROM h
+  UNION ALL
+  SELECT user_id, b - INTERVAL 5 MINUTE AS win_start FROM h
+)
+SELECT win_start, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM x GROUP BY win_start
+"""
