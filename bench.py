@@ -410,6 +410,15 @@ def run_bench() -> dict:
             "pagerank",
             "ann_pq",
             "events_user_join_salted",
+            "pmi_bigrams",
+            "fuzzy_title_pairs",
+            "inverted_index",
+            "rolling_events",
+            "event_funnel",
+            "hopping_distinct_users",
+            "triangle_counts",
+            "len_outliers",
+            "cluster_topics",
         ]
     )
     for name in secondary:

@@ -21,7 +21,7 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from .hashagg import hash_aggregate, map_partitions_by_key
+from .hashagg import hash_aggregate, map_partitions_by_key, run_pair_indices
 
 
 def _turn_key(conv_id: pd.Series, turn_idx: pd.Series) -> pd.Series:
@@ -187,22 +187,10 @@ def _expand_bucket_pairs_part(part: pd.DataFrame) -> pd.DataFrame:
     new = np.empty(len(ids), dtype=bool)
     new[0] = True
     new[1:] = (bid[1:] != bid[:-1]) | (bh[1:] != bh[:-1])
-    starts = np.flatnonzero(new)
-    sizes = np.diff(np.append(starts, len(ids)))
-    out_a, out_b = [], []
-    for m in np.unique(sizes):
-        if m < 2:
-            continue
-        s = starts[sizes == m]
-        mat = ids[s[:, None] + np.arange(m)[None, :]]  # (n_buckets, m)
-        ai, bi = np.triu_indices(m, k=1)
-        out_a.append(mat[:, ai].ravel())
-        out_b.append(mat[:, bi].ravel())
-    if not out_a:
+    ia, ib = run_pair_indices(new)
+    if len(ia) == 0:
         return empty
-    return pd.DataFrame(
-        {"doc_a": np.concatenate(out_a), "doc_b": np.concatenate(out_b)}
-    )
+    return pd.DataFrame({"doc_a": ids[ia], "doc_b": ids[ib]})
 
 
 def band_pairs(bands_ds, num_partitions: int = 64):

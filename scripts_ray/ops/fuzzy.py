@@ -352,7 +352,7 @@ def fuzzy_title_pairs(docs_ds, max_dist: int = FUZZY_TITLE_MAX_DIST,
     candidates pre-length-filter — salt hot blocks with a second token
     at real scale. Emits (doc_a, doc_b, dist)."""
     from ..tokens import explode
-    from .hashagg import map_partitions_by_key
+    from .hashagg import map_partitions_by_key, run_pair_indices
 
     def keys(batch: pa.Table) -> pd.DataFrame:
         rows, toks = explode(batch["text"].combine_chunks())
@@ -392,21 +392,9 @@ def fuzzy_title_pairs(docs_ds, max_dist: int = FUZZY_TITLE_MAX_DIST,
         new = np.empty(len(part), dtype=bool)
         new[0] = True
         new[1:] = blk[1:] != blk[:-1]
-        starts = np.flatnonzero(new)
-        sizes = np.diff(np.append(starts, len(part)))
-        ia, ib = [], []
-        for m in np.unique(sizes):
-            if m < 2:
-                continue
-            s = starts[sizes == m]
-            mat = s[:, None] + np.arange(m)[None, :]
-            r, c = np.triu_indices(m, k=1)
-            ia.append(mat[:, r].ravel())
-            ib.append(mat[:, c].ravel())
-        if not ia:
+        ia, ib = run_pair_indices(new)
+        if len(ia) == 0:
             return empty
-        ia = np.concatenate(ia)
-        ib = np.concatenate(ib)
         # vocabulary-bounded encode: one code row per DISTINCT key
         ukeys, inv = np.unique(part["key"].to_numpy(), return_inverse=True)
         klen = np.array([len(k.encode("utf-8")) for k in ukeys], dtype=np.int64)

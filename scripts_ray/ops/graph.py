@@ -126,7 +126,13 @@ def triangle_counts(docs_ids_ds, n_docs: int, num_partitions: int = 16):
     higher-degree endpoint) when a real link graph has hub skew; the
     stages are identical. Emits (doc_id, n_tri) for vertices in ≥ 1
     triangle."""
-    from .hashagg import distinct, hash_aggregate, hash_join, map_partitions_by_key
+    from .hashagg import (
+        distinct,
+        hash_aggregate,
+        hash_join,
+        map_partitions_by_key,
+        run_pair_indices,
+    )
 
     def plant_edges(batch: pd.DataFrame) -> pd.DataFrame:
         did = batch["doc_id"].to_numpy(dtype=np.int64)
@@ -160,27 +166,10 @@ def triangle_counts(docs_ids_ds, n_docs: int, num_partitions: int = 16):
         new = np.empty(len(part), dtype=bool)
         new[0] = True
         new[1:] = a[1:] != a[:-1]
-        starts = np.flatnonzero(new)
-        sizes = np.diff(np.append(starts, len(part)))
-        out = []
-        for m in np.unique(sizes):
-            if m < 2:
-                continue
-            s = starts[sizes == m]
-            mat = s[:, None] + np.arange(m)[None, :]
-            r, c = np.triu_indices(m, k=1)
-            out.append(
-                pd.DataFrame(
-                    {
-                        "apex": a[s].repeat(len(r)),
-                        "b": nb[mat[:, r].ravel()],
-                        "c": nb[mat[:, c].ravel()],
-                    }
-                )
-            )
-        if not out:
+        ia, ib = run_pair_indices(new)
+        if len(ia) == 0:
             return empty
-        return pd.concat(out, ignore_index=True)
+        return pd.DataFrame({"apex": a[ia], "b": nb[ia], "c": nb[ib]})
 
     wedges = map_partitions_by_key(
         edges, "a", wedge_part, num_partitions=num_partitions

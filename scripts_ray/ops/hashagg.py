@@ -409,3 +409,27 @@ def salted_join(
         return batch.drop(columns=["_jsalt"])
 
     return joined.map_batches(drop_salt, batch_format="pandas")
+
+
+def run_pair_indices(new: "np.ndarray") -> tuple["np.ndarray", "np.ndarray"]:
+    """All within-run (i < j) index pairs of a run-sorted array, given its
+    run-boundary mask (`new[i]` True where row i starts a new run): the
+    shared vectorized kernel behind intra-bucket LSH pair expansion,
+    similarity-join blocking, and wedge generation — one fancy-index +
+    ``np.triu_indices`` pass per DISTINCT run size, never per run.
+    Returns (ia, ib) row-index arrays (possibly empty)."""
+    starts = np.flatnonzero(new)
+    sizes = np.diff(np.append(starts, len(new)))
+    out_a, out_b = [], []
+    for m in np.unique(sizes):
+        if m < 2:
+            continue
+        s = starts[sizes == m]
+        mat = s[:, None] + np.arange(m)[None, :]
+        r, c = np.triu_indices(m, k=1)
+        out_a.append(mat[:, r].ravel())
+        out_b.append(mat[:, c].ravel())
+    if not out_a:
+        e = np.array([], dtype=np.int64)
+        return e, e.copy()
+    return np.concatenate(out_a), np.concatenate(out_b)
