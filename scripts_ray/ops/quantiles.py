@@ -235,3 +235,49 @@ def group_rank(ds, keys: list[str], value_col: str):
         return part.reset_index(drop=True)
 
     return map_partitions_by_key(ds, keys, rank_part)
+
+
+def global_row_number(ds, value_col: str, id_col: str):
+    """Global ROW_NUMBER() OVER (ORDER BY value, id) WITHOUT a global
+    row sort — the "assign every row its position in the total order"
+    primitive (sequence ids, curriculum order, deterministic sharding).
+
+    Pass 1 reuses the distributed histogram: per-value counts (the
+    shuffle moves (value, count), never rows), cumulated driver-side
+    into per-value BASE offsets — bounded by the number of DISTINCT
+    values, the same contract as group_quantiles. Pass 2 exchanges rows
+    by value (ties of one value co-locate), sorts each value-run by id,
+    and emits base + within-run position. Rows move through exactly ONE
+    exchange; the total order is never held in one place. Emits the
+    input columns + `rn` (1-based)."""
+    import ray
+
+    def hist_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        return (
+            batch.groupby([value_col], sort=False, observed=True)
+            .size()
+            .reset_index(name="n")
+        )
+
+    hist = hash_aggregate(
+        ds.map_batches(hist_partial, batch_format="pandas"),
+        keys=[value_col],
+        aggs={"n": ("n", "sum")},
+    ).to_pandas()
+    hist = hist.sort_values(value_col, kind="mergesort").reset_index(drop=True)
+    base = np.concatenate([[0], np.cumsum(hist["n"].to_numpy(dtype=np.int64))[:-1]])
+    ref = ray.put(
+        (hist[value_col].to_numpy(), base)
+    )
+
+    def number_part(part: pd.DataFrame) -> pd.DataFrame:
+        vals, offs = ray.get(ref)
+        part = part.sort_values([value_col, id_col], kind="mergesort").reset_index(
+            drop=True
+        )
+        v = part[value_col].to_numpy()
+        pos = part.groupby(value_col, sort=False, observed=True).cumcount().to_numpy()
+        b = offs[np.searchsorted(vals, v)]
+        return part.assign(rn=(b + pos + 1).astype(np.int64))
+
+    return map_partitions_by_key(ds, [value_col], number_part)

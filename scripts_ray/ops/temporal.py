@@ -364,3 +364,53 @@ def hopping_distinct_users(events_ds):
         keys=["win_start"],
         aggs={"n_users": ("user_id", "count")},
     )
+
+
+def value_deltas(events_ds):
+    """Per-user consecutive-event difference — LAG arithmetic (`value -
+    lag(value) OVER (PARTITION BY user ORDER BY ts, event_id)`): the
+    rate-of-change signal per event stream. Values floored to integer
+    micro-units first, so deltas are exact integers; the first event of
+    each user carries NaN, matching the SQL window's NULL rendered as a
+    DOUBLE (the engine⇄oracle null convention the asof join established).
+    One exchange on user_id, then one vectorized shift per partition.
+    Emits (event_id, user_id, ts, delta_micro)."""
+
+    def project(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "event_id": batch["event_id"].astype(np.int64),
+                "user_id": batch["user_id"].astype(np.int64),
+                "ts": batch["ts"],
+                "v_micro": np.floor(
+                    batch["value"].to_numpy(dtype=np.float64) * 1_000_000.0
+                ).astype(np.int64),
+            }
+        )
+
+    def delta_part(part: pd.DataFrame) -> pd.DataFrame:
+        part = part.sort_values(
+            ["user_id", "ts", "event_id"], kind="mergesort"
+        ).reset_index(drop=True)
+        v = part["v_micro"].to_numpy()
+        uid = part["user_id"].to_numpy()
+        delta = np.empty(len(part), dtype=np.float64)
+        if len(part):
+            delta[0] = np.nan
+            delta[1:] = np.where(
+                uid[1:] == uid[:-1], (v[1:] - v[:-1]).astype(np.float64), np.nan
+            )
+        return pd.DataFrame(
+            {
+                "event_id": part["event_id"],
+                "user_id": part["user_id"],
+                "ts": part["ts"],
+                "delta_micro": delta,
+            }
+        )
+
+    return map_partitions_by_key(
+        events_ds.map_batches(project, batch_format="pandas"),
+        keys="user_id",
+        fn=delta_part,
+    )

@@ -1656,6 +1656,26 @@ def q_hopping_windows(sf_dir: str):
     )
 
 
+def q_global_len_order(sf_dir: str):
+    """Global ROW_NUMBER over (n_chars, doc_id) without a global sort."""
+    from .ops.quantiles import global_row_number
+
+    return global_row_number(
+        _read(sf_dir, "documents", columns=["doc_id", "n_chars"]),
+        value_col="n_chars",
+        id_col="doc_id",
+    )
+
+
+def q_value_deltas(sf_dir: str):
+    """Per-user LAG difference of event values in integer micro-units."""
+    from .ops import temporal
+
+    return temporal.value_deltas(
+        _read(sf_dir, "events", columns=["event_id", "user_id", "ts", "value"])
+    )
+
+
 def q_json_props(sf_dir: str):
     """Row-level JSON property extraction from the events props column."""
     return relational.json_props(
@@ -2152,6 +2172,8 @@ QUERIES = {
     "event_funnel": q_event_funnel,
     "hopping_distinct_users": q_hopping_distinct_users,
     "json_props": q_json_props,
+    "global_len_order": q_global_len_order,
+    "value_deltas": q_value_deltas,
     "page_align": q_page_align,
     "cms_words": q_cms_words,
     "docs_csv_by_source": q_docs_csv_by_source,
@@ -2316,6 +2338,8 @@ ORACLES = {
     "event_funnel": sql_ops.EVENT_FUNNEL_SQL,
     "hopping_distinct_users": sql_ops.HOPPING_DISTINCT_USERS_SQL,
     "json_props": sql_ops.JSON_PROPS_SQL,
+    "global_len_order": sql_ops.GLOBAL_LEN_ORDER_SQL,
+    "value_deltas": sql_ops.VALUE_DELTAS_SQL,
     "page_align": sql_ops.PAGE_ALIGN_SQL,
     "cms_words": sql_ops.CMS_WORDS_SQL,
     "docs_csv_by_source": sql_ops.DOCS_BY_SOURCE_SQL,

@@ -2880,3 +2880,23 @@ SELECT CAST(event_id AS BIGINT) AS event_id,
        CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
 FROM events
 """
+
+
+GLOBAL_LEN_ORDER_SQL = """
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(n_chars AS BIGINT) AS n_chars,
+       CAST(row_number() OVER (ORDER BY n_chars, doc_id) AS BIGINT) AS rn
+FROM documents
+"""
+
+VALUE_DELTAS_SQL = """
+SELECT CAST(event_id AS BIGINT) AS event_id,
+       CAST(user_id AS BIGINT) AS user_id, ts,
+       CAST(v - lag(v) OVER w AS DOUBLE) AS delta_micro
+FROM (
+  SELECT event_id, user_id, ts,
+         CAST(floor(value * 1000000.0) AS BIGINT) AS v
+  FROM events
+)
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
