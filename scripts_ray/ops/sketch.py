@@ -319,3 +319,55 @@ def cms_registers_grouped(docs_ds, group_col: str = "source"):
     return hash_aggregate(
         parts, keys=[group_col, "row", "col"], aggs={"n": ("n", "sum")}
     )
+
+
+def bloom_semi_join(probe_ds, build_ds_fn, probe_key: str, build_key: str,
+                    num_partitions: int = 64):
+    """Semi join with BLOOM-FILTER PUSHDOWN — the join-pruning pattern a
+    100 TB fact⋈fact semi join needs: instead of exchanging every probe
+    row, broadcast a BLOOM_M-bit filter of the build keys and drop
+    non-matching probe rows MAP-SIDE before the shuffle; an exact
+    distributed semi join over the survivors removes the false positives
+    (false negatives are impossible by construction, so the result is
+    row-identical to a plain semi join — and value-checked as such; the
+    bloom is pure pruning and needs no oracle of its own).
+
+    The filter costs BLOOM_M bits regardless of build cardinality (the
+    mergeable-partial shape: per-batch distinct bit sets, two-level
+    distinct fold, ≤ 16 Ki rows to the driver). `build_ds_fn` is a
+    factory — the build side is consumed twice (bit partials + exact
+    join) and a lazy Dataset re-executes per consumer; handing a fresh
+    pruned read per pass is the engine's standard answer. Key bits come
+    from the shared `_bloom_positions` kernel (splitmix64 finalizer +
+    double hashing)."""
+    import ray
+
+    from .hashagg import distinct, hash_join
+
+    def key_bits(batch: pd.DataFrame) -> pd.DataFrame:
+        k = np.unique(batch[build_key].to_numpy(dtype=np.int64))
+        if len(k) == 0:
+            return pd.DataFrame({"bit_idx": np.array([], dtype=np.int64)})
+        bits = np.unique(_bloom_positions(k.astype(np.uint64)))
+        return pd.DataFrame({"bit_idx": bits.astype(np.int64)})
+
+    bits = distinct(
+        build_ds_fn().map_batches(key_bits, batch_format="pandas"), "bit_idx"
+    ).to_pandas()["bit_idx"].to_numpy()
+    lookup_ref = ray.put(bloom_lookup(bits))
+
+    def prune(batch: pd.DataFrame) -> pd.DataFrame:
+        lookup = ray.get(lookup_ref)
+        k = batch[probe_key].to_numpy(dtype=np.int64)
+        pos = _bloom_positions(k.astype(np.uint64)).astype(np.int64)
+        return batch[lookup[pos].all(axis=1)]
+
+    survivors = probe_ds.map_batches(prune, batch_format="pandas")
+    return hash_join(
+        survivors,
+        build_ds_fn(),
+        on=probe_key,
+        right_on=build_key,
+        how="semi",
+        num_partitions=num_partitions,
+    )

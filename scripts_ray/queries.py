@@ -1656,6 +1656,38 @@ def q_hopping_windows(sf_dir: str):
     )
 
 
+def q_lineitem_bloom_semi(sf_dir: str):
+    """Fact⋈fact semi join with Bloom-filter pushdown: lineitem rows of
+    orders placed in Jan–Feb 1995 — probe rows failing the broadcast
+    bloom never reach the exchange; the exact semi join over survivors
+    removes false positives, so the result is row-identical to the plain
+    semi join the oracle computes."""
+    import numpy as np
+    import pandas as pd
+
+    from .ops.sketch import bloom_semi_join
+
+    lo = np.datetime64("1995-01-01")
+    hi = np.datetime64("1995-03-01")
+
+    def jan_feb(batch: pd.DataFrame) -> pd.DataFrame:
+        d = batch["o_orderdate"].to_numpy()
+        return batch.loc[(d >= lo) & (d < hi), ["o_orderkey"]]
+
+    def build_fn():
+        return _read(sf_dir, "orders",
+                     columns=["o_orderkey", "o_orderdate"]).map_batches(
+            jan_feb, batch_format="pandas"
+        )
+
+    return bloom_semi_join(
+        _read(sf_dir, "lineitem", columns=["l_orderkey", "l_extendedprice"]),
+        build_fn,
+        probe_key="l_orderkey",
+        build_key="o_orderkey",
+    )
+
+
 def q_global_len_order(sf_dir: str):
     """Global ROW_NUMBER over (n_chars, doc_id) without a global sort."""
     from .ops.quantiles import global_row_number
@@ -2173,6 +2205,7 @@ QUERIES = {
     "hopping_distinct_users": q_hopping_distinct_users,
     "json_props": q_json_props,
     "global_len_order": q_global_len_order,
+    "lineitem_bloom_semi": q_lineitem_bloom_semi,
     "value_deltas": q_value_deltas,
     "page_align": q_page_align,
     "cms_words": q_cms_words,
@@ -2339,6 +2372,7 @@ ORACLES = {
     "hopping_distinct_users": sql_ops.HOPPING_DISTINCT_USERS_SQL,
     "json_props": sql_ops.JSON_PROPS_SQL,
     "global_len_order": sql_ops.GLOBAL_LEN_ORDER_SQL,
+    "lineitem_bloom_semi": sql_ops.LINEITEM_BLOOM_SEMI_SQL,
     "value_deltas": sql_ops.VALUE_DELTAS_SQL,
     "page_align": sql_ops.PAGE_ALIGN_SQL,
     "cms_words": sql_ops.CMS_WORDS_SQL,

@@ -2900,3 +2900,15 @@ FROM (
 )
 WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 """
+
+
+LINEITEM_BLOOM_SEMI_SQL = """
+SELECT CAST(l.l_orderkey AS BIGINT) AS l_orderkey, l.l_extendedprice
+FROM lineitem l
+WHERE EXISTS (
+  SELECT 1 FROM orders o
+  WHERE o.o_orderkey = l.l_orderkey
+    AND o.o_orderdate >= DATE '1995-01-01'
+    AND o.o_orderdate < DATE '1995-03-01'
+)
+"""

@@ -452,3 +452,45 @@ def test_event_funnel_ordering(ray_session):
     out = event_funnel(rd.from_pandas(df)).to_pandas()
     got = dict(zip(out["user_id"].astype(int), out["reached"].astype(int)))
     assert got == {1: 3, 2: 1, 3: 1, 4: 0, 5: 2}
+
+
+def test_bloom_semi_join_prunes_and_matches(ray_session):
+    """Bloom pushdown result equals the plain semi join, and the map-side
+    filter really prunes: with a tiny build set, far fewer probe rows
+    survive the bloom than exist."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from scripts_ray.ops.hashagg import hash_join
+    from scripts_ray.ops.sketch import bloom_lookup, bloom_semi_join, _bloom_positions
+
+    rng_keys = np.arange(5000, dtype=np.int64)
+    probe = pd.DataFrame({"k": rng_keys, "payload": rng_keys * 7})
+    build = pd.DataFrame({"b": np.array([3, 44, 555, 4999], dtype=np.int64)})
+
+    got = (
+        bloom_semi_join(
+            rd.from_pandas(probe), lambda: rd.from_pandas(build),
+            probe_key="k", build_key="b",
+        )
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    want = (
+        hash_join(rd.from_pandas(probe), rd.from_pandas(build),
+                  on="k", right_on="b", how="semi")
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want)
+    assert got["k"].tolist() == [3, 44, 555, 4999]
+
+    # pruning power: bloom of 4 keys passes only a tiny fraction of 5000
+    bits = np.unique(_bloom_positions(build["b"].to_numpy().astype(np.uint64)))
+    lookup = bloom_lookup(bits)
+    pos = _bloom_positions(rng_keys.astype(np.uint64)).astype(np.int64)
+    survivors = int(lookup[pos].all(axis=1).sum())
+    assert survivors < 50  # ~4 + false positives at (kn/m)^k rates
