@@ -224,3 +224,105 @@ def json_props(events_ds):
         return pa.table({"event_id": batch["event_id"], "k": k})
 
     return events_ds.map_batches(extract, batch_format="pyarrow")
+
+
+def q5_local_supply(orders_ds, lineitem_ds, sf_dir: str,
+                    region: str = "AFRICA", year: int = 1995):
+    """TPC-H-Q5-shaped composition — revenue by nation where customer and
+    supplier share the nation, within one region and order year: the
+    5-dimension star join plan. All four dimension sides (region →
+    nation-key set, customer → nation, supplier → nation) broadcast as
+    ONE bundled ref (sorted key arrays + searchsorted probes — they are
+    dimension-sized next to lineitem; a customer table that outgrew
+    broadcast would swap to a distributed hash_join with the identical
+    downstream); the single fact⋈fact edge (lineitem ⋈ orders) is the
+    one distributed exchange, followed by the two-level nation aggregate.
+    Revenue in floor-integer cents, bit-equal to the SQL oracle.
+    Emits (n_name, n_orders_rows, rev_cents)."""
+    import pyarrow.parquet as pq
+    import ray
+
+    from .hashagg import hash_aggregate, hash_join
+
+    nation = pq.read_table(
+        f"{sf_dir}/nation.parquet",
+        columns=["n_nationkey", "n_name", "n_regionkey"],
+    ).to_pandas()
+    reg = pq.read_table(
+        f"{sf_dir}/region.parquet", columns=["r_regionkey", "r_name"]
+    ).to_pandas()
+    rkey = reg.loc[reg["r_name"] == region, "r_regionkey"]
+    in_region = nation[nation["n_regionkey"].isin(rkey)]
+    cust = pq.read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    ).to_pandas().sort_values("c_custkey")
+    supp = pq.read_table(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
+    ).to_pandas().sort_values("s_suppkey")
+    dims_ref = ray.put(
+        (
+            cust["c_custkey"].to_numpy(dtype=np.int64),
+            cust["c_nationkey"].to_numpy(dtype=np.int64),
+            supp["s_suppkey"].to_numpy(dtype=np.int64),
+            supp["s_nationkey"].to_numpy(dtype=np.int64),
+            np.sort(in_region["n_nationkey"].to_numpy(dtype=np.int64)),
+        )
+    )
+    lo = np.datetime64(f"{year}-01-01")
+    hi = np.datetime64(f"{year + 1}-01-01")
+
+    def probe_orders(batch: pd.DataFrame) -> pd.DataFrame:
+        ck, cn, _, _, nk = ray.get(dims_ref)
+        d = batch["o_orderdate"].to_numpy()
+        out = batch.loc[(d >= lo) & (d < hi), ["o_orderkey", "o_custkey"]]
+        # customer nation via sorted-key gather; keep in-region customers
+        idx = np.searchsorted(ck, out["o_custkey"].to_numpy())
+        nat = cn[np.minimum(idx, len(ck) - 1)]
+        ok = (ck[np.minimum(idx, len(ck) - 1)] == out["o_custkey"].to_numpy()) & \
+            np.isin(nat, nk)
+        out = out.loc[ok, ["o_orderkey"]]
+        out["c_nation"] = nat[ok]
+        return out
+
+    def line_side(batch: pd.DataFrame) -> pd.DataFrame:
+        _, _, sk, sn, _ = ray.get(dims_ref)
+        idx = np.searchsorted(sk, batch["l_suppkey"].to_numpy())
+        s_nat = sn[np.minimum(idx, len(sk) - 1)]
+        ext = batch["l_extendedprice"].to_numpy()
+        disc = batch["l_discount"].to_numpy()
+        return pd.DataFrame(
+            {
+                "o_orderkey": batch["l_orderkey"].astype(np.int64),
+                "s_nation": s_nat,
+                "rev_cents": np.floor(ext * (1 - disc) * 100).astype(np.int64),
+            }
+        )
+
+    joined = hash_join(
+        lineitem_ds.map_batches(line_side, batch_format="pandas"),
+        orders_ds.map_batches(probe_orders, batch_format="pandas"),
+        on="o_orderkey",
+        how="inner",
+    )
+
+    def local_only(batch: pd.DataFrame) -> pd.DataFrame:
+        out = batch[batch["s_nation"].to_numpy() == batch["c_nation"].to_numpy()]
+        return out[["c_nation", "rev_cents"]]
+
+    agg = hash_aggregate(
+        joined.map_batches(local_only, batch_format="pandas"),
+        keys=["c_nation"],
+        aggs={"n": ("rev_cents", "count"), "rev_cents": ("rev_cents", "sum")},
+    )
+
+    def name_nations(batch: pd.DataFrame) -> pd.DataFrame:
+        names = dict(zip(nation["n_nationkey"], nation["n_name"]))
+        return pd.DataFrame(
+            {
+                "n_name": batch["c_nation"].map(names),
+                "n": batch["n"].astype(np.int64),
+                "rev_cents": batch["rev_cents"].astype(np.int64),
+            }
+        )
+
+    return agg.map_batches(name_nations, batch_format="pandas")

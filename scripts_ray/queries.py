@@ -1656,6 +1656,19 @@ def q_hopping_windows(sf_dir: str):
     )
 
 
+def q_q5_local_supply(sf_dir: str):
+    """TPC-H-Q5-shaped 5-dimension star join: revenue by nation where
+    customer and supplier nations match, one region, one order year."""
+    return relational.q5_local_supply(
+        _read(sf_dir, "orders",
+              columns=["o_orderkey", "o_custkey", "o_orderdate"]),
+        _read(sf_dir, "lineitem",
+              columns=["l_orderkey", "l_suppkey", "l_extendedprice",
+                       "l_discount"]),
+        sf_dir,
+    )
+
+
 def q_lineitem_bloom_semi(sf_dir: str):
     """Fact⋈fact semi join with Bloom-filter pushdown: lineitem rows of
     orders placed in Jan–Feb 1995 — probe rows failing the broadcast
@@ -2206,6 +2219,7 @@ QUERIES = {
     "json_props": q_json_props,
     "global_len_order": q_global_len_order,
     "lineitem_bloom_semi": q_lineitem_bloom_semi,
+    "q5_local_supply": q_q5_local_supply,
     "value_deltas": q_value_deltas,
     "page_align": q_page_align,
     "cms_words": q_cms_words,
@@ -2373,6 +2387,7 @@ ORACLES = {
     "json_props": sql_ops.JSON_PROPS_SQL,
     "global_len_order": sql_ops.GLOBAL_LEN_ORDER_SQL,
     "lineitem_bloom_semi": sql_ops.LINEITEM_BLOOM_SEMI_SQL,
+    "q5_local_supply": sql_ops.Q5_LOCAL_SUPPLY_SQL,
     "value_deltas": sql_ops.VALUE_DELTAS_SQL,
     "page_align": sql_ops.PAGE_ALIGN_SQL,
     "cms_words": sql_ops.CMS_WORDS_SQL,

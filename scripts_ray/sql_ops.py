@@ -2912,3 +2912,22 @@ WHERE EXISTS (
     AND o.o_orderdate < DATE '1995-03-01'
 )
 """
+
+
+Q5_LOCAL_SUPPLY_SQL = """
+SELECT n.n_name,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100)
+                     AS BIGINT)) AS BIGINT) AS rev_cents
+FROM lineitem l
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+JOIN region r ON r.r_regionkey = n.n_regionkey
+WHERE s.s_nationkey = c.c_nationkey
+  AND r.r_name = 'AFRICA'
+  AND o.o_orderdate >= DATE '1995-01-01'
+  AND o.o_orderdate < DATE '1996-01-01'
+GROUP BY 1
+"""
