@@ -326,3 +326,37 @@ def q5_local_supply(orders_ds, lineitem_ds, sf_dir: str,
         )
 
     return agg.map_batches(name_nations, batch_format="pandas")
+
+
+def footer_stats(sf_dir: str, table: str = "documents", key: str = "doc_id"):
+    """Zone-map exhibit: global (n_rows, min, max) of a key column read
+    from Parquet FOOTER metadata only — no data page is ever decoded
+    (the row-group statistics ARE the answer). This is the predicate the
+    engine's pruned reads rely on; surfacing it as an operator makes the
+    contract testable: the oracle computes the same three numbers the
+    slow way (full scan), and the value check proves the footers tell
+    the truth. A multi-file corpus maps this per file via
+    `ray.data.from_items(paths)` with the same per-row-group fold; the
+    fixture is one file, so the fold is driver-side and O(row groups)."""
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(f"{sf_dir}/{table}.parquet").metadata
+    idx = next(
+        i for i in range(md.num_columns)
+        if md.row_group(0).column(i).path_in_schema == key
+    )
+    mins, maxs, rows = [], [], 0
+    for rg in range(md.num_row_groups):
+        col = md.row_group(rg).column(idx)
+        st = col.statistics
+        assert st is not None and st.has_min_max, "footer lacks statistics"
+        mins.append(st.min)
+        maxs.append(st.max)
+        rows += md.row_group(rg).num_rows
+    return pd.DataFrame(
+        {
+            "n_rows": np.array([rows], dtype=np.int64),
+            "min_key": np.array([min(mins)], dtype=np.int64),
+            "max_key": np.array([max(maxs)], dtype=np.int64),
+        }
+    )

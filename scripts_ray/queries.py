@@ -1656,6 +1656,11 @@ def q_hopping_windows(sf_dir: str):
     )
 
 
+def q_footer_stats(sf_dir: str):
+    """Global key stats from Parquet footers only — no data page read."""
+    return relational.footer_stats(sf_dir)
+
+
 def q_q5_local_supply(sf_dir: str):
     """TPC-H-Q5-shaped 5-dimension star join: revenue by nation where
     customer and supplier nations match, one region, one order year."""
@@ -2220,6 +2225,7 @@ QUERIES = {
     "global_len_order": q_global_len_order,
     "lineitem_bloom_semi": q_lineitem_bloom_semi,
     "q5_local_supply": q_q5_local_supply,
+    "footer_stats": q_footer_stats,
     "value_deltas": q_value_deltas,
     "page_align": q_page_align,
     "cms_words": q_cms_words,
@@ -2388,6 +2394,7 @@ ORACLES = {
     "global_len_order": sql_ops.GLOBAL_LEN_ORDER_SQL,
     "lineitem_bloom_semi": sql_ops.LINEITEM_BLOOM_SEMI_SQL,
     "q5_local_supply": sql_ops.Q5_LOCAL_SUPPLY_SQL,
+    "footer_stats": sql_ops.FOOTER_STATS_SQL,
     "value_deltas": sql_ops.VALUE_DELTAS_SQL,
     "page_align": sql_ops.PAGE_ALIGN_SQL,
     "cms_words": sql_ops.CMS_WORDS_SQL,

@@ -2931,3 +2931,11 @@ WHERE s.s_nationkey = c.c_nationkey
   AND o.o_orderdate < DATE '1996-01-01'
 GROUP BY 1
 """
+
+
+FOOTER_STATS_SQL = """
+SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(min(doc_id) AS BIGINT) AS min_key,
+       CAST(max(doc_id) AS BIGINT) AS max_key
+FROM documents
+"""
