@@ -100,3 +100,70 @@ def test_temporal_joins_hot_user(ray_session):
     ].shape[0]
     got = rng_out.loc[rng_out["event_id"] == p["event_id"], "n_clicks_7d"].iloc[0]
     assert got == expect
+
+
+def test_rolling_and_funnel_hot_user(ray_session):
+    """One user owns 95% of the stream (hot key lands whole in one
+    partition): the ROWS-frame rolling sum and the funnel chain must
+    equal a single-process pandas reference."""
+    import numpy as np
+    import ray.data as rd
+
+    from scripts_ray.ops.temporal import event_funnel, rolling_agg
+
+    rng = np.random.RandomState(7)
+    n_hot, n_cold = 5000, 250
+    t0 = pd.Timestamp("2024-03-01")
+    df = pd.DataFrame(
+        {
+            "event_id": np.arange(n_hot + n_cold, dtype=np.int64),
+            "user_id": np.concatenate(
+                [np.zeros(n_hot, dtype=np.int64),
+                 1 + (np.arange(n_cold, dtype=np.int64) % 50)]
+            ),
+            "ts": t0 + pd.to_timedelta(
+                rng.randint(0, 10**6, n_hot + n_cold), unit="s"
+            ),
+            "value": rng.rand(n_hot + n_cold) * 10 - 3,
+            "event_type": rng.choice(
+                ["view", "click", "purchase"], n_hot + n_cold
+            ),
+        }
+    )
+
+    got = (
+        rolling_agg(rd.from_pandas(df), window=5)
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    ref = df.assign(
+        v=np.floor(df["value"].to_numpy() * 1e6).astype(np.int64)
+    ).sort_values(["user_id", "ts", "event_id"])
+    g = ref.groupby("user_id")["v"]
+    ref = ref.assign(
+        roll=g.rolling(5, min_periods=1).sum().reset_index(level=0, drop=True),
+        nw=g.rolling(5, min_periods=1).count().reset_index(level=0, drop=True),
+    ).sort_values("event_id").reset_index(drop=True)
+    assert (got["roll_sum_micro"].to_numpy() == ref["roll"].to_numpy()).all()
+    assert (got["n_win"].to_numpy() == ref["nw"].astype(np.int64).to_numpy()).all()
+
+    fun = event_funnel(rd.from_pandas(df)).to_pandas()
+    fgot = dict(zip(fun["user_id"].astype(int), fun["reached"].astype(int)))
+
+    def ref_reached(g: pd.DataFrame) -> int:
+        anchor, reached = None, 0
+        for step in ("view", "click", "purchase"):
+            ev = g[g["event_type"] == step]
+            if anchor is not None:
+                ev = ev[ev["ts"] > anchor]
+            if len(ev) == 0:
+                return reached
+            anchor = ev["ts"].min()
+            reached += 1
+        return reached
+
+    fref = {
+        int(u): ref_reached(g) for u, g in df.groupby("user_id")
+    }
+    assert fgot == fref
