@@ -144,6 +144,28 @@ def bm25_search(
 KMEANS_N_SEEDS = 8
 
 
+def doc_tok_tf(batch: pa.Table) -> pd.DataFrame:
+    """(doc_id, tok, tf) partials for one zero-copy Arrow batch — the
+    shared per-doc term-frequency kernel of tfidf_terms and
+    cluster_topics (one tokenize pass, C-kernel groupby combiner)."""
+    from ..tokens import explode
+
+    rows, toks = explode(batch["text"].combine_chunks())
+    did = batch["doc_id"].combine_chunks().to_numpy(zero_copy_only=False)
+    if len(toks) == 0:
+        return pd.DataFrame(
+            {"doc_id": np.array([], dtype=np.int64),
+             "tok": np.array([], dtype=object),
+             "tf": np.array([], dtype=np.int64)}
+        )
+    return (
+        pd.DataFrame({"doc_id": did[rows].astype(np.int64), "tok": toks})
+        .groupby(["doc_id", "tok"], sort=False)
+        .size()
+        .reset_index(name="tf")
+    )
+
+
 def kmeans_assign(emb_ds, seed_ids: np.ndarray, seeds: np.ndarray):
     """Embedding clustering assignment, value-checked: each vector is
     assigned to its most cosine-similar SEED centroid (the embeddings of
@@ -385,32 +407,15 @@ def tfidf_terms(docs_ds, k: int = TFIDF_TOP_K):
     tok (the vocabulary is unbounded at corpus scale — never broadcast);
     per-doc top-k via the grouped-top-k exchange. Emits
     (doc_id, rank, tok, score_micro)."""
-    from ..tokens import explode
     from .hashagg import hash_aggregate, hash_join
     from .quantiles import group_topk
-
-    def tf_partial(batch: pd.DataFrame) -> pd.DataFrame:
-        rows, toks = explode(pa.array(batch["text"].tolist(), type=pa.string()))
-        did = batch["doc_id"].to_numpy(dtype=np.int64)
-        if len(toks) == 0:
-            return pd.DataFrame(
-                {"doc_id": np.array([], dtype=np.int64),
-                 "tok": np.array([], dtype=object),
-                 "tf": np.array([], dtype=np.int64)}
-            )
-        return (
-            pd.DataFrame({"doc_id": did[rows], "tok": toks})
-            .groupby(["doc_id", "tok"], sort=False)
-            .size()
-            .reset_index(name="tf")
-        )
 
     # Three consumers read tf (df aggregate, N count, join probe); Ray Data
     # re-executes a lazy chain once PER consumer, so pin the blocks once —
     # the one legitimate mid-pipeline materialize (the tokenize+aggregate
     # above must not run three times).
     tf = hash_aggregate(
-        docs_ds.map_batches(tf_partial, batch_format="pandas"),
+        docs_ds.map_batches(doc_tok_tf, batch_format="pyarrow"),
         keys=["doc_id", "tok"],
         aggs={"tf": ("tf", "sum")},
     ).materialize()
@@ -527,29 +532,12 @@ def cluster_topics(emb_ds, seed_ids, seeds, docs_ds, k: int = CLUSTER_TOP_K):
     value-checked primitive; the join is distributed (doc cardinality both
     sides), the (cluster, tok) aggregate is bounded by k_clusters x vocab.
     Emits (cluster, rank, tok, n)."""
-    from ..tokens import explode
     from .hashagg import hash_aggregate, hash_join
     from .quantiles import group_topk
 
-    def tf_partial(batch: pd.DataFrame) -> pd.DataFrame:
-        rows, toks = explode(pa.array(batch["text"].tolist(), type=pa.string()))
-        did = batch["doc_id"].to_numpy(dtype=np.int64)
-        if len(toks) == 0:
-            return pd.DataFrame(
-                {"doc_id": np.array([], dtype=np.int64),
-                 "tok": np.array([], dtype=object),
-                 "tf": np.array([], dtype=np.int64)}
-            )
-        return (
-            pd.DataFrame({"doc_id": did[rows], "tok": toks})
-            .groupby(["doc_id", "tok"], sort=False)
-            .size()
-            .reset_index(name="tf")
-        )
-
     assigned = kmeans_assign(emb_ds, seed_ids, seeds)
     joined = hash_join(
-        docs_ds.map_batches(tf_partial, batch_format="pandas"),
+        docs_ds.map_batches(doc_tok_tf, batch_format="pyarrow"),
         assigned,
         on="doc_id",
         right_on="vec_id",
