@@ -712,3 +712,90 @@ def ann_pq(emb_ds, query_ids: np.ndarray, queries: np.ndarray,
         .groupby("query_id")
         .map_groups(merge_topk, batch_format="pandas")
     )
+
+
+# ---- MMR diverse retrieval -----------------------------------------------------
+MMR_CANDIDATES = 20
+MMR_K = 5
+
+
+def mmr_select(emb_ds, sf_dir: str, c: int = MMR_CANDIDATES, k: int = MMR_K):
+    """Maximal-Marginal-Relevance diverse retrieval (Carbonell & Goldstein
+    1998) — the diversity-aware selection a curation pipeline uses to pick
+    k REPRESENTATIVE examples instead of k near-duplicates: step 1 takes
+    the most relevant candidate; every later step takes
+    argmax(2·rel_i − max_{s∈selected} sim(i, s)) (λ = ½ scaled ×2 to stay
+    integer; max_sim = 0 at step 1 makes the score definition uniform).
+
+    Exactness: all similarities are int64 dot products on the shared
+    floor(1024·x) PQ grid, so the greedy argmax chain is bit-reproducible
+    by the SQL oracle's UNROLLED k-step CTE (the PageRank trick applied to
+    a greedy algorithm). Plan: candidate relevance is a distributed map
+    (grid-quantize batch, one int matmul against the broadcast query
+    grid, per-batch top-c combiner) + global sort-limit over ≤ c rows per
+    batch; the greedy itself runs driver-side over the C-candidate
+    constant (C² int sims) — the same bounded-final-stage contract as
+    BM25's stats fold. Emits (step, vec_id, rel, score)."""
+    import pyarrow.parquet as pq
+    import ray
+
+    qids, qvecs = load_queries(sf_dir, n_queries=1)
+    qg = _pq_quantize(qvecs)[0]
+    ref = ray.put((int(qids[0]), qg))
+
+    def rel_batch(batch: pa.Table) -> pd.DataFrame:
+        qid, qgrid = ray.get(ref)
+        vids = batch["vec_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        g = _pq_quantize(_to_matrix(batch["embedding"].combine_chunks()))
+        rel = g @ qgrid
+        keep = vids != qid
+        out = pd.DataFrame({"vec_id": vids[keep].astype(np.int64),
+                            "rel": rel[keep].astype(np.int64)})
+        return out.sort_values(["rel", "vec_id"], ascending=[False, True],
+                               kind="mergesort").head(c)
+
+    cand = (
+        emb_ds.map_batches(rel_batch, batch_format="pyarrow")
+        .sort(["rel", "vec_id"], descending=[True, False])
+        .limit(c)
+        .to_pandas()
+    )
+    cand_ids = cand["vec_id"].to_numpy(dtype=np.int64)
+
+    # C candidate vectors: bounded driver-side fetch for the C² sim matrix
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                      columns=["vec_id", "embedding"])
+    mask = np.isin(t["vec_id"].to_numpy(zero_copy_only=False), cand_ids)
+    sub_ids = t["vec_id"].to_numpy(zero_copy_only=False)[mask]
+    sub = _pq_quantize(_to_matrix(t["embedding"].combine_chunks().filter(
+        pa.array(mask))))
+    order = {int(v): i for i, v in enumerate(sub_ids)}
+    grids = sub[[order[int(v)] for v in cand_ids]]
+    sims = grids @ grids.T  # int64, exact
+
+    rel = cand["rel"].to_numpy(dtype=np.int64)
+    selected: list[int] = []
+    rows = []
+    active = np.ones(len(cand), dtype=bool)
+    for step in range(1, k + 1):
+        if not active.any():
+            break
+        max_sim = (
+            sims[:, selected].max(axis=1)
+            if selected else np.zeros(len(cand), dtype=np.int64)
+        )
+        score = 2 * rel - max_sim
+        # argmax by (score desc, vec_id asc) among active candidates
+        best, best_key = None, None
+        for i in np.flatnonzero(active):
+            key = (-int(score[i]), int(cand_ids[i]))
+            if best_key is None or key < best_key:
+                best, best_key = i, key
+        rows.append(
+            {"step": step, "vec_id": int(cand_ids[best]),
+             "rel": int(rel[best]), "score": int(score[best])}
+        )
+        selected.append(best)
+        active[best] = False
+    out = pd.DataFrame(rows, columns=["step", "vec_id", "rel", "score"])
+    return out.astype({c_: np.int64 for c_ in out.columns})

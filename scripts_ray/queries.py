@@ -1656,6 +1656,14 @@ def q_hopping_windows(sf_dir: str):
     )
 
 
+def q_mmr_select(sf_dir: str):
+    """MMR diverse retrieval: k picks balancing relevance vs redundancy,
+    bit-reproducible on the integer PQ grid."""
+    return similarity.mmr_select(
+        _read(sf_dir, "embeddings", columns=["vec_id", "embedding"]), sf_dir
+    )
+
+
 def q_footer_stats(sf_dir: str):
     """Global key stats from Parquet footers only — no data page read."""
     return relational.footer_stats(sf_dir)
@@ -2226,6 +2234,7 @@ QUERIES = {
     "lineitem_bloom_semi": q_lineitem_bloom_semi,
     "q5_local_supply": q_q5_local_supply,
     "footer_stats": q_footer_stats,
+    "mmr_select": q_mmr_select,
     "value_deltas": q_value_deltas,
     "page_align": q_page_align,
     "cms_words": q_cms_words,
@@ -2395,6 +2404,7 @@ ORACLES = {
     "lineitem_bloom_semi": sql_ops.LINEITEM_BLOOM_SEMI_SQL,
     "q5_local_supply": sql_ops.Q5_LOCAL_SUPPLY_SQL,
     "footer_stats": sql_ops.FOOTER_STATS_SQL,
+    "mmr_select": sql_ops.MMR_SELECT_SQL,
     "value_deltas": sql_ops.VALUE_DELTAS_SQL,
     "page_align": sql_ops.PAGE_ALIGN_SQL,
     "cms_words": sql_ops.CMS_WORDS_SQL,

@@ -2939,3 +2939,65 @@ SELECT CAST(count(*) AS BIGINT) AS n_rows,
        CAST(max(doc_id) AS BIGINT) AS max_key
 FROM documents
 """
+
+
+# ---- MMR diverse retrieval -----------------------------------------------------
+from .ops.similarity import MMR_CANDIDATES, MMR_K  # noqa: E402
+
+_MMR_DOT = ("CAST(list_sum(list_transform(range(1, 65), "
+            "i -> {a}.q[i] * {b}.q[i])) AS BIGINT)")
+
+
+def _mmr_sql() -> str:
+    """Unrolled k-step greedy MMR as a CTE chain (the PageRank trick for a
+    greedy algorithm): every argmax is a row_number()=1 pick with the
+    engine's exact tie rule (score desc, vec_id asc)."""
+    parts = [f"""g AS (
+  SELECT vec_id,
+         list_transform(embedding,
+           v -> CAST(floor(1024 * CAST(v AS DOUBLE)) AS BIGINT)) AS q
+  FROM embeddings
+),
+qv AS (SELECT q FROM g WHERE vec_id = 0),
+relv AS (
+  SELECT g.vec_id, {_MMR_DOT.format(a='g', b='qv')} AS rel
+  FROM g, qv WHERE g.vec_id <> 0
+),
+cand AS (
+  SELECT vec_id, rel FROM relv
+  QUALIFY row_number() OVER (ORDER BY rel DESC, vec_id) <= {MMR_CANDIDATES}
+),
+pair AS (
+  SELECT a.vec_id AS pa, b.vec_id AS pb,
+         {_MMR_DOT.format(a='ga', b='gb')} AS sim
+  FROM cand a JOIN g ga ON ga.vec_id = a.vec_id
+  JOIN cand b ON b.vec_id <> a.vec_id JOIN g gb ON gb.vec_id = b.vec_id
+),
+sel1 AS (
+  SELECT vec_id, rel, CAST(2 * rel AS BIGINT) AS score FROM cand
+  QUALIFY row_number() OVER (ORDER BY 2 * rel DESC, vec_id) = 1
+),
+chosen1 AS (SELECT vec_id FROM sel1)"""]
+    for i in range(2, MMR_K + 1):
+        parts.append(f"""sc{i} AS (
+  SELECT c.vec_id, c.rel, CAST(2 * c.rel - max(p.sim) AS BIGINT) AS score
+  FROM cand c JOIN pair p ON p.pa = c.vec_id
+  WHERE p.pb IN (SELECT vec_id FROM chosen{i - 1})
+    AND c.vec_id NOT IN (SELECT vec_id FROM chosen{i - 1})
+  GROUP BY 1, 2
+),
+sel{i} AS (
+  SELECT vec_id, rel, score FROM sc{i}
+  QUALIFY row_number() OVER (ORDER BY score DESC, vec_id) = 1
+),
+chosen{i} AS (SELECT vec_id FROM chosen{i - 1}
+              UNION ALL SELECT vec_id FROM sel{i})""")
+    union = "\nUNION ALL ".join(
+        f"SELECT CAST({i} AS BIGINT) AS step, CAST(vec_id AS BIGINT) AS vec_id,"
+        f" rel, score FROM sel{i}"
+        for i in range(1, MMR_K + 1)
+    )
+    return "WITH " + ",\n".join(parts) + "\n" + union
+
+
+MMR_SELECT_SQL = _mmr_sql()

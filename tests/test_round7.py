@@ -494,3 +494,42 @@ def test_bloom_semi_join_prunes_and_matches(ray_session):
     pos = _bloom_positions(rng_keys.astype(np.uint64)).astype(np.int64)
     survivors = int(lookup[pos].all(axis=1).sum())
     assert survivors < 50  # ~4 + false positives at (kn/m)^k rates
+
+
+def test_mmr_matches_independent_greedy(ray_session, sf_dir):
+    """Engine MMR equals a from-scratch numpy greedy on the same integer
+    grid (candidate pool, tie rules, and all k steps)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from scripts_ray.ops.similarity import (
+        MMR_CANDIDATES, MMR_K, _pq_quantize, _to_matrix,
+    )
+    from scripts_ray.queries import QUERIES
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                      columns=["vec_id", "embedding"])
+    ids = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    g = _pq_quantize(_to_matrix(t["embedding"].combine_chunks()))
+    qg = g[ids == 0][0]
+    rel = g @ qg
+    pool = ids != 0
+    # top-C candidates by (rel desc, vec_id asc)
+    order = np.lexsort((ids[pool], -rel[pool]))
+    cand_idx = np.flatnonzero(pool)[order][:MMR_CANDIDATES]
+    crel, cids, cg = rel[cand_idx], ids[cand_idx], g[cand_idx]
+    sims = cg @ cg.T
+    active = np.ones(len(cids), dtype=bool)
+    sel, expect = [], []
+    for step in range(1, MMR_K + 1):
+        ms = sims[:, sel].max(axis=1) if sel else np.zeros(len(cids), np.int64)
+        score = 2 * crel - ms
+        k = np.lexsort((cids[active], -score[active]))[0]
+        i = np.flatnonzero(active)[k]
+        expect.append((step, int(cids[i]), int(crel[i]), int(score[i])))
+        sel.append(i)
+        active[i] = False
+
+    out = QUERIES["mmr_select"](sf_dir)
+    got = [tuple(int(x) for x in r) for r in out.itertuples(index=False)]
+    assert got == expect
