@@ -414,3 +414,70 @@ def value_deltas(events_ds):
         keys="user_id",
         fn=delta_part,
     )
+
+
+def window_anomalies(events_ds, k_mad: int = 3):
+    """Streaming rate-anomaly detection: flag hopping windows whose event
+    COUNT deviates from the median window count by more than `k_mad`×MAD
+    — the robust spike/outage detector, composed entirely from
+    value-checked primitives (hopping replication map → count aggregate →
+    the same integer median/MAD rule as `robust_outliers`, here over the
+    window-count distribution via one constant-key histogram exchange
+    each; window counts are time-range-bounded, never corpus-bounded).
+    Emits flagged windows only: (win_start, n, med, mad)."""
+    from .quantiles import group_quantiles
+
+    hop = f"{HOP_MINUTES}min"
+    back = pd.Timedelta(minutes=HOP_MINUTES)
+
+    def explode(batch: pd.DataFrame) -> pd.DataFrame:
+        base = batch["ts"].dt.floor(hop)
+        a = pd.DataFrame({"win_start": base})
+        b = a.assign(win_start=(base - back).astype(base.dtype))
+        return pd.concat([a, b], ignore_index=True)
+
+    def count_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        # the count column is named wn, NOT n: group_quantiles' histogram
+        # partial emits its own "n" count column and a value column that
+        # shadows it would collide
+        return batch.groupby("win_start", sort=False).size().reset_index(name="wn")
+
+    counts = hash_aggregate(
+        events_ds.map_batches(explode, batch_format="pandas").map_batches(
+            count_partial, batch_format="pandas"
+        ),
+        keys=["win_start"],
+        aggs={"wn": ("wn", "sum")},
+    ).materialize()  # window-bounded artifact; three consumers below
+
+    def tag(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.assign(_g=np.int64(0))
+
+    med = int(
+        group_quantiles(
+            counts.map_batches(tag, batch_format="pandas"), "wn", ["_g"], [500]
+        ).to_pandas()["p500"].iloc[0]
+    )
+
+    def dev(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.assign(
+            _g=np.int64(0),
+            ad=np.abs(batch["wn"].to_numpy(dtype=np.int64) - med),
+        )
+
+    mad = int(
+        group_quantiles(
+            counts.map_batches(dev, batch_format="pandas"), "ad", ["_g"], [500]
+        ).to_pandas()["p500"].iloc[0]
+    )
+
+    def flag(batch: pd.DataFrame) -> pd.DataFrame:
+        n = batch["wn"].to_numpy(dtype=np.int64)
+        hit = np.abs(n - med) > k_mad * mad
+        out = batch.loc[hit, ["win_start"]].reset_index(drop=True)
+        out["n"] = n[hit]
+        out["med"] = np.int64(med)
+        out["mad"] = np.int64(mad)
+        return out
+
+    return counts.map_batches(flag, batch_format="pandas")

@@ -1656,6 +1656,15 @@ def q_hopping_windows(sf_dir: str):
     )
 
 
+def q_window_anomalies(sf_dir: str):
+    """Hopping windows whose event count breaks the 3×MAD robust band."""
+    from .ops import temporal
+
+    return temporal.window_anomalies(
+        _read(sf_dir, "events", columns=["ts"])
+    )
+
+
 def q_mmr_select(sf_dir: str):
     """MMR diverse retrieval: k picks balancing relevance vs redundancy,
     bit-reproducible on the integer PQ grid."""
@@ -2235,6 +2244,7 @@ QUERIES = {
     "q5_local_supply": q_q5_local_supply,
     "footer_stats": q_footer_stats,
     "mmr_select": q_mmr_select,
+    "window_anomalies": q_window_anomalies,
     "value_deltas": q_value_deltas,
     "page_align": q_page_align,
     "cms_words": q_cms_words,
@@ -2405,6 +2415,7 @@ ORACLES = {
     "q5_local_supply": sql_ops.Q5_LOCAL_SUPPLY_SQL,
     "footer_stats": sql_ops.FOOTER_STATS_SQL,
     "mmr_select": sql_ops.MMR_SELECT_SQL,
+    "window_anomalies": sql_ops.WINDOW_ANOMALIES_SQL,
     "value_deltas": sql_ops.VALUE_DELTAS_SQL,
     "page_align": sql_ops.PAGE_ALIGN_SQL,
     "cms_words": sql_ops.CMS_WORDS_SQL,

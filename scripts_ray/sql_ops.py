@@ -3001,3 +3001,21 @@ chosen{i} AS (SELECT vec_id FROM chosen{i - 1}
 
 
 MMR_SELECT_SQL = _mmr_sql()
+
+
+WINDOW_ANOMALIES_SQL = """
+WITH h AS (SELECT time_bucket(INTERVAL 5 MINUTE, ts) AS b FROM events),
+x AS (
+  SELECT b AS win_start FROM h
+  UNION ALL
+  SELECT b - INTERVAL 5 MINUTE FROM h
+),
+cnt AS (SELECT win_start, CAST(count(*) AS BIGINT) AS n FROM x GROUP BY 1),
+med AS (SELECT CAST(quantile_disc(n, 0.5) AS BIGINT) AS med FROM cnt),
+mad AS (
+  SELECT CAST(quantile_disc(abs(n - med), 0.5) AS BIGINT) AS mad
+  FROM cnt, med
+)
+SELECT win_start, n, med, mad
+FROM cnt, med, mad WHERE abs(n - med) > 3 * mad
+"""
