@@ -419,6 +419,13 @@ def run_bench() -> dict:
             "triangle_counts",
             "len_outliers",
             "cluster_topics",
+            "q5_local_supply",
+            "lineitem_bloom_semi",
+            "mmr_select",
+            "window_anomalies",
+            "json_props",
+            "value_deltas",
+            "global_len_order",
         ]
     )
     for name in secondary:

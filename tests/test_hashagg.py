@@ -135,3 +135,27 @@ def test_hash_join_empty_left_declared(ray_session):
         left, right, on="k", how="inner", empty_left_cols=["k", "a"]
     ).to_pandas()
     assert len(out) == 0
+
+
+def test_run_pair_indices_property():
+    """run_pair_indices equals brute-force within-run pair enumeration for
+    random run layouts (no Ray needed)."""
+    import numpy as np
+
+    from scripts_ray.ops.hashagg import run_pair_indices
+
+    rng = np.random.RandomState(3)
+    for _ in range(25):
+        sizes = rng.randint(1, 7, size=rng.randint(1, 12))
+        new = np.zeros(int(sizes.sum()), dtype=bool)
+        new[np.concatenate([[0], np.cumsum(sizes)[:-1]])] = True
+        ia, ib = run_pair_indices(new)
+        got = set(zip(ia.tolist(), ib.tolist()))
+        want = set()
+        start = 0
+        for m in sizes:
+            for i in range(start, start + int(m)):
+                for j in range(i + 1, start + int(m)):
+                    want.add((i, j))
+            start += int(m)
+        assert got == want
