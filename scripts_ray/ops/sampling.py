@@ -437,3 +437,67 @@ def seq_pack(docs_ds, seq_len: int = SEQ_LEN, n_buckets: int = SEQ_BUCKETS):
 
     per_doc = docs_ds.map_batches(counts, batch_format="pandas")
     return map_partitions_by_key(per_doc, "bucket", pack)
+
+
+QUOTA_TOTAL = 50
+
+
+def quota_sample(docs_ds, k: int = QUOTA_TOTAL, stratum_col: str = "source"):
+    """Proportional-allocation sample with an EXACT total: each stratum
+    gets floor(k·n_s/N) rows plus largest-remainder top-ups (Hamilton
+    apportionment, remainder ties broken by stratum name) so the quotas
+    sum to exactly k — the allocation rule `stratified_sample`'s flat
+    n-per-stratum cannot give. Within a stratum the quota rows are the
+    smallest (splitmix64(doc_id), doc_id) keys: deterministic,
+    order-independent, SQL-reproducible.
+
+    Plan: one tiny stratum-count aggregate → driver apportionment
+    (dimension-bounded) broadcast; then ONE exchange on the stratum with
+    a per-batch head-quota combiner (a batch can contribute at most
+    quota rows to a stratum's final quota-smallest set, so the exchange
+    carries ≤ quota × batches rows per stratum). Emits (doc_id,
+    stratum)."""
+    import ray
+
+    from .dedup import sql_mix64
+    from .hashagg import hash_aggregate, map_partitions_by_key
+
+    counts = hash_aggregate(
+        docs_ds, keys=[stratum_col], aggs={"ns": ("doc_id", "count")}
+    ).to_pandas().sort_values(stratum_col, kind="mergesort")
+    ns = counts["ns"].to_numpy(dtype=np.int64)
+    total = int(ns.sum())
+    base = (k * ns) // total
+    rem = (k * ns) % total
+    leftover = int(k - base.sum())
+    order = np.lexsort((counts[stratum_col].to_numpy(), -rem))
+    quota = base.copy()
+    quota[order[:leftover]] += 1
+    qref = ray.put(dict(zip(counts[stratum_col], quota.astype(int))))
+
+    def head_quota(batch: pd.DataFrame) -> pd.DataFrame:
+        q = ray.get(qref)
+        out = pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"].to_numpy(dtype=np.int64),
+                stratum_col: batch[stratum_col],
+                "h": sql_mix64(batch["doc_id"].to_numpy(dtype=np.int64)),
+            }
+        ).sort_values([stratum_col, "h", "doc_id"], kind="mergesort")
+        rn = out.groupby(stratum_col, sort=False).cumcount().to_numpy()
+        cap = out[stratum_col].map(q).fillna(0).to_numpy(dtype=np.int64)
+        return out[rn < cap].reset_index(drop=True)
+
+    def take(part: pd.DataFrame) -> pd.DataFrame:
+        q = ray.get(qref)
+        part = part.sort_values([stratum_col, "h", "doc_id"], kind="mergesort")
+        rn = part.groupby(stratum_col, sort=False).cumcount().to_numpy()
+        cap = part[stratum_col].map(q).fillna(0).to_numpy(dtype=np.int64)
+        out = part[rn < cap]
+        return out[["doc_id", stratum_col]].reset_index(drop=True)
+
+    return map_partitions_by_key(
+        docs_ds.map_batches(head_quota, batch_format="pandas"),
+        stratum_col,
+        take,
+    )

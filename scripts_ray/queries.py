@@ -1656,6 +1656,13 @@ def q_hopping_windows(sf_dir: str):
     )
 
 
+def q_quota_sample(sf_dir: str):
+    """Exact-total proportional sample (Hamilton apportionment)."""
+    return sampling.quota_sample(
+        _read(sf_dir, "documents", columns=["doc_id", "source"])
+    )
+
+
 def q_window_anomalies(sf_dir: str):
     """Hopping windows whose event count breaks the 3×MAD robust band."""
     from .ops import temporal
@@ -2245,6 +2252,7 @@ QUERIES = {
     "footer_stats": q_footer_stats,
     "mmr_select": q_mmr_select,
     "window_anomalies": q_window_anomalies,
+    "quota_sample": q_quota_sample,
     "value_deltas": q_value_deltas,
     "page_align": q_page_align,
     "cms_words": q_cms_words,
@@ -2416,6 +2424,7 @@ ORACLES = {
     "footer_stats": sql_ops.FOOTER_STATS_SQL,
     "mmr_select": sql_ops.MMR_SELECT_SQL,
     "window_anomalies": sql_ops.WINDOW_ANOMALIES_SQL,
+    "quota_sample": sql_ops.QUOTA_SAMPLE_SQL,
     "value_deltas": sql_ops.VALUE_DELTAS_SQL,
     "page_align": sql_ops.PAGE_ALIGN_SQL,
     "cms_words": sql_ops.CMS_WORDS_SQL,

@@ -3019,3 +3019,35 @@ mad AS (
 SELECT win_start, n, med, mad
 FROM cnt, med, mad WHERE abs(n - med) > 3 * mad
 """
+
+
+# ---- exact-total proportional quota sample -----------------------------------
+from .ops.sampling import QUOTA_TOTAL  # noqa: E402
+
+QUOTA_SAMPLE_SQL = (
+    "WITH "
+    + _mix_ctes("doc_id, source", "doc_id", "documents")
+    + f""",
+n AS (SELECT source, CAST(count(*) AS BIGINT) AS ns FROM documents GROUP BY 1),
+tot AS (SELECT CAST(sum(ns) AS BIGINT) AS nn FROM n),
+q AS (
+  SELECT source, ({QUOTA_TOTAL} * ns) // tot.nn AS base,
+         ({QUOTA_TOTAL} * ns) % tot.nn AS rem
+  FROM n, tot
+),
+bs AS (SELECT CAST(sum(base) AS BIGINT) AS sb FROM q),
+give AS (
+  SELECT source,
+         base + CASE WHEN row_number() OVER (ORDER BY rem DESC, source)
+                      <= {QUOTA_TOTAL} - bs.sb THEN 1 ELSE 0 END AS quota
+  FROM q, bs
+),
+pick AS (
+  SELECT doc_id, source,
+         row_number() OVER (PARTITION BY source ORDER BY z, doc_id) AS rn
+  FROM s5
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, source
+FROM pick JOIN give USING (source) WHERE rn <= quota
+"""
+)

@@ -533,3 +533,30 @@ def test_mmr_matches_independent_greedy(ray_session, sf_dir):
     out = QUERIES["mmr_select"](sf_dir)
     got = [tuple(int(x) for x in r) for r in out.itertuples(index=False)]
     assert got == expect
+
+
+def test_quota_sample_exact_total_and_proportions(ray_session):
+    """Quotas sum to exactly k; each stratum's take is within 1 of the
+    proportional share (Hamilton apportionment invariant); heavily
+    imbalanced strata still get their floor share."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from scripts_ray.ops.sampling import quota_sample
+
+    df = pd.DataFrame(
+        {
+            "doc_id": np.arange(1000, dtype=np.int64),
+            "source": (["big"] * 700 + ["mid"] * 230 + ["tiny"] * 70),
+        }
+    )
+    out = quota_sample(rd.from_pandas(df), k=50).to_pandas()
+    assert len(out) == 50
+    got = out["source"].value_counts().to_dict()
+    for s, n_s in (("big", 700), ("mid", 230), ("tiny", 70)):
+        share = 50 * n_s / 1000
+        assert abs(got.get(s, 0) - share) < 1 + 1e-9, (s, got)
+    # deterministic: re-running picks the identical rows
+    out2 = quota_sample(rd.from_pandas(df), k=50).to_pandas()
+    assert sorted(out["doc_id"]) == sorted(out2["doc_id"])
