@@ -179,3 +179,52 @@ def keep_after_clustering(ids_ds, labels_ds, id_col: str = "doc_id"):
         return pd.DataFrame({id_col: out[id_col].to_numpy(dtype=np.int64)})
 
     return joined.map_batches(keep, batch_format="pandas")
+
+
+def keep_best_after_clustering(docs_ds, labels_ds, quality_col: str = "n_chars",
+                               id_col: str = "doc_id"):
+    """Keep-BEST-per-cluster dedup: production near-dup dedup keeps each
+    cluster's highest-QUALITY copy, not its smallest id (the min-id rule
+    of `keep_after_clustering` is the arbitrary-representative baseline).
+    Representative = argmax(quality, ties to the smaller id).
+
+    Plan: distributed join attaches the quality column to the cluster
+    labels (doc cardinality both sides), one exchange on cluster_id picks
+    the argmax per cluster and emits every OTHER clustered doc as a drop
+    row, and the same left-anti keep pass as keep_after_clustering
+    subtracts the drops from the id universe. `docs_ds` must carry
+    (id_col, quality_col); it is consumed twice (quality side + universe)
+    — two pruned-read re-executions, nothing materialized."""
+    from .hashagg import hash_join, map_partitions_by_key
+
+    lab_q = hash_join(
+        labels_ds,
+        docs_ds,
+        on=id_col,
+        how="inner",
+    )
+
+    def drops_part(part: pd.DataFrame) -> pd.DataFrame:
+        part = part.sort_values(
+            ["cluster_id", quality_col, id_col],
+            ascending=[True, False, True],
+            kind="mergesort",
+        )
+        best = part.groupby("cluster_id", sort=False).cumcount() == 0
+        out = part.loc[~best.to_numpy(), [id_col]].reset_index(drop=True)
+        return out.assign(_dropped=np.int8(1))
+
+    drops = map_partitions_by_key(lab_q, "cluster_id", drops_part)
+    joined = hash_join(
+        docs_ds.select_columns([id_col]),
+        drops,
+        on=id_col,
+        how="left",
+        empty_right_cols=[id_col, "_dropped"],
+    )
+
+    def keep(batch: pd.DataFrame) -> pd.DataFrame:
+        out = batch.loc[batch["_dropped"].isna(), [id_col]]
+        return pd.DataFrame({id_col: out[id_col].to_numpy(dtype=np.int64)})
+
+    return joined.map_batches(keep, batch_format="pandas")

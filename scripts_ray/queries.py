@@ -1656,6 +1656,19 @@ def q_hopping_windows(sf_dir: str):
     )
 
 
+def q_dedup_keep_best(sf_dir: str):
+    """Keep-one-per-cluster dedup where the kept copy is the cluster's
+    highest-quality (longest) document, not the min id."""
+    from .ops import cluster
+
+    labels = cluster.connected_components(
+        _minhash_verified_pairs(sf_dir).select_columns(["doc_a", "doc_b"])
+    )
+    return cluster.keep_best_after_clustering(
+        _read(sf_dir, "documents", columns=["doc_id", "n_chars"]), labels
+    )
+
+
 def q_quota_sample(sf_dir: str):
     """Exact-total proportional sample (Hamilton apportionment)."""
     return sampling.quota_sample(
@@ -2253,6 +2266,7 @@ QUERIES = {
     "mmr_select": q_mmr_select,
     "window_anomalies": q_window_anomalies,
     "quota_sample": q_quota_sample,
+    "dedup_keep_best": q_dedup_keep_best,
     "value_deltas": q_value_deltas,
     "page_align": q_page_align,
     "cms_words": q_cms_words,
@@ -2425,6 +2439,7 @@ ORACLES = {
     "mmr_select": sql_ops.MMR_SELECT_SQL,
     "window_anomalies": sql_ops.WINDOW_ANOMALIES_SQL,
     "quota_sample": sql_ops.QUOTA_SAMPLE_SQL,
+    "dedup_keep_best": sql_ops.DEDUP_KEEP_BEST_SQL,
     "value_deltas": sql_ops.VALUE_DELTAS_SQL,
     "page_align": sql_ops.PAGE_ALIGN_SQL,
     "cms_words": sql_ops.CMS_WORDS_SQL,

@@ -3051,3 +3051,20 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id, source
 FROM pick JOIN give USING (source) WHERE rn <= quota
 """
 )
+
+
+DEDUP_KEEP_BEST_SQL = f"""
+WITH RECURSIVE {_JACCARD_EDGES_CTE},
+labels AS (SELECT node, min(r) AS root FROM reach GROUP BY node),
+best AS (
+  SELECT l.root, d.doc_id
+  FROM labels l JOIN documents d ON d.doc_id = l.node
+  QUALIFY row_number() OVER (
+    PARTITION BY l.root ORDER BY d.n_chars DESC, d.doc_id
+  ) = 1
+)
+SELECT CAST(d.doc_id AS BIGINT) AS doc_id
+FROM documents d
+WHERE d.doc_id NOT IN (SELECT node FROM labels)
+   OR d.doc_id IN (SELECT doc_id FROM best)
+"""
