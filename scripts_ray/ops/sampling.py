@@ -501,3 +501,59 @@ def quota_sample(docs_ds, k: int = QUOTA_TOTAL, stratum_col: str = "source"):
         stratum_col,
         take,
     )
+
+
+def corpus_upsert(docs_fn):
+    """CDC compaction / upsert merge: older snapshot + delta → current
+    snapshot, delta winning per key — the merge step every incremental
+    corpus pipeline runs after `corpus_diff_sample`-style ingestion. The
+    two inputs are derived from the fixture by the SAME deterministic
+    v1/delta rule as corpus_diff_sample (v1 lacks the 'added' ids and
+    carries the old text for 'changed' ids; the delta holds exactly the
+    added+changed v2 rows), so the merged output must reconstruct the v2
+    documents table BYTE-FOR-BYTE — the oracle is `SELECT doc_id, text
+    FROM documents`, no re-derivation at all.
+
+    Plan: both sides tagged with a version column in their map pass, ONE
+    exchange on doc_id, per-partition keep-max-version (vectorized sort +
+    first-per-key). Text crosses the exchange once per side — the same
+    cost as any compaction; at real scale the delta side is the small
+    one and v1 arrives already bucketed (checkpoint layout), making the
+    exchange delta-proportional per bucket."""
+    from .hashagg import map_partitions_by_key
+
+    def v1_rows(batch: pd.DataFrame) -> pd.DataFrame:
+        ids = batch["doc_id"].to_numpy(dtype=np.int64)
+        keep = ids % DIFF_ADD_MOD != 0
+        ids = ids[keep]
+        text = batch["text"].to_numpy(dtype=object)[keep]
+        chg = ids % DIFF_CHG_MOD == 0
+        if chg.any():
+            text = text.copy()
+            text[chg] = np.char.add(text[chg].astype(str), DIFF_V1_SUFFIX)
+        return pd.DataFrame(
+            {"doc_id": ids, "text": text, "v": np.int8(1)}
+        )
+
+    def delta_rows(batch: pd.DataFrame) -> pd.DataFrame:
+        ids = batch["doc_id"].to_numpy(dtype=np.int64)
+        keep = (ids % DIFF_ADD_MOD == 0) | (ids % DIFF_CHG_MOD == 0)
+        return pd.DataFrame(
+            {
+                "doc_id": ids[keep],
+                "text": batch["text"].to_numpy(dtype=object)[keep],
+                "v": np.int8(2),
+            }
+        )
+
+    def merge_part(part: pd.DataFrame) -> pd.DataFrame:
+        part = part.sort_values(["doc_id", "v"], ascending=[True, False],
+                                kind="mergesort")
+        first = part.groupby("doc_id", sort=False).cumcount() == 0
+        out = part.loc[first.to_numpy(), ["doc_id", "text"]]
+        return out.reset_index(drop=True)
+
+    both = docs_fn().map_batches(v1_rows, batch_format="pandas").union(
+        docs_fn().map_batches(delta_rows, batch_format="pandas")
+    )
+    return map_partitions_by_key(both, "doc_id", merge_part)

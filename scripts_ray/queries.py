@@ -1656,6 +1656,14 @@ def q_hopping_windows(sf_dir: str):
     )
 
 
+def q_corpus_upsert(sf_dir: str):
+    """CDC upsert merge: derived v1 snapshot + delta must reconstruct the
+    v2 documents table byte-for-byte."""
+    return sampling.corpus_upsert(
+        lambda: _read(sf_dir, "documents", columns=["doc_id", "text"])
+    )
+
+
 def q_dedup_keep_best(sf_dir: str):
     """Keep-one-per-cluster dedup where the kept copy is the cluster's
     highest-quality (longest) document, not the min id."""
@@ -2267,6 +2275,7 @@ QUERIES = {
     "window_anomalies": q_window_anomalies,
     "quota_sample": q_quota_sample,
     "dedup_keep_best": q_dedup_keep_best,
+    "corpus_upsert": q_corpus_upsert,
     "value_deltas": q_value_deltas,
     "page_align": q_page_align,
     "cms_words": q_cms_words,
@@ -2440,6 +2449,7 @@ ORACLES = {
     "window_anomalies": sql_ops.WINDOW_ANOMALIES_SQL,
     "quota_sample": sql_ops.QUOTA_SAMPLE_SQL,
     "dedup_keep_best": sql_ops.DEDUP_KEEP_BEST_SQL,
+    "corpus_upsert": sql_ops.CORPUS_UPSERT_SQL,
     "value_deltas": sql_ops.VALUE_DELTAS_SQL,
     "page_align": sql_ops.PAGE_ALIGN_SQL,
     "cms_words": sql_ops.CMS_WORDS_SQL,

@@ -3068,3 +3068,9 @@ FROM documents d
 WHERE d.doc_id NOT IN (SELECT node FROM labels)
    OR d.doc_id IN (SELECT doc_id FROM best)
 """
+
+
+# The upsert merge must reconstruct v2 exactly — the oracle is the table.
+CORPUS_UPSERT_SQL = """
+SELECT CAST(doc_id AS BIGINT) AS doc_id, text FROM documents
+"""
