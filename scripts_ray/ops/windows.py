@@ -328,3 +328,20 @@ def role_valid_part(df: pd.DataFrame, valid_days: int = ROLE_VALID_DAYS) -> pd.D
     last_sys = sys_ts.groupby(df["conv_id"]).ffill()
     valid = (df["ts"] - last_sys) <= pd.Timedelta(days=valid_days)  # NaT → False
     return df.assign(role_valid=valid)[["conv_id", "turn_idx", "role_valid"]]
+
+
+def conv_render_part(part: pd.DataFrame) -> pd.DataFrame:
+    """Ordered group-concat exporter: one text blob per conversation,
+    turns joined in turn_idx order as 'role: text' lines — the render
+    step that ships a conversation to annotation/inspection tools. Runs
+    on the standard conv_id exchange; the per-group string join is
+    bounded by the OUTPUT artifact (the rendered transcript), the same
+    contract as the inverted index's postings concat."""
+    part = part.sort_values(["conv_id", "turn_idx"], kind="mergesort")
+    line = part["role"].astype(str) + ": " + part["text"].astype(str)
+    return (
+        pd.DataFrame({"conv_id": part["conv_id"], "line": line})
+        .groupby("conv_id", sort=False)["line"]
+        .agg("\n".join)
+        .reset_index(name="rendered")
+    )

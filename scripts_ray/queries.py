@@ -1656,6 +1656,11 @@ def q_hopping_windows(sf_dir: str):
     )
 
 
+def q_conv_render(sf_dir: str):
+    """One ordered 'role: text' blob per conversation (export render)."""
+    return _conv_grouped(sf_dir, windows.conv_render_part)
+
+
 def q_corpus_upsert(sf_dir: str):
     """CDC upsert merge: derived v1 snapshot + delta must reconstruct the
     v2 documents table byte-for-byte."""
@@ -2276,6 +2281,7 @@ QUERIES = {
     "quota_sample": q_quota_sample,
     "dedup_keep_best": q_dedup_keep_best,
     "corpus_upsert": q_corpus_upsert,
+    "conv_render": q_conv_render,
     "value_deltas": q_value_deltas,
     "page_align": q_page_align,
     "cms_words": q_cms_words,
@@ -2450,6 +2456,7 @@ ORACLES = {
     "quota_sample": sql_ops.QUOTA_SAMPLE_SQL,
     "dedup_keep_best": sql_ops.DEDUP_KEEP_BEST_SQL,
     "corpus_upsert": sql_ops.CORPUS_UPSERT_SQL,
+    "conv_render": sql_ops.CONV_RENDER_SQL,
     "value_deltas": sql_ops.VALUE_DELTAS_SQL,
     "page_align": sql_ops.PAGE_ALIGN_SQL,
     "cms_words": sql_ops.CMS_WORDS_SQL,

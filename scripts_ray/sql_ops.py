@@ -3074,3 +3074,13 @@ WHERE d.doc_id NOT IN (SELECT node FROM labels)
 CORPUS_UPSERT_SQL = """
 SELECT CAST(doc_id AS BIGINT) AS doc_id, text FROM documents
 """
+
+
+CONV_RENDER_SQL = (
+    _with(TRANSCRIPTS_CTE)
+    + """
+SELECT conv_id,
+       string_agg(role || ': ' || text, chr(10) ORDER BY turn_idx) AS rendered
+FROM transcripts GROUP BY conv_id
+"""
+)
