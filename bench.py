@@ -426,6 +426,9 @@ def run_bench() -> dict:
             "json_props",
             "value_deltas",
             "global_len_order",
+            "quota_sample",
+            "corpus_upsert",
+            "conv_render",
         ]
     )
     for name in secondary:

@@ -467,6 +467,8 @@ def quota_sample(docs_ds, k: int = QUOTA_TOTAL, stratum_col: str = "source"):
     ).to_pandas().sort_values(stratum_col, kind="mergesort")
     ns = counts["ns"].to_numpy(dtype=np.int64)
     total = int(ns.sum())
+    if total == 0:
+        raise ValueError("quota_sample: empty input — no strata to apportion")
     base = (k * ns) // total
     rem = (k * ns) % total
     leftover = int(k - base.sum())

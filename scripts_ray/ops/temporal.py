@@ -453,11 +453,12 @@ def window_anomalies(events_ds, k_mad: int = 3):
     def tag(batch: pd.DataFrame) -> pd.DataFrame:
         return batch.assign(_g=np.int64(0))
 
-    med = int(
-        group_quantiles(
-            counts.map_batches(tag, batch_format="pandas"), "wn", ["_g"], [500]
-        ).to_pandas()["p500"].iloc[0]
-    )
+    med_df = group_quantiles(
+        counts.map_batches(tag, batch_format="pandas"), "wn", ["_g"], [500]
+    ).to_pandas()
+    if len(med_df) == 0:
+        raise ValueError("window_anomalies: empty event stream — no windows")
+    med = int(med_df["p500"].iloc[0])
 
     def dev(batch: pd.DataFrame) -> pd.DataFrame:
         return batch.assign(
