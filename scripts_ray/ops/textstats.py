@@ -735,3 +735,69 @@ def pmi_bigrams(docs_ds, min_count: int = PMI_MIN_COUNT, k: int = PMI_TOP_K):
         tie_cols=["t1", "t2"],
     )
     return ranked.drop_columns(["_g"])
+
+
+SKIPGRAM_WINDOW = 3
+SKIPGRAM_TOP_K = 20
+
+
+def skipgram_pairs(docs_ds, window: int = SKIPGRAM_WINDOW,
+                   k: int = SKIPGRAM_TOP_K):
+    """Windowed co-occurrence counts — the skip-gram statistics (ordered
+    pairs within `window` token positions) that word-embedding training
+    and collocation mining consume; pmi_bigrams' adjacency is the
+    window=1 special case. Per batch the pair stream is `window`
+    shifted-equality passes over the shared explode kernel (no Python
+    row loop), combined per batch before ONE hash aggregate; the bounded
+    pair-count table finishes with a combiner-pruned top-k.
+    Emits (t1, t2, n, rank) for the k most frequent pairs
+    (ties: t1, t2 asc)."""
+    from ..tokens import explode
+    from .hashagg import hash_aggregate
+    from .quantiles import group_topk
+
+    def emit(batch: pa.Table) -> pd.DataFrame:
+        rows, toks = explode(batch["text"].combine_chunks())
+        n = len(toks)
+        if n == 0:
+            return pd.DataFrame(
+                {"t1": np.array([], dtype=object),
+                 "t2": np.array([], dtype=object),
+                 "n": np.array([], dtype=np.int64)}
+            )
+        frames = []
+        for g in range(1, window + 1):
+            if n <= g:
+                break
+            same = rows[g:] == rows[:-g]
+            frames.append(
+                pd.DataFrame({"t1": toks[:-g][same], "t2": toks[g:][same]})
+            )
+        if not frames:
+            return pd.DataFrame(
+                {"t1": np.array([], dtype=object),
+                 "t2": np.array([], dtype=object),
+                 "n": np.array([], dtype=np.int64)}
+            )
+        return (
+            pd.concat(frames, ignore_index=True)
+            .groupby(["t1", "t2"], sort=False)
+            .size()
+            .reset_index(name="n")
+        )
+
+    counts = hash_aggregate(
+        docs_ds.map_batches(emit, batch_format="pyarrow"),
+        keys=["t1", "t2"],
+        aggs={"n": ("n", "sum")},
+    )
+    ranked = group_topk(
+        counts.map_batches(
+            lambda b: b.assign(_g=np.int64(0)), batch_format="pandas"
+        ),
+        keys=["_g"],
+        sort_col="n",
+        k=k,
+        tie_cols=["t1", "t2"],
+    )
+    return ranked.drop_columns(["_g"])

@@ -1656,6 +1656,13 @@ def q_hopping_windows(sf_dir: str):
     )
 
 
+def q_skipgram_pairs(sf_dir: str):
+    """Top windowed co-occurrence pairs (skip-gram counts, window 3)."""
+    return textstats.skipgram_pairs(
+        _read(sf_dir, "documents", columns=["text"])
+    )
+
+
 def q_conv_render(sf_dir: str):
     """One ordered 'role: text' blob per conversation (export render)."""
     return _conv_grouped(sf_dir, windows.conv_render_part)
@@ -2282,6 +2289,7 @@ QUERIES = {
     "dedup_keep_best": q_dedup_keep_best,
     "corpus_upsert": q_corpus_upsert,
     "conv_render": q_conv_render,
+    "skipgram_pairs": q_skipgram_pairs,
     "value_deltas": q_value_deltas,
     "page_align": q_page_align,
     "cms_words": q_cms_words,
@@ -2457,6 +2465,7 @@ ORACLES = {
     "dedup_keep_best": sql_ops.DEDUP_KEEP_BEST_SQL,
     "corpus_upsert": sql_ops.CORPUS_UPSERT_SQL,
     "conv_render": sql_ops.CONV_RENDER_SQL,
+    "skipgram_pairs": sql_ops.SKIPGRAM_PAIRS_SQL,
     "value_deltas": sql_ops.VALUE_DELTAS_SQL,
     "page_align": sql_ops.PAGE_ALIGN_SQL,
     "cms_words": sql_ops.CMS_WORDS_SQL,

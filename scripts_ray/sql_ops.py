@@ -3084,3 +3084,22 @@ SELECT conv_id,
 FROM transcripts GROUP BY conv_id
 """
 )
+
+
+# ---- windowed skip-gram co-occurrence ------------------------------------------
+from .ops.textstats import SKIPGRAM_TOP_K, SKIPGRAM_WINDOW  # noqa: E402
+
+SKIPGRAM_PAIRS_SQL = f"""
+WITH d AS (SELECT doc_id, {_DOC_TOKS} AS l FROM documents),
+t AS (SELECT doc_id, unnest(l) AS tok, unnest(range(len(l))) AS pos FROM d),
+p AS (
+  SELECT a.tok AS t1, b.tok AS t2, CAST(count(*) AS BIGINT) AS n
+  FROM t a JOIN t b
+    ON b.doc_id = a.doc_id
+   AND b.pos - a.pos BETWEEN 1 AND {SKIPGRAM_WINDOW}
+  GROUP BY 1, 2
+)
+SELECT t1, t2, n,
+       CAST(row_number() OVER (ORDER BY n DESC, t1, t2) AS BIGINT) AS rank
+FROM p QUALIFY rank <= {SKIPGRAM_TOP_K}
+"""
