@@ -638,3 +638,67 @@ def phrase_search(docs_ds, phrase: tuple[str, ...] = PHRASE):
         )
 
     return docs_ds.map_batches(scan, batch_format="pyarrow")
+
+
+# ---- distributed linear-model statistics ---------------------------------------
+GRAM_FEATURES = ("n_chars", "n_tokens", "one")
+
+
+def gram_matrix(docs_ds):
+    """Exact XᵀX / Xᵀy sufficient statistics for a linear model over
+    integer document features — the distributed-linear-algebra shape
+    (Spark-MLlib-style normal equations): each batch emits its d×d+d
+    partial in long form ((i, j, v) with j = d for the Xᵀy column), the
+    merge is ONE constant-size hash aggregate, and the d×d solve happens
+    wherever the statistics land — nothing row-scaled ever leaves the
+    map stage, the same mergeable-partials contract as the sketches.
+    Features: (n_chars, n_ws_tokens, intercept 1); target y =
+    n_distinct-token count. All int64, bit-exact in the SQL oracle.
+    Emits (i, j, v) for i ≤ j ≤ d (upper triangle + target column)."""
+    from ..tokens import explode
+    from .hashagg import hash_aggregate
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        text = batch["text"].combine_chunks()
+        n_chars = pc.utf8_length(text).to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        rows, toks = explode(text)
+        n = len(text)
+        n_tok = np.zeros(n, dtype=np.int64)
+        np.add.at(n_tok, rows, 1)
+        # distinct tokens per doc: sort-free via pandas C groupby-nunique
+        if len(rows):
+            y = (
+                pd.DataFrame({"r": rows, "t": toks})
+                .groupby("r", sort=False)["t"]
+                .nunique()
+            )
+            n_dis = np.zeros(n, dtype=np.int64)
+            n_dis[y.index.to_numpy()] = y.to_numpy()
+        else:
+            n_dis = np.zeros(n, dtype=np.int64)
+        X = np.stack([n_chars, n_tok, np.ones(n, dtype=np.int64)], axis=1)
+        d = X.shape[1]
+        out_i, out_j, out_v = [], [], []
+        for i in range(d):
+            for j in range(i, d):
+                out_i.append(i)
+                out_j.append(j)
+                out_v.append(int((X[:, i] * X[:, j]).sum()))
+            out_i.append(i)
+            out_j.append(d)  # target column
+            out_v.append(int((X[:, i] * n_dis).sum()))
+        return pd.DataFrame(
+            {
+                "i": np.array(out_i, dtype=np.int64),
+                "j": np.array(out_j, dtype=np.int64),
+                "v": np.array(out_v, dtype=np.int64),
+            }
+        )
+
+    return hash_aggregate(
+        docs_ds.map_batches(partial, batch_format="pyarrow"),
+        keys=["i", "j"],
+        aggs={"v": ("v", "sum")},
+    )

@@ -1656,6 +1656,14 @@ def q_hopping_windows(sf_dir: str):
     )
 
 
+def q_gram_matrix(sf_dir: str):
+    """Exact normal-equation sufficient statistics (XᵀX, Xᵀy) as
+    constant-size mergeable partials."""
+    from .ops.retrieval import gram_matrix
+
+    return gram_matrix(_read(sf_dir, "documents", columns=["text"]))
+
+
 def q_skipgram_pairs(sf_dir: str):
     """Top windowed co-occurrence pairs (skip-gram counts, window 3)."""
     return textstats.skipgram_pairs(
@@ -2290,6 +2298,7 @@ QUERIES = {
     "corpus_upsert": q_corpus_upsert,
     "conv_render": q_conv_render,
     "skipgram_pairs": q_skipgram_pairs,
+    "gram_matrix": q_gram_matrix,
     "value_deltas": q_value_deltas,
     "page_align": q_page_align,
     "cms_words": q_cms_words,
@@ -2466,6 +2475,7 @@ ORACLES = {
     "corpus_upsert": sql_ops.CORPUS_UPSERT_SQL,
     "conv_render": sql_ops.CONV_RENDER_SQL,
     "skipgram_pairs": sql_ops.SKIPGRAM_PAIRS_SQL,
+    "gram_matrix": sql_ops.GRAM_MATRIX_SQL,
     "value_deltas": sql_ops.VALUE_DELTAS_SQL,
     "page_align": sql_ops.PAGE_ALIGN_SQL,
     "cms_words": sql_ops.CMS_WORDS_SQL,

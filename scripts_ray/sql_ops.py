@@ -3103,3 +3103,29 @@ SELECT t1, t2, n,
        CAST(row_number() OVER (ORDER BY n DESC, t1, t2) AS BIGINT) AS rank
 FROM p QUALIFY rank <= {SKIPGRAM_TOP_K}
 """
+
+
+# ---- normal-equation sufficient statistics --------------------------------------
+def _gram_sql() -> str:
+    cols = {0: "x0", 1: "x1", 2: "x2", 3: "y"}
+    terms = []
+    for i in range(3):
+        for j in list(range(i, 3)) + [3]:
+            terms.append(
+                f"SELECT CAST({i} AS BIGINT) AS i, CAST({j} AS BIGINT) AS j, "
+                f"CAST(sum({cols[i]} * {cols[j]}) AS BIGINT) AS v FROM f"
+            )
+    body = "\nUNION ALL ".join(terms)
+    return f"""
+WITH f AS (
+  SELECT CAST(length(text) AS BIGINT) AS x0,
+         CAST(len({_DOC_TOKS}) AS BIGINT) AS x1,
+         CAST(1 AS BIGINT) AS x2,
+         CAST(len(list_distinct({_DOC_TOKS})) AS BIGINT) AS y
+  FROM documents
+)
+{body}
+"""
+
+
+GRAM_MATRIX_SQL = _gram_sql()
