@@ -482,3 +482,44 @@ def window_anomalies(events_ds, k_mad: int = 3):
         return out
 
     return counts.map_batches(flag, batch_format="pandas")
+
+
+DECAY_REF_DATE = "2024-02-01"  # fixture events end 2024-01-30
+
+
+def decayed_user_value(events_ds, ref_date: str = DECAY_REF_DATE):
+    """Recency-weighted per-user value: Σ value·2^(−age_days) with a
+    half-life of one day — the time-decay prior every freshness-aware
+    ranking/quality signal needs, kept EXACT by power-of-two decay on
+    integer micro-units: decayed = v_micro // 2^age (floor division).
+    Values must be non-negative (asserted loudly): DuckDB's `//`
+    truncates toward zero while numpy floors, so a negative value would
+    silently diverge between the engines instead of erroring.
+    Pure map + one two-level aggregate; the reference date is a pinned
+    constant, so no global max-ts pass. Emits (user_id, decayed_micro,
+    n_events)."""
+    ref = np.datetime64(ref_date)
+
+    def decay(batch: pd.DataFrame) -> pd.DataFrame:
+        v = np.floor(
+            batch["value"].to_numpy(dtype=np.float64) * 1_000_000.0
+        ).astype(np.int64)
+        assert (v >= 0).all(), "decayed_user_value requires non-negative values"
+        age = (
+            (ref - batch["ts"].to_numpy().astype("datetime64[D]"))
+            / np.timedelta64(1, "D")
+        ).astype(np.int64)
+        age = np.clip(age, 0, 62)
+        return pd.DataFrame(
+            {
+                "user_id": batch["user_id"].astype(np.int64),
+                "d": v // (np.int64(1) << age),
+                "one": np.ones(len(batch), dtype=np.int64),
+            }
+        )
+
+    return hash_aggregate(
+        events_ds.map_batches(decay, batch_format="pandas"),
+        keys=["user_id"],
+        aggs={"decayed_micro": ("d", "sum"), "n_events": ("one", "sum")},
+    )

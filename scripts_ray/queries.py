@@ -1656,6 +1656,15 @@ def q_hopping_windows(sf_dir: str):
     )
 
 
+def q_decayed_user_value(sf_dir: str):
+    """Per-user recency-decayed value sum (exact power-of-two decay)."""
+    from .ops import temporal
+
+    return temporal.decayed_user_value(
+        _read(sf_dir, "events", columns=["user_id", "ts", "value"])
+    )
+
+
 def q_gram_matrix(sf_dir: str):
     """Exact normal-equation sufficient statistics (XᵀX, Xᵀy) as
     constant-size mergeable partials."""
@@ -2299,6 +2308,7 @@ QUERIES = {
     "conv_render": q_conv_render,
     "skipgram_pairs": q_skipgram_pairs,
     "gram_matrix": q_gram_matrix,
+    "decayed_user_value": q_decayed_user_value,
     "value_deltas": q_value_deltas,
     "page_align": q_page_align,
     "cms_words": q_cms_words,
@@ -2476,6 +2486,7 @@ ORACLES = {
     "conv_render": sql_ops.CONV_RENDER_SQL,
     "skipgram_pairs": sql_ops.SKIPGRAM_PAIRS_SQL,
     "gram_matrix": sql_ops.GRAM_MATRIX_SQL,
+    "decayed_user_value": sql_ops.DECAYED_USER_VALUE_SQL,
     "value_deltas": sql_ops.VALUE_DELTAS_SQL,
     "page_align": sql_ops.PAGE_ALIGN_SQL,
     "cms_words": sql_ops.CMS_WORDS_SQL,

@@ -3129,3 +3129,22 @@ WITH f AS (
 
 
 GRAM_MATRIX_SQL = _gram_sql()
+
+
+# ---- recency-decayed aggregate ---------------------------------------------------
+from .ops.temporal import DECAY_REF_DATE  # noqa: E402
+
+DECAYED_USER_VALUE_SQL = f"""
+WITH d AS (
+  SELECT user_id,
+         CAST(floor(value * 1000000.0) AS BIGINT)
+           // (CAST(1 AS BIGINT) << least(greatest(
+                datediff('day', CAST(ts AS DATE), DATE '{DECAY_REF_DATE}'),
+                0), 62)) AS dv
+  FROM events
+)
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       CAST(sum(dv) AS BIGINT) AS decayed_micro,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM d GROUP BY user_id
+"""
