@@ -523,3 +523,40 @@ def decayed_user_value(events_ds, ref_date: str = DECAY_REF_DATE):
         keys=["user_id"],
         aggs={"decayed_micro": ("d", "sum"), "n_events": ("one", "sum")},
     )
+
+
+GRID_YEAR, GRID_MONTH, GRID_DAYS = 2024, 1, 31
+
+
+def dense_event_grid(events_ds):
+    """Zero-filled dense report: event counts per (event_type, day) over
+    the FULL January-2024 calendar grid — reporting needs the zeros
+    (a missing day must read 0, not vanish), which no groupby alone
+    produces. The distributed part is the usual two-level count
+    aggregate (bounded by types × days); the grid fill is a driver-side
+    cross product of the pinned calendar with the aggregate's own
+    distinct types — dimension-sized, like every other report fold.
+    Emits (event_type, day, n) for every grid cell."""
+
+    def day_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "event_type": batch["event_type"],
+                "day": batch["ts"].dt.day.astype(np.int64),
+            }
+        ).groupby(["event_type", "day"], sort=False).size().reset_index(name="n")
+
+    counts = hash_aggregate(
+        events_ds.map_batches(day_partial, batch_format="pandas"),
+        keys=["event_type", "day"],
+        aggs={"n": ("n", "sum")},
+    ).to_pandas()
+
+    types = sorted(counts["event_type"].unique())
+    grid = pd.MultiIndex.from_product(
+        [types, range(1, GRID_DAYS + 1)], names=["event_type", "day"]
+    ).to_frame(index=False)
+    grid["day"] = grid["day"].astype(np.int64)
+    out = grid.merge(counts, on=["event_type", "day"], how="left")
+    out["n"] = out["n"].fillna(0).astype(np.int64)
+    return out

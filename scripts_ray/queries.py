@@ -1656,6 +1656,15 @@ def q_hopping_windows(sf_dir: str):
     )
 
 
+def q_dense_event_grid(sf_dir: str):
+    """Zero-filled (event_type, day) count grid over the pinned calendar."""
+    from .ops import temporal
+
+    return temporal.dense_event_grid(
+        _read(sf_dir, "events", columns=["event_type", "ts"])
+    )
+
+
 def q_decayed_user_value(sf_dir: str):
     """Per-user recency-decayed value sum (exact power-of-two decay)."""
     from .ops import temporal
@@ -2309,6 +2318,7 @@ QUERIES = {
     "skipgram_pairs": q_skipgram_pairs,
     "gram_matrix": q_gram_matrix,
     "decayed_user_value": q_decayed_user_value,
+    "dense_event_grid": q_dense_event_grid,
     "value_deltas": q_value_deltas,
     "page_align": q_page_align,
     "cms_words": q_cms_words,
@@ -2487,6 +2497,7 @@ ORACLES = {
     "skipgram_pairs": sql_ops.SKIPGRAM_PAIRS_SQL,
     "gram_matrix": sql_ops.GRAM_MATRIX_SQL,
     "decayed_user_value": sql_ops.DECAYED_USER_VALUE_SQL,
+    "dense_event_grid": sql_ops.DENSE_EVENT_GRID_SQL,
     "value_deltas": sql_ops.VALUE_DELTAS_SQL,
     "page_align": sql_ops.PAGE_ALIGN_SQL,
     "cms_words": sql_ops.CMS_WORDS_SQL,

@@ -3148,3 +3148,18 @@ SELECT CAST(user_id AS BIGINT) AS user_id,
        CAST(count(*) AS BIGINT) AS n_events
 FROM d GROUP BY user_id
 """
+
+
+DENSE_EVENT_GRID_SQL = """
+WITH types AS (SELECT DISTINCT event_type FROM events),
+days AS (SELECT unnest(range(1, 32)) AS day),
+cnt AS (
+  SELECT event_type, CAST(day(ts) AS BIGINT) AS day,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+)
+SELECT t.event_type, CAST(d.day AS BIGINT) AS day,
+       CAST(COALESCE(cnt.n, 0) AS BIGINT) AS n
+FROM types t CROSS JOIN days d
+LEFT JOIN cnt ON cnt.event_type = t.event_type AND cnt.day = d.day
+"""

@@ -560,3 +560,22 @@ def test_quota_sample_exact_total_and_proportions(ray_session):
     # deterministic: re-running picks the identical rows
     out2 = quota_sample(rd.from_pandas(df), k=50).to_pandas()
     assert sorted(out["doc_id"]) == sorted(out2["doc_id"])
+
+
+def test_dense_event_grid_zero_fill(ray_session, sf_dir):
+    """The grid covers every (event_type, day 1..31) cell; missing days
+    read 0 (fixture events stop on Jan 30, so day 31 must be all-zero);
+    total count equals the events row count."""
+    import pyarrow.parquet as pq
+
+    from scripts_ray.ops.temporal import GRID_DAYS
+    from scripts_ray.queries import QUERIES
+
+    out = QUERIES["dense_event_grid"](sf_dir)
+    types = out["event_type"].nunique()
+    assert len(out) == types * GRID_DAYS
+    assert not out.duplicated(["event_type", "day"]).any()
+    day31 = out[out["day"] == 31]
+    assert len(day31) == types and (day31["n"] == 0).all()
+    n_events = pq.read_metadata(f"{sf_dir}/events.parquet").num_rows
+    assert int(out["n"].sum()) == n_events
