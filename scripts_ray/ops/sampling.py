@@ -439,6 +439,64 @@ def seq_pack(docs_ds, seq_len: int = SEQ_LEN, n_buckets: int = SEQ_BUCKETS):
     return map_partitions_by_key(per_doc, "bucket", pack)
 
 
+CHUNK_LEN = 64    # tokens per retrieval chunk
+CHUNK_STRIDE = 48  # window step; overlap = CHUNK_LEN - CHUNK_STRIDE
+
+
+def chunk_docs(docs_ds, chunk_len: int = CHUNK_LEN, stride: int = CHUNK_STRIDE):
+    """Overlapping fixed-token-window chunking — RAG / retrieval-index
+    prep, the per-document complement of `seq_pack`'s cross-document
+    packing: each document's token stream (the `_DOC_TOKS` convention)
+    is cut into windows of `chunk_len` tokens starting every `stride`
+    tokens, so consecutive chunks overlap by chunk_len - stride and the
+    final window may run short. A PURE per-row map — chunk boundaries
+    depend only on the row itself, so the stage streams with no exchange
+    at any corpus scale. Window arithmetic is vectorized (repeat +
+    segmented arange over the exploded token array); only the emitted
+    chunk strings are assembled per OUTPUT row, a cost proportional to
+    the output payload like any string materialization. Empty documents
+    emit no chunks. Emits (doc_id, chunk_idx, tok_start, tok_end,
+    chunk_text)."""
+    import pyarrow as pa
+
+    from ..tokens import explode
+
+    if not (0 < stride <= chunk_len):
+        raise ValueError(f"need 0 < stride <= chunk_len, got {stride}/{chunk_len}")
+
+    def chunks(batch: pd.DataFrame) -> pd.DataFrame:
+        ids = batch["doc_id"].to_numpy(dtype=np.int64)
+        rows, toks = explode(pa.array(batch["text"].tolist(), type=pa.string()))
+        n = (
+            np.bincount(rows, minlength=len(batch)).astype(np.int64)
+            if len(toks)
+            else np.zeros(len(batch), dtype=np.int64)
+        )
+        off = np.zeros(len(batch) + 1, dtype=np.int64)
+        np.cumsum(n, out=off[1:])
+        n_chunks = -(-n // stride)  # ceil(n/stride); 0 for empty docs
+        total = int(n_chunks.sum())
+        rep = np.repeat(np.arange(len(batch), dtype=np.int64), n_chunks)
+        first = np.concatenate([[0], np.cumsum(n_chunks)[:-1]])
+        within = np.arange(total, dtype=np.int64) - np.repeat(first, n_chunks)
+        s = within * stride
+        e = np.minimum(s + chunk_len, n[rep])
+        gs, ge = off[rep] + s, off[rep] + e
+        return pd.DataFrame(
+            {
+                "doc_id": ids[rep],
+                "chunk_idx": within,
+                "tok_start": s,
+                "tok_end": e,
+                "chunk_text": [
+                    " ".join(toks[a:b]) for a, b in zip(gs, ge)
+                ],
+            }
+        )
+
+    return docs_ds.map_batches(chunks, batch_format="pandas")
+
+
 QUOTA_TOTAL = 50
 
 

@@ -1665,6 +1665,13 @@ def q_dense_event_grid(sf_dir: str):
     )
 
 
+def q_chunk_docs(sf_dir: str):
+    """Overlapping token-window chunks per document (RAG prep)."""
+    return sampling.chunk_docs(
+        _read(sf_dir, "documents", columns=["doc_id", "text"])
+    )
+
+
 def q_decayed_user_value(sf_dir: str):
     """Per-user recency-decayed value sum (exact power-of-two decay)."""
     from .ops import temporal
@@ -2319,6 +2326,7 @@ QUERIES = {
     "gram_matrix": q_gram_matrix,
     "decayed_user_value": q_decayed_user_value,
     "dense_event_grid": q_dense_event_grid,
+    "chunk_docs": q_chunk_docs,
     "value_deltas": q_value_deltas,
     "page_align": q_page_align,
     "cms_words": q_cms_words,
@@ -2498,6 +2506,7 @@ ORACLES = {
     "gram_matrix": sql_ops.GRAM_MATRIX_SQL,
     "decayed_user_value": sql_ops.DECAYED_USER_VALUE_SQL,
     "dense_event_grid": sql_ops.DENSE_EVENT_GRID_SQL,
+    "chunk_docs": sql_ops.CHUNK_DOCS_SQL,
     "value_deltas": sql_ops.VALUE_DELTAS_SQL,
     "page_align": sql_ops.PAGE_ALIGN_SQL,
     "cms_words": sql_ops.CMS_WORDS_SQL,

@@ -3163,3 +3163,32 @@ SELECT t.event_type, CAST(d.day AS BIGINT) AS day,
 FROM types t CROSS JOIN days d
 LEFT JOIN cnt ON cnt.event_type = t.event_type AND cnt.day = d.day
 """
+
+
+# ---- overlapping token-window chunking (ops/sampling.chunk_docs) -------------
+# Same _DOC_TOKS tokenization; window starts at every CHUNK_STRIDE tokens
+# while < n, end clamped to min(start + CHUNK_LEN, n); list slice is the
+# 1-based inclusive DuckDB form of the engine's [start:end) numpy slice.
+
+from .ops.sampling import CHUNK_LEN, CHUNK_STRIDE  # noqa: E402
+
+CHUNK_DOCS_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, {_DOC_TOKS} AS t FROM documents
+),
+nn AS (SELECT doc_id, t, len(t) AS n FROM toks WHERE len(t) > 0),
+starts AS (
+  SELECT doc_id, t, n,
+         CAST(unnest(range(0, n, {CHUNK_STRIDE})) AS BIGINT) AS s
+  FROM nn
+)
+SELECT doc_id,
+       CAST(s // {CHUNK_STRIDE} AS BIGINT) AS chunk_idx,
+       s AS tok_start,
+       CAST(least(s + {CHUNK_LEN}, n) AS BIGINT) AS tok_end,
+       array_to_string(
+         t[CAST(s + 1 AS BIGINT):CAST(least(s + {CHUNK_LEN}, n) AS BIGINT)],
+         ' '
+       ) AS chunk_text
+FROM starts
+"""

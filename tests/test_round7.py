@@ -579,3 +579,35 @@ def test_dense_event_grid_zero_fill(ray_session, sf_dir):
     assert len(day31) == types and (day31["n"] == 0).all()
     n_events = pq.read_metadata(f"{sf_dir}/events.parquet").num_rows
     assert int(out["n"].sum()) == n_events
+
+
+def test_chunk_docs_windows_tile_and_reconstruct(ray_session, sf_dir):
+    """Chunk windows start at every stride-th token, end clamped to doc
+    length; each chunk_text has exactly tok_end - tok_start tokens; and
+    dropping the overlap prefix of every chunk after the first
+    reconstructs each document's full normalized token stream."""
+    import pyarrow as pa
+
+    from scripts_ray.ops.sampling import CHUNK_LEN, CHUNK_STRIDE
+    from scripts_ray.queries import QUERIES, _read
+    from scripts_ray.tokens import explode
+
+    out = QUERIES["chunk_docs"](sf_dir).to_pandas()
+    assert (out["tok_start"] == out["chunk_idx"] * CHUNK_STRIDE).all()
+    assert (out["tok_end"] - out["tok_start"]).between(1, CHUNK_LEN).all()
+    n_toks = out["chunk_text"].str.split(" ").str.len()
+    assert (n_toks == out["tok_end"] - out["tok_start"]).all()
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"]).to_pandas()
+    rows, toks = explode(pa.array(docs["text"].tolist(), type=pa.string()))
+    full = {
+        int(docs["doc_id"].iloc[r]): " ".join(toks[rows == r])
+        for r in range(len(docs))
+    }
+    for doc_id, g in out.sort_values("chunk_idx").groupby("doc_id"):
+        parts, prev_end = [], 0
+        for _, row in g.iterrows():
+            t = row["chunk_text"].split(" ")
+            parts.extend(t[prev_end - row["tok_start"]:])
+            prev_end = row["tok_end"]
+        assert " ".join(parts) == full[int(doc_id)], doc_id
