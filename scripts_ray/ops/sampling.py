@@ -497,6 +497,49 @@ def chunk_docs(docs_ds, chunk_len: int = CHUNK_LEN, stride: int = CHUNK_STRIDE):
     return docs_ds.map_batches(chunks, batch_format="pandas")
 
 
+DOMAIN_CAP = 3  # max docs kept per source
+
+
+def domain_cap(docs_ds, cap: int = DOMAIN_CAP, key_col: str = "source"):
+    """Per-domain document cap — the web-crawl de-biasing gate (don't let
+    one over-represented site dominate the mixture): keep at most `cap`
+    docs per `key_col`, chosen as the smallest (splitmix64(doc_id),
+    doc_id) keys. Deterministic and append-stable — a doc's rank key
+    never changes, so re-runs and incremental loads keep the same
+    survivors — and exactly restatable in SQL (row_number over the same
+    chain). Per-batch local pruning cuts every batch to <= cap rows per
+    source BEFORE the exchange (any row outside its batch-local top-cap
+    can't be in the global top-cap), so the shuffle carries at most
+    cap x sources-in-batch narrow (doc_id, source, z) rows per batch no
+    matter the corpus size. Emits (doc_id, source)."""
+    from .dedup import sql_mix64
+    from .hashagg import map_partitions_by_key
+
+    def top_cap(d: pd.DataFrame) -> pd.DataFrame:
+        return (
+            d.sort_values(["z", "doc_id"], kind="mergesort")
+            .groupby(key_col, sort=False)
+            .head(cap)
+        )
+
+    def prune(batch: pd.DataFrame) -> pd.DataFrame:
+        d = pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"].to_numpy(dtype=np.int64),
+                key_col: batch[key_col],
+            }
+        )
+        d["z"] = sql_mix64(d["doc_id"].to_numpy(dtype=np.int64))
+        return top_cap(d)
+
+    def final(part: pd.DataFrame) -> pd.DataFrame:
+        return top_cap(part)[["doc_id", key_col]].reset_index(drop=True)
+
+    return map_partitions_by_key(
+        docs_ds.map_batches(prune, batch_format="pandas"), key_col, final
+    )
+
+
 QUOTA_TOTAL = 50
 
 

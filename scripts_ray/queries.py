@@ -1672,6 +1672,13 @@ def q_chunk_docs(sf_dir: str):
     )
 
 
+def q_domain_cap(sf_dir: str):
+    """Keep at most DOMAIN_CAP docs per source (deterministic hash rank)."""
+    return sampling.domain_cap(
+        _read(sf_dir, "documents", columns=["doc_id", "source"])
+    )
+
+
 def q_decayed_user_value(sf_dir: str):
     """Per-user recency-decayed value sum (exact power-of-two decay)."""
     from .ops import temporal
@@ -2327,6 +2334,7 @@ QUERIES = {
     "decayed_user_value": q_decayed_user_value,
     "dense_event_grid": q_dense_event_grid,
     "chunk_docs": q_chunk_docs,
+    "domain_cap": q_domain_cap,
     "value_deltas": q_value_deltas,
     "page_align": q_page_align,
     "cms_words": q_cms_words,
@@ -2507,6 +2515,7 @@ ORACLES = {
     "decayed_user_value": sql_ops.DECAYED_USER_VALUE_SQL,
     "dense_event_grid": sql_ops.DENSE_EVENT_GRID_SQL,
     "chunk_docs": sql_ops.CHUNK_DOCS_SQL,
+    "domain_cap": sql_ops.DOMAIN_CAP_SQL,
     "value_deltas": sql_ops.VALUE_DELTAS_SQL,
     "page_align": sql_ops.PAGE_ALIGN_SQL,
     "cms_words": sql_ops.CMS_WORDS_SQL,

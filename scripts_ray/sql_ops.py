@@ -3192,3 +3192,24 @@ SELECT doc_id,
        ) AS chunk_text
 FROM starts
 """
+
+
+# ---- per-domain document cap (ops/sampling.domain_cap) ------------------------
+# Survivors = the cap smallest (splitmix64(doc_id), doc_id) per source —
+# the identical chain as the Bernoulli samplers, ranked instead of
+# thresholded.
+
+from .ops.sampling import DOMAIN_CAP  # noqa: E402
+
+DOMAIN_CAP_SQL = (
+    "WITH "
+    + _mix_ctes("doc_id, source", "doc_id", "documents")
+    + f""",
+ranked AS (
+  SELECT doc_id, source,
+         row_number() OVER (PARTITION BY source ORDER BY z, doc_id) AS rn
+  FROM s5
+)
+SELECT doc_id, source FROM ranked WHERE rn <= {DOMAIN_CAP}
+"""
+)

@@ -611,3 +611,37 @@ def test_chunk_docs_windows_tile_and_reconstruct(ray_session, sf_dir):
             parts.extend(t[prev_end - row["tok_start"]:])
             prev_end = row["tok_end"]
         assert " ".join(parts) == full[int(doc_id)], doc_id
+
+
+def test_domain_cap_skew_and_partition_invariance(ray_session):
+    """A 100-doc source is cut to exactly cap survivors (the cap smallest
+    splitmix64 keys), an under-cap source keeps all docs, and the result
+    is identical however the input is partitioned (local prune + final
+    pass commute)."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from scripts_ray.ops.dedup import sql_mix64
+    from scripts_ray.ops.sampling import domain_cap
+
+    df = pd.DataFrame(
+        {
+            "doc_id": np.arange(102, dtype=np.int64),
+            "source": ["big"] * 100 + ["tiny"] * 2,
+        }
+    )
+    out = domain_cap(rd.from_pandas(df), cap=3).to_pandas()
+    assert sorted(out["source"].value_counts().to_dict().items()) == [
+        ("big", 3), ("tiny", 2)
+    ]
+    z = sql_mix64(np.arange(100, dtype=np.int64))
+    expect_big = set(np.argsort(z, kind="stable")[:3].tolist())
+    assert set(out.loc[out["source"] == "big", "doc_id"]) == expect_big
+
+    out2 = domain_cap(
+        rd.from_pandas(df).repartition(7), cap=3
+    ).to_pandas()
+    a = out.sort_values(["source", "doc_id"]).reset_index(drop=True)
+    b = out2.sort_values(["source", "doc_id"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
