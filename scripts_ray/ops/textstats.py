@@ -801,3 +801,54 @@ def skipgram_pairs(docs_ds, window: int = SKIPGRAM_WINDOW,
         tie_cols=["t1", "t2"],
     )
     return ranked.drop_columns(["_g"])
+
+
+def ttr_by_source(docs_ds):
+    """Lexical diversity per source — type-token ratio, a standard
+    quality-filter signal (template-generated or spammy sources have
+    few types per token). Two-level path: per-batch (source, tok)
+    partial counts combine inside the map stage, the (source, tok)
+    exchange carries vocabulary-cardinality rows (never token
+    instances), and a second aggregate keyed on the bounded source set
+    folds each source's vocab rows into (n_types, n_tokens). The ratio
+    is emitted as integer permille (floor) so the SQL oracle matches
+    bit-for-bit. Emits (source, n_types, n_tokens, ttr_permille)."""
+    from ..tokens import explode
+    from .hashagg import hash_aggregate
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        rows, toks = explode(pa.array(batch["text"].tolist(), type=pa.string()))
+        if len(toks) == 0:
+            return pd.DataFrame(
+                {
+                    "source": pd.Series([], dtype=object),
+                    "tok": pd.Series([], dtype=object),
+                    "n": pd.Series([], dtype=np.int64),
+                }
+            )
+        src = batch["source"].to_numpy(dtype=object)[rows]
+        return (
+            pd.DataFrame({"source": src, "tok": toks})
+            .groupby(["source", "tok"], sort=False)
+            .size()
+            .reset_index(name="n")
+        )
+
+    per_tok = hash_aggregate(
+        docs_ds.map_batches(partial, batch_format="pandas"),
+        keys=["source", "tok"],
+        aggs={"n": ("n", "sum")},
+    )
+    per_src = hash_aggregate(
+        per_tok,
+        keys=["source"],
+        aggs={"n_types": ("tok", "count"), "n_tokens": ("n", "sum")},
+    )
+
+    def ratio(batch: pd.DataFrame) -> pd.DataFrame:
+        batch["ttr_permille"] = (
+            1000 * batch["n_types"].to_numpy(dtype=np.int64)
+        ) // batch["n_tokens"].to_numpy(dtype=np.int64)
+        return batch
+
+    return per_src.map_batches(ratio, batch_format="pandas")

@@ -1679,6 +1679,15 @@ def q_domain_cap(sf_dir: str):
     )
 
 
+def q_ttr_by_source(sf_dir: str):
+    """Type-token ratio (lexical diversity) per source, integer permille."""
+    from .ops.textstats import ttr_by_source
+
+    return ttr_by_source(
+        _read(sf_dir, "documents", columns=["source", "text"])
+    )
+
+
 def q_decayed_user_value(sf_dir: str):
     """Per-user recency-decayed value sum (exact power-of-two decay)."""
     from .ops import temporal
@@ -2335,6 +2344,7 @@ QUERIES = {
     "dense_event_grid": q_dense_event_grid,
     "chunk_docs": q_chunk_docs,
     "domain_cap": q_domain_cap,
+    "ttr_by_source": q_ttr_by_source,
     "value_deltas": q_value_deltas,
     "page_align": q_page_align,
     "cms_words": q_cms_words,
@@ -2516,6 +2526,7 @@ ORACLES = {
     "dense_event_grid": sql_ops.DENSE_EVENT_GRID_SQL,
     "chunk_docs": sql_ops.CHUNK_DOCS_SQL,
     "domain_cap": sql_ops.DOMAIN_CAP_SQL,
+    "ttr_by_source": sql_ops.TTR_BY_SOURCE_SQL,
     "value_deltas": sql_ops.VALUE_DELTAS_SQL,
     "page_align": sql_ops.PAGE_ALIGN_SQL,
     "cms_words": sql_ops.CMS_WORDS_SQL,

@@ -3213,3 +3213,18 @@ ranked AS (
 SELECT doc_id, source FROM ranked WHERE rn <= {DOMAIN_CAP}
 """
 )
+
+
+# ---- type-token ratio per source (ops/textstats.ttr_by_source) ---------------
+
+TTR_BY_SOURCE_SQL = f"""
+WITH tt AS (
+  SELECT source, unnest({_DOC_TOKS}) AS tok FROM documents
+),
+agg AS (SELECT source, tok, count(*) AS n FROM tt GROUP BY 1, 2)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_types,
+       CAST(sum(n) AS BIGINT) AS n_tokens,
+       CAST((1000 * count(*)) // sum(n) AS BIGINT) AS ttr_permille
+FROM agg GROUP BY source
+"""

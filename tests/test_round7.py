@@ -645,3 +645,30 @@ def test_domain_cap_skew_and_partition_invariance(ray_session):
     a = out.sort_values(["source", "doc_id"]).reset_index(drop=True)
     b = out2.sort_values(["source", "doc_id"]).reset_index(drop=True)
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_ttr_by_source_hand_case(ray_session):
+    """Known type/token counts: cross-doc repeats collapse to one type
+    per source (the two-level combine is exact), and the permille floor
+    matches integer arithmetic."""
+    import pandas as pd
+    import ray.data as rd
+
+    from scripts_ray.ops.textstats import ttr_by_source
+
+    df = pd.DataFrame(
+        {
+            "source": ["A", "A", "B"],
+            "text": ["a b a", "b c", "x x x x"],
+        }
+    )
+    out = (
+        ttr_by_source(rd.from_pandas(df).repartition(3))
+        .to_pandas()
+        .set_index("source")
+        .sort_index()
+    )
+    assert out.loc["A", "n_types"] == 3 and out.loc["A", "n_tokens"] == 5
+    assert out.loc["A", "ttr_permille"] == 600
+    assert out.loc["B", "n_types"] == 1 and out.loc["B", "n_tokens"] == 4
+    assert out.loc["B", "ttr_permille"] == 250
