@@ -205,6 +205,54 @@ def kmeans_assign(emb_ds, seed_ids: np.ndarray, seeds: np.ndarray):
     return emb_ds.map_batches(assign, batch_format="pyarrow")
 
 
+def kmeans_update(emb_ds, seed_ids: np.ndarray, seeds: np.ndarray):
+    """The UPDATE step of distributed Lloyd's — the half `kmeans_assign`
+    deliberately leaves to "a tiny keyed aggregate per iteration", now
+    value-checked: per batch, assign vectors to their nearest seed (one
+    matmul, same tie rule as kmeans_assign) and emit per-(cluster, dim)
+    partial sums of the ×1024-quantized RAW embedding grid (power-of-two
+    scale: float32→float64 then floor is exact in both engines) plus the
+    per-cluster vector count. The partial is at most k × dim + k rows
+    per batch — a constant-size mergeable sufficient statistic, so the
+    exchange never scales with the corpus; the next-iteration centroid
+    is sum_q / (PQ_QUANT · n_vecs) per dim, renormalized consumer-side
+    (spherical k-means). Clusters with no member emit nothing, exactly
+    as the SQL group-by drops them. Emits (cluster, dim, sum_q,
+    n_vecs)."""
+    import ray
+
+    from .hashagg import hash_aggregate
+    from .similarity import _pq_quantize, _to_matrix, _unit_rows
+
+    order = np.argsort(seed_ids)
+    ref = ray.put((seed_ids[order].astype(np.int64), _unit_rows(seeds[order])))
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        cids, cn = ray.get(ref)
+        vecs = _to_matrix(batch["embedding"].combine_chunks())
+        best = np.argmax(_unit_rows(vecs) @ cn.T, axis=1)
+        q = _pq_quantize(vecs)
+        k, d = len(cids), q.shape[1]
+        sums = np.zeros((k, d), dtype=np.int64)
+        np.add.at(sums, best, q)
+        counts = np.bincount(best, minlength=k)
+        present = np.flatnonzero(counts)
+        return pd.DataFrame(
+            {
+                "cluster": np.repeat(cids[present], d),
+                "dim": np.tile(np.arange(d, dtype=np.int64), len(present)),
+                "sum_q": sums[present].ravel(),
+                "n_vecs": np.repeat(counts[present].astype(np.int64), d),
+            }
+        )
+
+    return hash_aggregate(
+        emb_ds.map_batches(partial, batch_format="pyarrow"),
+        keys=["cluster", "dim"],
+        aggs={"sum_q": ("sum_q", "sum"), "n_vecs": ("n_vecs", "sum")},
+    )
+
+
 # ---- DSIR-style importance selection ----------------------------------------
 
 DSIR_BUCKETS = 64

@@ -1688,6 +1688,20 @@ def q_ttr_by_source(sf_dir: str):
     )
 
 
+def q_kmeans_update(sf_dir: str):
+    """Lloyd's update step: per-(cluster, dim) quantized sums + counts."""
+    from .ops import retrieval
+
+    seed_ids, seeds = similarity.load_queries(
+        sf_dir, n_queries=retrieval.KMEANS_N_SEEDS
+    )
+    return retrieval.kmeans_update(
+        _read(sf_dir, "embeddings", columns=["vec_id", "embedding"]),
+        seed_ids,
+        seeds,
+    )
+
+
 def q_decayed_user_value(sf_dir: str):
     """Per-user recency-decayed value sum (exact power-of-two decay)."""
     from .ops import temporal
@@ -2345,6 +2359,7 @@ QUERIES = {
     "chunk_docs": q_chunk_docs,
     "domain_cap": q_domain_cap,
     "ttr_by_source": q_ttr_by_source,
+    "kmeans_update": q_kmeans_update,
     "value_deltas": q_value_deltas,
     "page_align": q_page_align,
     "cms_words": q_cms_words,
@@ -2527,6 +2542,7 @@ ORACLES = {
     "chunk_docs": sql_ops.CHUNK_DOCS_SQL,
     "domain_cap": sql_ops.DOMAIN_CAP_SQL,
     "ttr_by_source": sql_ops.TTR_BY_SOURCE_SQL,
+    "kmeans_update": sql_ops.KMEANS_UPDATE_SQL,
     "value_deltas": sql_ops.VALUE_DELTAS_SQL,
     "page_align": sql_ops.PAGE_ALIGN_SQL,
     "cms_words": sql_ops.CMS_WORDS_SQL,

@@ -3228,3 +3228,39 @@ SELECT source,
        CAST((1000 * count(*)) // sum(n) AS BIGINT) AS ttr_permille
 FROM agg GROUP BY source
 """
+
+
+# ---- Lloyd's update step (ops/retrieval.kmeans_update) ------------------------
+# Assignment CTE identical to KMEANS_ASSIGN_SQL; the update statistic is
+# the per-(cluster, dim) sum of floor(embedding * 1024) — the same exact
+# power-of-two grid as the PQ oracles — plus the member count.
+
+from .ops.retrieval import KMEANS_N_SEEDS  # noqa: E402
+from .ops.similarity import PQ_QUANT  # noqa: E402
+
+KMEANS_UPDATE_SQL = f"""
+WITH c AS (
+  SELECT vec_id AS cid, embedding AS ce FROM embeddings
+  WHERE vec_id < {KMEANS_N_SEEDS}
+),
+s AS (
+  SELECT e.vec_id, c.cid,
+         row_number() OVER (
+           PARTITION BY e.vec_id
+           ORDER BY list_cosine_similarity(e.embedding, c.ce) DESC, c.cid
+         ) AS rn
+  FROM embeddings e, c
+),
+a AS (SELECT vec_id, cid AS cluster FROM s WHERE rn = 1),
+ex AS (
+  SELECT a.cluster,
+         generate_subscripts(e.embedding, 1) - 1 AS dim,
+         unnest(e.embedding) AS v
+  FROM embeddings e JOIN a ON a.vec_id = e.vec_id
+)
+SELECT CAST(cluster AS BIGINT) AS cluster,
+       CAST(dim AS BIGINT) AS dim,
+       CAST(sum(CAST(floor(CAST(v AS DOUBLE) * {PQ_QUANT}) AS BIGINT)) AS BIGINT) AS sum_q,
+       CAST(count(*) AS BIGINT) AS n_vecs
+FROM ex GROUP BY 1, 2
+"""

@@ -672,3 +672,37 @@ def test_ttr_by_source_hand_case(ray_session):
     assert out.loc["A", "ttr_permille"] == 600
     assert out.loc["B", "n_types"] == 1 and out.loc["B", "n_tokens"] == 4
     assert out.loc["B", "ttr_permille"] == 250
+
+
+def test_kmeans_update_sums_match_bruteforce(ray_session, sf_dir):
+    """The update statistic is exact: per-cluster counts equal the
+    kmeans_assign membership, and each cluster's per-dim sum_q equals the
+    brute-force sum of floor(embedding*1024) over its members; the implied
+    mean renormalizes to a valid unit centroid."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from scripts_ray.ops.similarity import PQ_QUANT, _pq_quantize, _to_matrix
+    from scripts_ray.queries import QUERIES
+
+    upd = QUERIES["kmeans_update"](sf_dir).to_pandas()
+    assign = QUERIES["kmeans_assign"](sf_dir).to_pandas()
+    member_counts = assign.groupby("cluster").size()
+    per_cluster = upd.groupby("cluster")["n_vecs"].agg(["min", "max"])
+    assert (per_cluster["min"] == per_cluster["max"]).all()
+    got_counts = upd.groupby("cluster")["n_vecs"].first()
+    assert got_counts.sort_index().equals(member_counts.sort_index())
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                      columns=["vec_id", "embedding"])
+    ids = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    q = _pq_quantize(_to_matrix(t["embedding"].combine_chunks()))
+    by_vec = dict(zip(assign["vec_id"], assign["cluster"]))
+    cl = np.array([by_vec[i] for i in ids], dtype=np.int64)
+    for c in got_counts.index:
+        want = q[cl == c].sum(axis=0)
+        got = (upd[upd["cluster"] == c].sort_values("dim")["sum_q"]
+               .to_numpy(dtype=np.int64))
+        assert (got == want).all(), c
+        mean = got / (PQ_QUANT * got_counts[c])
+        assert np.linalg.norm(mean) > 0  # renormalizable next centroid
