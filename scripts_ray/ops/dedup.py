@@ -1328,3 +1328,59 @@ def line_dedup(docs_ds, num_partitions: int = 64):
     return map_partitions_by_key(
         survivors, "doc_id", assemble, num_partitions=num_partitions
     )
+
+
+# ---- whole-conversation exact dedup -------------------------------------------
+
+CONV_DUP_MOD = 3  # every 3rd conversation gets a planted '-dup' replica
+
+
+def plant_conv_dups(transcripts_ds):
+    """Planted-artifact stage (the plant_gopher/plant_pii convention):
+    replicate every CONV_DUP_MOD-th conversation's turn rows under
+    `conv_id || '-dup'` so the dedup path below has known collisions to
+    find — the fixture's 15/150 conversations are all genuinely
+    distinct. A pure per-batch map: a turn row's replica depends only on
+    the row itself."""
+
+    def dup(batch: pd.DataFrame) -> pd.DataFrame:
+        uid = batch["conv_id"].str.slice(5).astype(np.int64)
+        sel = batch[uid % CONV_DUP_MOD == 0].copy()
+        sel["conv_id"] = sel["conv_id"] + "-dup"
+        return pd.concat([batch, sel], ignore_index=True)
+
+    return transcripts_ds.map_batches(dup, batch_format="pandas")
+
+
+def conv_dedup(transcripts_ds):
+    """Whole-conversation exact dedup — the chat-corpus counterpart of
+    doc-level `dedup_docs` (two sessions that replayed the identical
+    exchange should train once): fingerprint = md5 of the turn_idx-ordered
+    'role|text' stream (one md5 per CONVERSATION, bounded by conv count;
+    DuckDB byte-parity via string_agg ORDER BY), then first-wins on the
+    fingerprint with the observed multiplicity. Two exchanges, both
+    narrow: the conv_id exchange carries turn rows exactly once (the same
+    atomic-conversation contract as every window op), the fp exchange one
+    row per conversation. Emits (fp, conv_id, n_dupes) for survivors."""
+    from ..ops.textstats import md5_hex
+    from .hashagg import hash_aggregate, map_partitions_by_key
+
+    def fp_part(part: pd.DataFrame) -> pd.DataFrame:
+        part = part.sort_values(["conv_id", "turn_idx"], kind="mergesort")
+        line = part["role"].astype(str) + "|" + part["text"].astype(str)
+        blob = (
+            pd.DataFrame({"conv_id": part["conv_id"], "line": line})
+            .groupby("conv_id", sort=False)["line"]
+            .agg("\x1f".join)
+        )
+        return pd.DataFrame(
+            {"conv_id": blob.index.to_numpy(dtype=object),
+             "fp": md5_hex(blob.tolist())}
+        )
+
+    fps = map_partitions_by_key(transcripts_ds, "conv_id", fp_part)
+    return hash_aggregate(
+        fps,
+        keys=["fp"],
+        aggs={"conv_id": ("conv_id", "min"), "n_dupes": ("conv_id", "count")},
+    )

@@ -1702,6 +1702,19 @@ def q_kmeans_update(sf_dir: str):
     )
 
 
+def q_conv_dedup(sf_dir: str):
+    """Whole-conversation exact dedup over the planted-replica stream."""
+    from .ops.dedup import conv_dedup, plant_conv_dups
+
+    return conv_dedup(
+        plant_conv_dups(
+            derive_transcripts_ds(sf_dir).select_columns(
+                ["conv_id", "turn_idx", "role", "text"]
+            )
+        )
+    )
+
+
 def q_decayed_user_value(sf_dir: str):
     """Per-user recency-decayed value sum (exact power-of-two decay)."""
     from .ops import temporal
@@ -2360,6 +2373,7 @@ QUERIES = {
     "domain_cap": q_domain_cap,
     "ttr_by_source": q_ttr_by_source,
     "kmeans_update": q_kmeans_update,
+    "conv_dedup": q_conv_dedup,
     "value_deltas": q_value_deltas,
     "page_align": q_page_align,
     "cms_words": q_cms_words,
@@ -2543,6 +2557,7 @@ ORACLES = {
     "domain_cap": sql_ops.DOMAIN_CAP_SQL,
     "ttr_by_source": sql_ops.TTR_BY_SOURCE_SQL,
     "kmeans_update": sql_ops.KMEANS_UPDATE_SQL,
+    "conv_dedup": sql_ops.CONV_DEDUP_SQL,
     "value_deltas": sql_ops.VALUE_DELTAS_SQL,
     "page_align": sql_ops.PAGE_ALIGN_SQL,
     "cms_words": sql_ops.CMS_WORDS_SQL,

@@ -3264,3 +3264,27 @@ SELECT CAST(cluster AS BIGINT) AS cluster,
        CAST(count(*) AS BIGINT) AS n_vecs
 FROM ex GROUP BY 1, 2
 """
+
+
+# ---- whole-conversation exact dedup (ops/dedup.conv_dedup) --------------------
+
+from .ops.dedup import CONV_DUP_MOD  # noqa: E402
+
+CONV_DEDUP_SQL = (
+    _with(TRANSCRIPTS_CTE)
+    + f"""
+, planted AS (
+  SELECT conv_id, turn_idx, role, text FROM transcripts
+  UNION ALL
+  SELECT conv_id || '-dup', turn_idx, role, text FROM transcripts
+  WHERE CAST(substr(conv_id, 6) AS BIGINT) % {CONV_DUP_MOD} = 0
+),
+fp AS (
+  SELECT conv_id,
+         md5(string_agg(role || '|' || text, chr(31) ORDER BY turn_idx)) AS f
+  FROM planted GROUP BY conv_id
+)
+SELECT f AS fp, min(conv_id) AS conv_id, CAST(count(*) AS BIGINT) AS n_dupes
+FROM fp GROUP BY f
+"""
+)

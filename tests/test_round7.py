@@ -706,3 +706,26 @@ def test_kmeans_update_sums_match_bruteforce(ray_session, sf_dir):
         assert (got == want).all(), c
         mean = got / (PQ_QUANT * got_counts[c])
         assert np.linalg.norm(mean) > 0  # renormalizable next centroid
+
+
+def test_conv_dedup_collapses_planted_replicas(ray_session, sf_dir):
+    """Every planted '-dup' replica collapses onto its source (survivor =
+    the original conv_id, multiplicity 2); all other conversations are
+    singletons; survivor count equals the true conversation count."""
+    from scripts_ray.ops.dedup import CONV_DUP_MOD
+    from scripts_ray.queries import QUERIES
+    from scripts_ray.sources import derive_transcripts_ds
+
+    out = QUERIES["conv_dedup"](sf_dir).to_pandas()
+    assert not out["conv_id"].str.endswith("-dup").any()
+    uid = out["conv_id"].str.slice(5).astype(int)
+    planted = uid % CONV_DUP_MOD == 0
+    assert (out.loc[planted, "n_dupes"] == 2).all()
+    assert (out.loc[~planted, "n_dupes"] == 1).all()
+    n_convs = (
+        derive_transcripts_ds(sf_dir)
+        .select_columns(["conv_id"])
+        .to_pandas()["conv_id"]
+        .nunique()
+    )
+    assert len(out) == n_convs
