@@ -799,3 +799,25 @@ def mmr_select(emb_ds, sf_dir: str, c: int = MMR_CANDIDATES, k: int = MMR_K):
         active[best] = False
     out = pd.DataFrame(rows, columns=["step", "vec_id", "rel", "score"])
     return out.astype({c_: np.int64 for c_ in out.columns})
+
+
+NEG_SKIP = 5   # assumed-positive band: the exact top-5
+NEG_K = 15     # mine ranks NEG_SKIP+1 .. NEG_K as hard negatives
+
+
+def hard_negatives(emb_ds, query_ids: np.ndarray, queries: np.ndarray,
+                   skip: int = NEG_SKIP, k: int = NEG_K):
+    """Hard-negative mining for retriever training (the DPR/Contriever
+    convention): for each query, the vectors ranked skip+1..k by exact
+    cosine — close enough to be confusable with the positives, strictly
+    below the assumed-positive top-`skip` band. Exactly ann_cosine's
+    broadcast + per-batch-local-top-k + merge plan (per-batch candidate
+    rows bounded by k per query, never the corpus); the band slice is a
+    trailing pure map over the merged k rows."""
+
+    def band(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch[batch["rank"] > skip]
+
+    return ann_cosine(emb_ds, query_ids, queries, k=k).map_batches(
+        band, batch_format="pandas"
+    )

@@ -1715,6 +1715,16 @@ def q_conv_dedup(sf_dir: str):
     )
 
 
+def q_hard_negatives(sf_dir: str):
+    """Hard-negative band (ranks 6..15 by exact cosine) per query."""
+    query_ids, queries = similarity.load_queries(sf_dir, n_queries=10)
+    return similarity.hard_negatives(
+        _read(sf_dir, "embeddings", columns=["vec_id", "embedding"]),
+        query_ids,
+        queries,
+    )
+
+
 def q_decayed_user_value(sf_dir: str):
     """Per-user recency-decayed value sum (exact power-of-two decay)."""
     from .ops import temporal
@@ -2374,6 +2384,7 @@ QUERIES = {
     "ttr_by_source": q_ttr_by_source,
     "kmeans_update": q_kmeans_update,
     "conv_dedup": q_conv_dedup,
+    "hard_negatives": q_hard_negatives,
     "value_deltas": q_value_deltas,
     "page_align": q_page_align,
     "cms_words": q_cms_words,
@@ -2558,6 +2569,7 @@ ORACLES = {
     "ttr_by_source": sql_ops.TTR_BY_SOURCE_SQL,
     "kmeans_update": sql_ops.KMEANS_UPDATE_SQL,
     "conv_dedup": sql_ops.CONV_DEDUP_SQL,
+    "hard_negatives": sql_ops.HARD_NEGATIVES_SQL,
     "value_deltas": sql_ops.VALUE_DELTAS_SQL,
     "page_align": sql_ops.PAGE_ALIGN_SQL,
     "cms_words": sql_ops.CMS_WORDS_SQL,

@@ -3288,3 +3288,21 @@ SELECT f AS fp, min(conv_id) AS conv_id, CAST(count(*) AS BIGINT) AS n_dupes
 FROM fp GROUP BY f
 """
 )
+
+
+# ---- hard-negative mining (ops/similarity.hard_negatives) ---------------------
+
+from .ops.similarity import NEG_K, NEG_SKIP  # noqa: E402
+
+HARD_NEGATIVES_SQL = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 10),
+s AS (
+  SELECT q.query_id, e.vec_id,
+         list_cosine_similarity(q.qe, e.embedding) AS sim
+  FROM q, embeddings e WHERE e.vec_id <> q.query_id
+)
+SELECT CAST(query_id AS BIGINT) AS query_id,
+       CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS BIGINT) AS rank,
+       CAST(vec_id AS BIGINT) AS neighbor_id
+FROM s QUALIFY rank BETWEEN {NEG_SKIP + 1} AND {NEG_K}
+"""

@@ -729,3 +729,30 @@ def test_conv_dedup_collapses_planted_replicas(ray_session, sf_dir):
         .nunique()
     )
     assert len(out) == n_convs
+
+
+def test_hard_negatives_band_disjoint_from_positives(ray_session, sf_dir):
+    """The mined band is exactly ranks NEG_SKIP+1..NEG_K: disjoint from
+    ann_cosine's top-5 per query, 10 rows per query, and stacking top-5 +
+    band reproduces a straight top-NEG_K scan."""
+    from scripts_ray.ops.similarity import NEG_K, NEG_SKIP, ann_cosine
+    from scripts_ray.queries import QUERIES, _read, similarity
+
+    neg = QUERIES["hard_negatives"](sf_dir).to_pandas()
+    pos = QUERIES["ann_cosine"](sf_dir).to_pandas()
+    assert neg["rank"].between(NEG_SKIP + 1, NEG_K).all()
+    assert neg.groupby("query_id").size().eq(NEG_K - NEG_SKIP).all()
+    overlap = set(zip(neg["query_id"], neg["neighbor_id"])) & set(
+        zip(pos["query_id"], pos["neighbor_id"])
+    )
+    assert not overlap
+
+    qids, qvecs = similarity.load_queries(sf_dir, n_queries=10)
+    full = ann_cosine(
+        _read(sf_dir, "embeddings", columns=["vec_id", "embedding"]),
+        qids, qvecs, k=NEG_K,
+    ).to_pandas()
+    want = full[full["rank"] > NEG_SKIP]
+    a = neg.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    b = want.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    assert a.equals(b[a.columns])
