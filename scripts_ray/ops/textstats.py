@@ -852,3 +852,72 @@ def ttr_by_source(docs_ds):
         return batch
 
     return per_src.map_batches(ratio, batch_format="pandas")
+
+
+URL_SITES = 17       # distinct canonical pages in the plant
+URL_VARIANTS = 4     # surface forms per page
+
+
+def plant_messy_url(doc_id) -> pa.Array:
+    """Deterministic messy-URL plant for the canonicalizer (plant_pii
+    rationale: the synthetic corpus has no URLs): site = doc_id %
+    URL_SITES picks the page, doc_id % URL_VARIANTS one of four surface
+    forms — mixed-case host, trailing slash, tracking query, fragment —
+    that must all collapse to one canonical URL, so canonical collisions
+    exist by construction."""
+    ids = (
+        doc_id.combine_chunks() if isinstance(doc_id, pa.ChunkedArray) else doc_id
+    ).to_numpy(zero_copy_only=False).astype(np.int64)
+    s = pd.Series(ids % URL_SITES).astype(str)
+    v = ids % URL_VARIANTS
+    forms = [
+        "https://Site" + s + ".Example.com/path/" + s + "/page",
+        "https://site" + s + ".example.com/path/" + s + "/page/",
+        "https://site" + s + ".example.com/path/" + s
+        + "/page?utm_source=feed&ref=rss",
+        "https://SITE" + s + ".EXAMPLE.com/path/" + s + "/page#frag",
+    ]
+    url = np.select([v == i for i in range(URL_VARIANTS)],
+                    [f.to_numpy(dtype=object) for f in forms])
+    return pa.array(url, type=pa.string())
+
+
+def url_canon(docs_ds):
+    """URL canonicalization + first-wins URL dedup — the crawl-frontier /
+    web-corpus staple (the same page fetched under tracking params,
+    fragments, case-variant hosts and trailing slashes must count once).
+    Canonical form: strip fragment, strip query string, strip trailing
+    slashes, lowercase (the synthetic plant has no case-significant path,
+    so whole-string lowering is documented simplification — RE2 chain
+    identical in both engines). The canonicalize step is a pure
+    vectorized map; the only exchange carries (doc_id, url, canon_url)
+    rows keyed on canon_url, where first-wins membership is one
+    vectorized group-min compare. Emits (doc_id, url, canon_url,
+    keep)."""
+    from .hashagg import map_partitions_by_key
+
+    def canon(batch: pa.Table) -> pa.Table:
+        url = plant_messy_url(batch["doc_id"])
+        c = pc.replace_substring_regex(url, pattern=r"#.*$", replacement="")
+        c = pc.replace_substring_regex(c, pattern=r"\?.*$", replacement="")
+        c = pc.replace_substring_regex(c, pattern=r"/+$", replacement="")
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "url": url,
+                "canon_url": pc.utf8_lower(c),
+            }
+        )
+
+    def first_wins(part: pd.DataFrame) -> pd.DataFrame:
+        ids = part["doc_id"].to_numpy(dtype=np.int64)
+        part["keep"] = ids == part.groupby("canon_url", sort=False)[
+            "doc_id"
+        ].transform("min").to_numpy(dtype=np.int64)
+        return part
+
+    return map_partitions_by_key(
+        docs_ds.map_batches(canon, batch_format="pyarrow"),
+        "canon_url",
+        first_wins,
+    )

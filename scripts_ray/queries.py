@@ -1725,6 +1725,13 @@ def q_hard_negatives(sf_dir: str):
     )
 
 
+def q_url_canon(sf_dir: str):
+    """URL canonicalization + first-wins dedup over planted messy URLs."""
+    from .ops.textstats import url_canon
+
+    return url_canon(_read(sf_dir, "documents", columns=["doc_id"]))
+
+
 def q_decayed_user_value(sf_dir: str):
     """Per-user recency-decayed value sum (exact power-of-two decay)."""
     from .ops import temporal
@@ -2385,6 +2392,7 @@ QUERIES = {
     "kmeans_update": q_kmeans_update,
     "conv_dedup": q_conv_dedup,
     "hard_negatives": q_hard_negatives,
+    "url_canon": q_url_canon,
     "value_deltas": q_value_deltas,
     "page_align": q_page_align,
     "cms_words": q_cms_words,
@@ -2570,6 +2578,7 @@ ORACLES = {
     "kmeans_update": sql_ops.KMEANS_UPDATE_SQL,
     "conv_dedup": sql_ops.CONV_DEDUP_SQL,
     "hard_negatives": sql_ops.HARD_NEGATIVES_SQL,
+    "url_canon": sql_ops.URL_CANON_SQL,
     "value_deltas": sql_ops.VALUE_DELTAS_SQL,
     "page_align": sql_ops.PAGE_ALIGN_SQL,
     "cms_words": sql_ops.CMS_WORDS_SQL,

@@ -3306,3 +3306,31 @@ SELECT CAST(query_id AS BIGINT) AS query_id,
        CAST(vec_id AS BIGINT) AS neighbor_id
 FROM s QUALIFY rank BETWEEN {NEG_SKIP + 1} AND {NEG_K}
 """
+
+
+# ---- URL canonicalization + first-wins dedup (ops/textstats.url_canon) --------
+
+from .ops.textstats import URL_SITES, URL_VARIANTS  # noqa: E402
+
+URL_CANON_SQL = rf"""
+WITH planted AS (
+  SELECT doc_id,
+    CASE CAST(doc_id % {URL_VARIANTS} AS INTEGER)
+      WHEN 0 THEN 'https://Site' || s || '.Example.com/path/' || s || '/page'
+      WHEN 1 THEN 'https://site' || s || '.example.com/path/' || s || '/page/'
+      WHEN 2 THEN 'https://site' || s || '.example.com/path/' || s
+                  || '/page?utm_source=feed&ref=rss'
+      WHEN 3 THEN 'https://SITE' || s || '.EXAMPLE.com/path/' || s || '/page#frag'
+    END AS url
+  FROM (SELECT doc_id, CAST(doc_id % {URL_SITES} AS VARCHAR) AS s FROM documents)
+),
+canon AS (
+  SELECT doc_id, url,
+         lower(regexp_replace(regexp_replace(regexp_replace(
+           url, '#.*$', ''), '\?.*$', ''), '/+$', '')) AS canon_url
+  FROM planted
+)
+SELECT doc_id, url, canon_url,
+       doc_id = min(doc_id) OVER (PARTITION BY canon_url) AS keep
+FROM canon
+"""

@@ -756,3 +756,21 @@ def test_hard_negatives_band_disjoint_from_positives(ray_session, sf_dir):
     a = neg.sort_values(["query_id", "rank"]).reset_index(drop=True)
     b = want.sort_values(["query_id", "rank"]).reset_index(drop=True)
     assert a.equals(b[a.columns])
+
+
+def test_url_canon_collapses_all_variants(ray_session, sf_dir):
+    """All four surface forms of a site collapse to ONE canonical URL
+    (exactly URL_SITES canonicals corpus-wide), exactly one keeper per
+    canonical (the lowest doc_id), and canonicals carry no case, query,
+    fragment, or trailing slash."""
+    from scripts_ray.ops.textstats import URL_SITES
+    from scripts_ray.queries import QUERIES
+
+    out = QUERIES["url_canon"](sf_dir).to_pandas()
+    assert out["canon_url"].nunique() == URL_SITES
+    per = out.groupby("canon_url")
+    assert per["keep"].sum().eq(1).all()
+    keepers = out[out["keep"]].set_index("canon_url")["doc_id"]
+    assert per["doc_id"].min().eq(keepers).all()
+    c = out["canon_url"]
+    assert c.str.fullmatch(r"https://site\d+\.example\.com/path/\d+/page").all()
