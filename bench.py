@@ -429,6 +429,14 @@ def run_bench() -> dict:
             "quota_sample",
             "corpus_upsert",
             "conv_render",
+            "chunk_docs",
+            "domain_cap",
+            "ttr_by_source",
+            "kmeans_update",
+            "conv_dedup",
+            "hard_negatives",
+            "url_canon",
+            "dense_event_grid",
         ]
     )
     for name in secondary:
