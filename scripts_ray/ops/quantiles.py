@@ -281,3 +281,44 @@ def global_row_number(ds, value_col: str, id_col: str):
         return part.assign(rn=(b + pos + 1).astype(np.int64))
 
     return map_partitions_by_key(ds, [value_col], number_part)
+
+
+def len_log2_hist(docs_ds, value_col: str = "n_chars"):
+    """Power-of-two histogram of a positive integer column — the corpus
+    profiling view (how are document lengths distributed across orders
+    of magnitude) with EXACT integer bucketing on both engines, no libm:
+    bucket = floor(log2(x)) computed as searchsorted against the 2^k
+    boundary table here and as binary-digit count minus one in the SQL
+    oracle. Per-batch count partials into one bounded (<= 63 buckets)
+    aggregate; bucket bounds attached in a trailing map. Fails loudly on
+    non-positive values (log2 undefined; a silent clamp would desync the
+    two engines). Emits (bucket, lo, hi, n_docs)."""
+    from .hashagg import hash_aggregate
+
+    boundaries = np.left_shift(np.int64(1), np.arange(1, 63, dtype=np.int64))
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        x = batch[value_col].to_numpy(dtype=np.int64)
+        if len(x) and x.min() <= 0:
+            raise ValueError(f"{value_col} must be positive for log2 buckets")
+        b = np.searchsorted(boundaries, x, side="right")
+        return (
+            pd.DataFrame({"bucket": b})
+            .groupby("bucket", sort=False)
+            .size()
+            .reset_index(name="n_docs")
+        )
+
+    agg = hash_aggregate(
+        docs_ds.map_batches(partial, batch_format="pandas"),
+        keys=["bucket"],
+        aggs={"n_docs": ("n_docs", "sum")},
+    )
+
+    def bounds(batch: pd.DataFrame) -> pd.DataFrame:
+        b = batch["bucket"].to_numpy(dtype=np.int64)
+        batch["lo"] = np.left_shift(np.int64(1), b)
+        batch["hi"] = np.left_shift(np.int64(1), b + 1) - 1
+        return batch[["bucket", "lo", "hi", "n_docs"]]
+
+    return agg.map_batches(bounds, batch_format="pandas")

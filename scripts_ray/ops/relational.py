@@ -360,3 +360,34 @@ def footer_stats(sf_dir: str, table: str = "documents", key: str = "doc_id"):
             "max_key": np.array([max(maxs)], dtype=np.int64),
         }
     )
+
+
+EVENT_TYPES = ("click", "view", "signup", "purchase", "error")
+
+
+def user_type_matrix(events_ds, types: tuple[str, ...] = EVENT_TYPES):
+    """One-pass pivot: per-user event counts, one column per (fixed,
+    schema-declared) event type plus the total — conditional aggregation.
+    Contrast with click_purchase_matrix's k-way outer join: indicator
+    partials fold into ONE hash aggregate, so the plan costs a single
+    exchange however many pivot columns there are (linear in k, the
+    scalable pivot). Emits (user_id, n_<type>..., n_total)."""
+    from .hashagg import hash_aggregate
+
+    cols = [f"n_{t}" for t in types]
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        d = {"user_id": batch["user_id"].to_numpy(dtype=np.int64)}
+        et = batch["event_type"].to_numpy(dtype=object)
+        for t, c in zip(types, cols):
+            d[c] = (et == t).astype(np.int64)
+        d["n_total"] = np.ones(len(et), dtype=np.int64)
+        return (
+            pd.DataFrame(d).groupby("user_id", sort=False).sum().reset_index()
+        )
+
+    return hash_aggregate(
+        events_ds.map_batches(partial, batch_format="pandas"),
+        keys=["user_id"],
+        aggs={c: (c, "sum") for c in cols + ["n_total"]},
+    )

@@ -821,3 +821,42 @@ def hard_negatives(emb_ds, query_ids: np.ndarray, queries: np.ndarray,
     return ann_cosine(emb_ds, query_ids, queries, k=k).map_batches(
         band, batch_format="pandas"
     )
+
+
+OUTLIER_CENTI = 8  # drop vectors whose best-seed cosine floors under 0.08
+
+
+def emb_outliers(emb_ds, seed_ids: np.ndarray, seeds: np.ndarray,
+                 max_centi: int = OUTLIER_CENTI):
+    """Embedding-space outlier pruning — the quality-filter counterpart
+    of semdedup's near-dup pruning: a vector whose BEST seed-centroid
+    cosine is still low sits far from every cluster of the corpus
+    (noise, OOD, junk encodings). Emits the outliers with their nearest
+    cluster and floor(100·cos) in the near_dup_pairs centi convention
+    (coarse enough for engine/oracle bit parity). Broadcast the seed
+    matrix once, one matmul per batch, centi-floor + threshold — a pure
+    map, no exchange, nothing corpus-sized moves."""
+    import ray
+
+    order = np.argsort(seed_ids)
+    ref = ray.put((seed_ids[order].astype(np.int64), _unit_rows(seeds[order])))
+
+    def flag(batch: pa.Table) -> pd.DataFrame:
+        cids, cn = ray.get(ref)
+        vecs = _to_matrix(batch["embedding"].combine_chunks())
+        vids = batch["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        sims = _unit_rows(vecs) @ cn.T
+        best = np.argmax(sims, axis=1)  # first (lowest cid) on ties
+        centi = np.floor(100.0 * sims[np.arange(len(vids)), best]).astype(
+            np.int64
+        )
+        out = centi < max_centi
+        return pd.DataFrame(
+            {
+                "vec_id": vids[out],
+                "cluster": cids[best[out]],
+                "sim_centi": centi[out],
+            }
+        )
+
+    return emb_ds.map_batches(flag, batch_format="pyarrow")

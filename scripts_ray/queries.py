@@ -1732,6 +1732,36 @@ def q_url_canon(sf_dir: str):
     return url_canon(_read(sf_dir, "documents", columns=["doc_id"]))
 
 
+def q_emb_outliers(sf_dir: str):
+    """Embedding-space outliers: best-seed cosine centi-floor under 8."""
+    from .ops import retrieval
+
+    seed_ids, seeds = similarity.load_queries(
+        sf_dir, n_queries=retrieval.KMEANS_N_SEEDS
+    )
+    return similarity.emb_outliers(
+        _read(sf_dir, "embeddings", columns=["vec_id", "embedding"]),
+        seed_ids,
+        seeds,
+    )
+
+
+def q_user_type_matrix(sf_dir: str):
+    """One-pass conditional-aggregation pivot: per-user counts by type."""
+    from .ops.relational import user_type_matrix
+
+    return user_type_matrix(
+        _read(sf_dir, "events", columns=["user_id", "event_type"])
+    )
+
+
+def q_len_log2_hist(sf_dir: str):
+    """Power-of-two histogram of document lengths (exact integer buckets)."""
+    from .ops.quantiles import len_log2_hist
+
+    return len_log2_hist(_read(sf_dir, "documents", columns=["n_chars"]))
+
+
 def q_decayed_user_value(sf_dir: str):
     """Per-user recency-decayed value sum (exact power-of-two decay)."""
     from .ops import temporal
@@ -2393,6 +2423,9 @@ QUERIES = {
     "conv_dedup": q_conv_dedup,
     "hard_negatives": q_hard_negatives,
     "url_canon": q_url_canon,
+    "emb_outliers": q_emb_outliers,
+    "user_type_matrix": q_user_type_matrix,
+    "len_log2_hist": q_len_log2_hist,
     "value_deltas": q_value_deltas,
     "page_align": q_page_align,
     "cms_words": q_cms_words,
@@ -2579,6 +2612,9 @@ ORACLES = {
     "conv_dedup": sql_ops.CONV_DEDUP_SQL,
     "hard_negatives": sql_ops.HARD_NEGATIVES_SQL,
     "url_canon": sql_ops.URL_CANON_SQL,
+    "emb_outliers": sql_ops.EMB_OUTLIERS_SQL,
+    "user_type_matrix": sql_ops.USER_TYPE_MATRIX_SQL,
+    "len_log2_hist": sql_ops.LEN_LOG2_HIST_SQL,
     "value_deltas": sql_ops.VALUE_DELTAS_SQL,
     "page_align": sql_ops.PAGE_ALIGN_SQL,
     "cms_words": sql_ops.CMS_WORDS_SQL,

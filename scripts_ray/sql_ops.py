@@ -3334,3 +3334,57 @@ SELECT doc_id, url, canon_url,
        doc_id = min(doc_id) OVER (PARTITION BY canon_url) AS keep
 FROM canon
 """
+
+
+# ---- embedding-space outlier pruning (ops/similarity.emb_outliers) ------------
+
+from .ops.similarity import OUTLIER_CENTI  # noqa: E402
+
+EMB_OUTLIERS_SQL = f"""
+WITH c AS (
+  SELECT vec_id AS cid, embedding AS ce FROM embeddings
+  WHERE vec_id < {KMEANS_N_SEEDS}
+),
+s AS (
+  SELECT e.vec_id, c.cid, list_cosine_similarity(e.embedding, c.ce) AS sim,
+         row_number() OVER (
+           PARTITION BY e.vec_id
+           ORDER BY list_cosine_similarity(e.embedding, c.ce) DESC, c.cid
+         ) AS rn
+  FROM embeddings e, c
+)
+SELECT CAST(vec_id AS BIGINT) AS vec_id,
+       CAST(cid AS BIGINT) AS cluster,
+       CAST(floor(100 * sim) AS BIGINT) AS sim_centi
+FROM s WHERE rn = 1 AND floor(100 * sim) < {OUTLIER_CENTI}
+"""
+
+
+# ---- one-pass conditional-aggregation pivot (ops/relational.user_type_matrix) -
+
+from .ops.relational import EVENT_TYPES  # noqa: E402
+
+USER_TYPE_MATRIX_SQL = (
+    "SELECT CAST(user_id AS BIGINT) AS user_id,\n"
+    + ",\n".join(
+        f"  CAST(count(*) FILTER (WHERE event_type = '{t}') AS BIGINT) AS n_{t}"
+        for t in EVENT_TYPES
+    )
+    + ",\n  CAST(count(*) AS BIGINT) AS n_total\nFROM events GROUP BY user_id"
+)
+
+
+# ---- power-of-two length histogram (ops/quantiles.len_log2_hist) --------------
+# bucket = floor(log2(n_chars)) with no libm on either side: binary-digit
+# count minus one here, searchsorted on the 2^k table in the engine.
+
+LEN_LOG2_HIST_SQL = """
+WITH b AS (
+  SELECT length(printf('%b', n_chars)) - 1 AS bucket FROM documents
+)
+SELECT CAST(bucket AS BIGINT) AS bucket,
+       CAST((CAST(1 AS BIGINT) << bucket) AS BIGINT) AS lo,
+       CAST((CAST(1 AS BIGINT) << (bucket + 1)) - 1 AS BIGINT) AS hi,
+       CAST(count(*) AS BIGINT) AS n_docs
+FROM b GROUP BY bucket
+"""

@@ -774,3 +774,80 @@ def test_url_canon_collapses_all_variants(ray_session, sf_dir):
     assert per["doc_id"].min().eq(keepers).all()
     c = out["canon_url"]
     assert c.str.fullmatch(r"https://site\d+\.example\.com/path/\d+/page").all()
+
+
+def test_emb_outliers_threshold_and_cluster_agree(ray_session, sf_dir):
+    """Outliers are exactly the vectors whose best-seed centi-cosine is
+    under the threshold (brute-force check), and each outlier's cluster
+    matches kmeans_assign's assignment."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from scripts_ray.ops.similarity import OUTLIER_CENTI, _to_matrix, _unit_rows
+    from scripts_ray.queries import QUERIES
+
+    out = QUERIES["emb_outliers"](sf_dir).to_pandas()
+    assert (out["sim_centi"] < OUTLIER_CENTI).all()
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                      columns=["vec_id", "embedding"])
+    ids = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    m = _unit_rows(_to_matrix(t["embedding"].combine_chunks()))
+    order = np.argsort(ids)
+    seeds = m[order[:8]]
+    sims = m @ seeds.T
+    centi = np.floor(100.0 * sims.max(axis=1)).astype(np.int64)
+    want = set(ids[centi < OUTLIER_CENTI].tolist())
+    assert set(out["vec_id"]) == want
+
+    assign = QUERIES["kmeans_assign"](sf_dir).to_pandas()
+    merged = out.merge(assign, on="vec_id", suffixes=("", "_assign"))
+    assert (merged["cluster"] == merged["cluster_assign"]).all()
+
+
+def test_user_type_matrix_equals_pandas_pivot(ray_session, sf_dir):
+    """The one-pass pivot equals a brute pandas crosstab, and the row sum
+    invariant holds (type columns sum to n_total)."""
+    import pyarrow.parquet as pq
+
+    from scripts_ray.ops.relational import EVENT_TYPES
+    from scripts_ray.queries import QUERIES
+
+    out = QUERIES["user_type_matrix"](sf_dir).to_pandas()
+    cols = [f"n_{t}" for t in EVENT_TYPES]
+    assert out[cols].sum(axis=1).equals(out["n_total"])
+
+    ev = pq.read_table(f"{sf_dir}/events.parquet",
+                       columns=["user_id", "event_type"]).to_pandas()
+    ct = pd.crosstab(ev["user_id"], ev["event_type"])
+    got = out.set_index("user_id").sort_index()
+    for t in EVENT_TYPES:
+        want = ct[t] if t in ct else pd.Series(0, index=ct.index)
+        assert (got[f"n_{t}"] == want.sort_index()).all(), t
+    assert got["n_total"].sum() == len(ev)
+
+
+def test_len_log2_hist_exact_buckets(ray_session, sf_dir):
+    """Bucket = int.bit_length - 1 for every doc (exact), bounds are
+    [2^b, 2^(b+1)-1], counts conserve, and non-positive input fails
+    loudly."""
+    import pyarrow.parquet as pq
+    import pytest
+    import ray.data as rd
+
+    from scripts_ray.ops.quantiles import len_log2_hist
+    from scripts_ray.queries import QUERIES
+
+    out = QUERIES["len_log2_hist"](sf_dir).to_pandas()
+    assert (out["lo"] == 2 ** out["bucket"]).all()
+    assert (out["hi"] == 2 ** (out["bucket"] + 1) - 1).all()
+    x = pq.read_table(f"{sf_dir}/documents.parquet",
+                      columns=["n_chars"]).to_pandas()["n_chars"]
+    want = x.map(lambda v: int(v).bit_length() - 1).value_counts()
+    got = out.set_index("bucket")["n_docs"]
+    assert got.sort_index().equals(want.sort_index().rename("n_docs"))
+    assert out["n_docs"].sum() == len(x)
+
+    bad = pd.DataFrame({"n_chars": [4, 0]})
+    with pytest.raises(Exception):
+        len_log2_hist(rd.from_pandas(bad)).to_pandas()
