@@ -576,7 +576,24 @@ def quota_sample(docs_ds, k: int = QUOTA_TOTAL, stratum_col: str = "source"):
     order = np.lexsort((counts[stratum_col].to_numpy(), -rem))
     quota = base.copy()
     quota[order[:leftover]] += 1
-    qref = ray.put(dict(zip(counts[stratum_col], quota.astype(int))))
+    return _select_by_quota(
+        docs_ds, stratum_col, dict(zip(counts[stratum_col], quota.astype(int)))
+    )
+
+
+def _select_by_quota(docs_ds, stratum_col: str, quotas: dict):
+    """Shared quota selector (quota_sample / temp_sample): within each
+    stratum keep its quota of smallest (splitmix64(doc_id), doc_id)
+    keys. One broadcast of the dimension-bounded quota dict, a per-batch
+    head-quota combiner (a batch contributes at most quota rows to a
+    stratum's final quota-smallest set), ONE stratum exchange, and the
+    same rule per partition. Emits (doc_id, stratum_col)."""
+    import ray
+
+    from .dedup import sql_mix64
+    from .hashagg import map_partitions_by_key
+
+    qref = ray.put(quotas)
 
     def head_quota(batch: pd.DataFrame) -> pd.DataFrame:
         q = ray.get(qref)
@@ -604,6 +621,32 @@ def quota_sample(docs_ds, k: int = QUOTA_TOTAL, stratum_col: str = "source"):
         stratum_col,
         take,
     )
+
+
+def temp_sample(docs_ds, stratum_col: str = "source"):
+    """Temperature-balanced source sampling — the multilingual-LM α=0.5
+    convention (sample counts ∝ n_s^α flatten heavy sources so rare ones
+    are not drowned; α=0.5 is the classic mBERT/XLM-R operating point):
+    each stratum's quota is EXACTLY isqrt(n_s), integer square root with
+    no libm on either side (math.isqrt here; floor(sqrt)+neighbor
+    correction in the SQL oracle), survivors the quota smallest
+    (splitmix64(doc_id), doc_id) keys. Same tiny count aggregate →
+    broadcast quotas → one-exchange selection plan as quota_sample.
+    Emits (doc_id, stratum_col)."""
+    import math
+
+    from .hashagg import hash_aggregate
+
+    counts = hash_aggregate(
+        docs_ds, keys=[stratum_col], aggs={"ns": ("doc_id", "count")}
+    ).to_pandas()
+    if len(counts) == 0:
+        raise ValueError("temp_sample: empty input — no strata")
+    quotas = {
+        s: math.isqrt(int(n))
+        for s, n in zip(counts[stratum_col], counts["ns"])
+    }
+    return _select_by_quota(docs_ds, stratum_col, quotas)
 
 
 def corpus_upsert(docs_fn):
@@ -660,3 +703,50 @@ def corpus_upsert(docs_fn):
         docs_fn().map_batches(delta_rows, batch_format="pandas")
     )
     return map_partitions_by_key(both, "doc_id", merge_part)
+
+
+LB_BATCH = 16  # docs per length-homogeneous loader batch
+
+
+def length_batches(docs_ds, batch_rows: int = LB_BATCH):
+    """Length-bucketed batch assignment — the data-loader prep that cuts
+    padding waste (batch together docs of similar length so a batch pads
+    to its own bucket's ceiling, not the corpus max): bucket =
+    floor(log2(n_chars)) (the len_log2_hist integer rule), docs ordered
+    within the bucket by (splitmix64(doc_id), doc_id) — deterministic
+    shuffle within a bucket, so batches are length-homogeneous but not
+    ordered by length — and batch_idx = rank // batch_rows. ONE bucket
+    exchange carrying (doc_id, bucket, z); the rank is a vectorized
+    per-partition cumcount. Emits (doc_id, bucket, batch_idx)."""
+    from .dedup import sql_mix64
+    from .hashagg import map_partitions_by_key
+
+    boundaries = np.left_shift(np.int64(1), np.arange(1, 63, dtype=np.int64))
+
+    def project(batch: pd.DataFrame) -> pd.DataFrame:
+        x = batch["n_chars"].to_numpy(dtype=np.int64)
+        if len(x) and x.min() <= 0:
+            raise ValueError("n_chars must be positive for log2 buckets")
+        ids = batch["doc_id"].to_numpy(dtype=np.int64)
+        return pd.DataFrame(
+            {
+                "doc_id": ids,
+                "bucket": np.searchsorted(boundaries, x, side="right"),
+                "z": sql_mix64(ids),
+            }
+        )
+
+    def assign(part: pd.DataFrame) -> pd.DataFrame:
+        part = part.sort_values(["bucket", "z", "doc_id"], kind="mergesort")
+        rn = part.groupby("bucket", sort=False).cumcount().to_numpy()
+        return pd.DataFrame(
+            {
+                "doc_id": part["doc_id"].to_numpy(dtype=np.int64),
+                "bucket": part["bucket"].to_numpy(dtype=np.int64),
+                "batch_idx": rn // batch_rows,
+            }
+        )
+
+    return map_partitions_by_key(
+        docs_ds.map_batches(project, batch_format="pandas"), "bucket", assign
+    )

@@ -921,3 +921,60 @@ def url_canon(docs_ds):
         "canon_url",
         first_wins,
     )
+
+
+def simpson_by_source(docs_ds):
+    """Gini-Simpson lexical concentration per source — the libm-free
+    companion of entropy (Σp², the chance two random tokens coincide;
+    high = templated/repetitive source, the complement of ttr_by_source's
+    type coverage). Same (source, tok) vocabulary-cardinality exchange as
+    ttr_by_source; the per-source second moment is folded with PYTHON-int
+    (object-dtype) arithmetic in the bounded final pass, so Σn² stays
+    exact past int64 (the SQL twin uses HUGEINT). simpson_micro =
+    (10⁶·Σn²) // N². Emits (source, n_tokens, simpson_micro)."""
+    from ..tokens import explode
+    from .hashagg import hash_aggregate, map_partitions_by_key
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        rows, toks = explode(pa.array(batch["text"].tolist(), type=pa.string()))
+        if len(toks) == 0:
+            return pd.DataFrame(
+                {
+                    "source": pd.Series([], dtype=object),
+                    "tok": pd.Series([], dtype=object),
+                    "n": pd.Series([], dtype=np.int64),
+                }
+            )
+        src = batch["source"].to_numpy(dtype=object)[rows]
+        return (
+            pd.DataFrame({"source": src, "tok": toks})
+            .groupby(["source", "tok"], sort=False)
+            .size()
+            .reset_index(name="n")
+        )
+
+    per_tok = hash_aggregate(
+        docs_ds.map_batches(partial, batch_format="pandas"),
+        keys=["source", "tok"],
+        aggs={"n": ("n", "sum")},
+    )
+
+    def moments(part: pd.DataFrame) -> pd.DataFrame:
+        n = part["n"].astype(object)  # exact Python-int arithmetic
+        g = pd.DataFrame({"source": part["source"], "m2": n * n, "nt": n})
+        agg = g.groupby("source", sort=False).sum()
+        return pd.DataFrame(
+            {
+                "source": agg.index.to_numpy(dtype=object),
+                "n_tokens": agg["nt"].astype(np.int64).to_numpy(),
+                "simpson_micro": np.array(
+                    [
+                        (1_000_000 * int(m2)) // (int(nt) * int(nt))
+                        for m2, nt in zip(agg["m2"], agg["nt"])
+                    ],
+                    dtype=np.int64,
+                ),
+            }
+        )
+
+    return map_partitions_by_key(per_tok, "source", moments)

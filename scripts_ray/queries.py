@@ -1762,6 +1762,29 @@ def q_len_log2_hist(sf_dir: str):
     return len_log2_hist(_read(sf_dir, "documents", columns=["n_chars"]))
 
 
+def q_temp_sample(sf_dir: str):
+    """Temperature-balanced (alpha=0.5) per-source sample, exact isqrt quotas."""
+    return sampling.temp_sample(
+        _read(sf_dir, "documents", columns=["doc_id", "source"])
+    )
+
+
+def q_length_batches(sf_dir: str):
+    """Length-homogeneous loader batch assignment (log2 buckets)."""
+    return sampling.length_batches(
+        _read(sf_dir, "documents", columns=["doc_id", "n_chars"])
+    )
+
+
+def q_simpson_by_source(sf_dir: str):
+    """Gini-Simpson lexical concentration per source, integer micro."""
+    from .ops.textstats import simpson_by_source
+
+    return simpson_by_source(
+        _read(sf_dir, "documents", columns=["source", "text"])
+    )
+
+
 def q_decayed_user_value(sf_dir: str):
     """Per-user recency-decayed value sum (exact power-of-two decay)."""
     from .ops import temporal
@@ -2426,6 +2449,9 @@ QUERIES = {
     "emb_outliers": q_emb_outliers,
     "user_type_matrix": q_user_type_matrix,
     "len_log2_hist": q_len_log2_hist,
+    "temp_sample": q_temp_sample,
+    "length_batches": q_length_batches,
+    "simpson_by_source": q_simpson_by_source,
     "value_deltas": q_value_deltas,
     "page_align": q_page_align,
     "cms_words": q_cms_words,
@@ -2615,6 +2641,9 @@ ORACLES = {
     "emb_outliers": sql_ops.EMB_OUTLIERS_SQL,
     "user_type_matrix": sql_ops.USER_TYPE_MATRIX_SQL,
     "len_log2_hist": sql_ops.LEN_LOG2_HIST_SQL,
+    "temp_sample": sql_ops.TEMP_SAMPLE_SQL,
+    "length_batches": sql_ops.LENGTH_BATCHES_SQL,
+    "simpson_by_source": sql_ops.SIMPSON_BY_SOURCE_SQL,
     "value_deltas": sql_ops.VALUE_DELTAS_SQL,
     "page_align": sql_ops.PAGE_ALIGN_SQL,
     "cms_words": sql_ops.CMS_WORDS_SQL,

@@ -3388,3 +3388,73 @@ SELECT CAST(bucket AS BIGINT) AS bucket,
        CAST(count(*) AS BIGINT) AS n_docs
 FROM b GROUP BY bucket
 """
+
+
+# ---- temperature-balanced source sampling (ops/sampling.temp_sample) ----------
+# quota = EXACT isqrt(n_s): floor(sqrt) with a neighbor correction so a
+# libm last-ulp error at perfect squares cannot flip the floor.
+
+TEMP_SAMPLE_SQL = (
+    "WITH "
+    + _mix_ctes("doc_id, source", "doc_id", "documents")
+    + """,
+ns AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
+q AS (
+  SELECT source,
+         CASE WHEN (f + 1) * (f + 1) <= n THEN f + 1
+              WHEN f * f > n THEN f - 1
+              ELSE f END AS quota
+  FROM (SELECT source, n,
+               CAST(floor(sqrt(CAST(n AS DOUBLE))) AS BIGINT) AS f
+        FROM ns)
+),
+ranked AS (
+  SELECT doc_id, source,
+         row_number() OVER (PARTITION BY source ORDER BY z, doc_id) AS rn
+  FROM s5
+)
+SELECT r.doc_id, r.source
+FROM ranked r JOIN q USING (source) WHERE r.rn <= q.quota
+"""
+)
+
+
+# ---- length-bucketed loader batches (ops/sampling.length_batches) -------------
+
+from .ops.sampling import LB_BATCH  # noqa: E402
+
+LENGTH_BATCHES_SQL = (
+    "WITH "
+    + _mix_ctes(
+        "doc_id, bucket",
+        "doc_id",
+        "(SELECT doc_id, length(printf('%b', n_chars)) - 1 AS bucket"
+        " FROM documents)",
+    )
+    + f"""
+SELECT doc_id, CAST(bucket AS BIGINT) AS bucket,
+       CAST((row_number() OVER (PARTITION BY bucket ORDER BY z, doc_id) - 1)
+            // {LB_BATCH} AS BIGINT) AS batch_idx
+FROM s5
+"""
+)
+
+
+# ---- Gini-Simpson concentration per source (ops/textstats.simpson_by_source) --
+
+SIMPSON_BY_SOURCE_SQL = f"""
+WITH tt AS (
+  SELECT source, unnest({_DOC_TOKS}) AS tok FROM documents
+),
+agg AS (SELECT source, tok, count(*) AS n FROM tt GROUP BY 1, 2),
+s AS (
+  SELECT source,
+         sum(CAST(n AS HUGEINT) * n) AS m2,
+         sum(CAST(n AS HUGEINT)) AS nt
+  FROM agg GROUP BY source
+)
+SELECT source,
+       CAST(nt AS BIGINT) AS n_tokens,
+       CAST((1000000 * m2) // (nt * nt) AS BIGINT) AS simpson_micro
+FROM s
+"""

@@ -851,3 +851,88 @@ def test_len_log2_hist_exact_buckets(ray_session, sf_dir):
     bad = pd.DataFrame({"n_chars": [4, 0]})
     with pytest.raises(Exception):
         len_log2_hist(rd.from_pandas(bad)).to_pandas()
+
+
+def test_temp_sample_isqrt_quotas(ray_session):
+    """Each stratum contributes exactly isqrt(n_s) rows (alpha=0.5
+    flattening: 100 -> 10, 17 -> 4, 2 -> 1), chosen as the smallest
+    splitmix64 keys within the stratum."""
+    import math
+
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from scripts_ray.ops.dedup import sql_mix64
+    from scripts_ray.ops.sampling import temp_sample
+
+    sizes = {"big": 100, "mid": 17, "tiny": 2}
+    rows = []
+    i = 0
+    for s, n in sizes.items():
+        for _ in range(n):
+            rows.append((i, s))
+            i += 1
+    df = pd.DataFrame(rows, columns=["doc_id", "source"])
+    out = temp_sample(rd.from_pandas(df).repartition(5)).to_pandas()
+    got = out["source"].value_counts().to_dict()
+    assert got == {s: math.isqrt(n) for s, n in sizes.items()}
+    for s in sizes:
+        ids = df.loc[df["source"] == s, "doc_id"].to_numpy(dtype=np.int64)
+        z = sql_mix64(ids)
+        want = set(ids[np.argsort(z, kind="stable")[: math.isqrt(len(ids))]])
+        assert set(out.loc[out["source"] == s, "doc_id"]) == want, s
+
+
+def test_length_batches_homogeneous_and_full(ray_session, sf_dir):
+    """Every doc is assigned once; each (bucket, batch_idx) holds at most
+    LB_BATCH docs and only the highest batch_idx of a bucket runs short;
+    the bucket matches the exact bit-length rule."""
+    import pyarrow.parquet as pq
+
+    from scripts_ray.ops.sampling import LB_BATCH
+    from scripts_ray.queries import QUERIES
+
+    out = QUERIES["length_batches"](sf_dir).to_pandas()
+    docs = pq.read_table(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "n_chars"]).to_pandas()
+    assert len(out) == len(docs) and out["doc_id"].is_unique
+    merged = out.merge(docs, on="doc_id")
+    assert (
+        merged["bucket"]
+        == merged["n_chars"].map(lambda v: int(v).bit_length() - 1)
+    ).all()
+    sizes = out.groupby(["bucket", "batch_idx"]).size()
+    assert (sizes <= LB_BATCH).all()
+    for b, g in sizes.groupby(level="bucket"):
+        short = g[g < LB_BATCH]
+        assert len(short) <= 1
+        if len(short):
+            assert short.index.get_level_values("batch_idx")[0] == (
+                g.index.get_level_values("batch_idx").max()
+            )
+
+
+def test_simpson_by_source_hand_cases(ray_session):
+    """Degenerate source (one repeated token) scores exactly 10^6;
+    a perfectly diverse source of n distinct tokens scores 10^6 // n."""
+    import pandas as pd
+    import ray.data as rd
+
+    from scripts_ray.ops.textstats import simpson_by_source
+
+    df = pd.DataFrame(
+        {
+            "source": ["mono", "mono", "poly"],
+            "text": ["x x x", "x x", "a b c d e"],
+        }
+    )
+    out = (
+        simpson_by_source(rd.from_pandas(df).repartition(3))
+        .to_pandas()
+        .set_index("source")
+    )
+    assert out.loc["mono", "n_tokens"] == 5
+    assert out.loc["mono", "simpson_micro"] == 1_000_000
+    assert out.loc["poly", "n_tokens"] == 5
+    assert out.loc["poly", "simpson_micro"] == 1_000_000 // 5
