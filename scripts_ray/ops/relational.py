@@ -391,3 +391,32 @@ def user_type_matrix(events_ds, types: tuple[str, ...] = EVENT_TYPES):
         keys=["user_id"],
         aggs={c: (c, "sum") for c in cols + ["n_total"]},
     )
+
+
+PROFILE_COLUMNS = ("doc_id", "lang", "n_chars", "source", "text")
+
+
+def column_profile(docs_ds_fn, columns: tuple[str, ...] = PROFILE_COLUMNS):
+    """Per-column profiling report — the first query every new corpus
+    gets (cardinality and null share drive partitioning-key and
+    dictionary-encoding choices): for each column, the exact distinct
+    count (two-level hash distinct — cardinality may approach row count,
+    so the exchange is mandatory) and the null count. One independent
+    column-pruned read per column via the factory (`docs_ds_fn(col)`
+    returns a Dataset of just that column — the N-consumer re-execution
+    contract made explicit and cheap: each pass reads ONLY its column's
+    pages). Output is dimension-sized. Emits (column, n_rows, n_distinct,
+    n_null) sorted by column name."""
+    from .hashagg import distinct
+
+    rows = []
+    for col in columns:
+        ds = docs_ds_fn(col)
+        n_rows = ds.count()
+        n_distinct = distinct(ds, col).count()
+        n_null = ds.filter(lambda r, c=col: r[c] is None).count()
+        rows.append((col, np.int64(n_rows), np.int64(n_distinct),
+                     np.int64(n_null)))
+    return pd.DataFrame(
+        rows, columns=["column", "n_rows", "n_distinct", "n_null"]
+    ).sort_values("column", kind="mergesort").reset_index(drop=True)

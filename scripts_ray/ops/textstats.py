@@ -978,3 +978,129 @@ def simpson_by_source(docs_ds):
         )
 
     return map_partitions_by_key(per_tok, "source", moments)
+
+
+VOCAB_V = 20      # vocabulary size (top-V by corpus count)
+VOCAB_MIN = 5     # min corpus count to enter the vocabulary
+
+
+def vocab_oov(docs_ds_fn, v: int = VOCAB_V, min_count: int = VOCAB_MIN):
+    """Tokenizer-vocabulary coverage report: build the top-`v` corpus
+    vocabulary (count >= min_count, ties by token) and report each
+    source's out-of-vocabulary rate — the pre-tokenizer sanity check
+    (a source with high OOV under the planned vocab will fragment into
+    bytes). Two passes over the factory (`docs_ds_fn` — the N-consumer
+    re-execution contract): pass 1 aggregates (tok, n) at vocabulary
+    cardinality and prunes each disjoint output partition to its local
+    top-v before a bounded driver merge (v × partitions rows, never the
+    vocab); pass 2 re-tokenizes with the vocab broadcast once and folds
+    per-source OOV counts. Emits (source, n_tokens, n_oov,
+    oov_permille)."""
+    import ray
+
+    from ..tokens import explode
+    from .hashagg import hash_aggregate
+
+    def tok_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        rows, toks = explode(pa.array(batch["text"].tolist(), type=pa.string()))
+        return (
+            pd.DataFrame({"tok": toks})
+            .groupby("tok", sort=False)
+            .size()
+            .reset_index(name="n")
+        )
+
+    def local_topv(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch[batch["n"] >= min_count]
+        return batch.sort_values(
+            ["n", "tok"], ascending=[False, True], kind="mergesort"
+        ).head(v)
+
+    cand = (
+        hash_aggregate(
+            docs_ds_fn().map_batches(tok_partial, batch_format="pandas"),
+            keys=["tok"],
+            aggs={"n": ("n", "sum")},
+        )
+        .map_batches(local_topv, batch_format="pandas")
+        .to_pandas()
+    )
+    vocab = set(
+        cand.sort_values(["n", "tok"], ascending=[False, True],
+                         kind="mergesort").head(v)["tok"]
+    )
+    vref = ray.put(vocab)
+
+    def oov_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        vset = ray.get(vref)
+        rows, toks = explode(pa.array(batch["text"].tolist(), type=pa.string()))
+        if len(toks) == 0:
+            return pd.DataFrame(
+                {
+                    "source": pd.Series([], dtype=object),
+                    "n_tokens": pd.Series([], dtype=np.int64),
+                    "n_oov": pd.Series([], dtype=np.int64),
+                }
+            )
+        src = batch["source"].to_numpy(dtype=object)[rows]
+        oov = ~np.isin(toks, list(vset))
+        return (
+            pd.DataFrame(
+                {"source": src,
+                 "n_tokens": np.ones(len(toks), dtype=np.int64),
+                 "n_oov": oov.astype(np.int64)}
+            )
+            .groupby("source", sort=False)
+            .sum()
+            .reset_index()
+        )
+
+    agg = hash_aggregate(
+        docs_ds_fn().map_batches(oov_partial, batch_format="pandas"),
+        keys=["source"],
+        aggs={"n_tokens": ("n_tokens", "sum"), "n_oov": ("n_oov", "sum")},
+    )
+
+    def rate(batch: pd.DataFrame) -> pd.DataFrame:
+        batch["oov_permille"] = (
+            1000 * batch["n_oov"].to_numpy(dtype=np.int64)
+        ) // batch["n_tokens"].to_numpy(dtype=np.int64)
+        return batch
+
+    return agg.map_batches(rate, batch_format="pandas")
+
+
+COMPRESS_LEVEL = 6  # pinned zlib level: the ratio is part of the contract
+
+
+def compress_ratio(docs_ds, level: int = COMPRESS_LEVEL):
+    """Compression-ratio quality signal (the Gopher-family proxy:
+    highly repetitive/templated text compresses far better than prose;
+    near-random noise barely compresses). ratio_micro =
+    floor(1e6 · deflate_len / utf8_len) at a PINNED zlib level — zlib's
+    DEFLATE output is deterministic for a fixed level/strategy, so the
+    column is stable across runs and workers. Pure per-row C-call map
+    (no vectorized zlib exists — the same per-row-C-kernel shape as the
+    md5 exhibits); no exchange. DuckDB has no zlib, so this operator is
+    rows-only by documented design (semantics pinned by the planted
+    repetitive/noise pytest). Emits (doc_id, raw_len, comp_len,
+    ratio_micro)."""
+    import zlib
+
+    def ratio(batch: pd.DataFrame) -> pd.DataFrame:
+        raw = [t.encode("utf-8") for t in batch["text"].tolist()]
+        comp = np.array([len(zlib.compress(b, level)) for b in raw],
+                        dtype=np.int64)
+        rl = np.array([len(b) for b in raw], dtype=np.int64)
+        if len(rl) and rl.min() <= 0:
+            raise ValueError("compress_ratio: empty document text")
+        return pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"].to_numpy(dtype=np.int64),
+                "raw_len": rl,
+                "comp_len": comp,
+                "ratio_micro": (1_000_000 * comp) // rl,
+            }
+        )
+
+    return docs_ds.map_batches(ratio, batch_format="pandas")

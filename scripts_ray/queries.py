@@ -1785,6 +1785,31 @@ def q_simpson_by_source(sf_dir: str):
     )
 
 
+def q_vocab_oov(sf_dir: str):
+    """Top-V vocabulary coverage: per-source OOV rate in permille."""
+    from .ops.textstats import vocab_oov
+
+    return vocab_oov(
+        lambda: _read(sf_dir, "documents", columns=["source", "text"])
+    )
+
+
+def q_compress_ratio(sf_dir: str):
+    """zlib compression-ratio quality signal (rows-only by design)."""
+    from .ops.textstats import compress_ratio
+
+    return compress_ratio(
+        _read(sf_dir, "documents", columns=["doc_id", "text"])
+    )
+
+
+def q_column_profile(sf_dir: str):
+    """Exact per-column cardinality/null profile of the documents table."""
+    from .ops.relational import column_profile
+
+    return column_profile(lambda col: _read(sf_dir, "documents", columns=[col]))
+
+
 def q_decayed_user_value(sf_dir: str):
     """Per-user recency-decayed value sum (exact power-of-two decay)."""
     from .ops import temporal
@@ -2452,6 +2477,9 @@ QUERIES = {
     "temp_sample": q_temp_sample,
     "length_batches": q_length_batches,
     "simpson_by_source": q_simpson_by_source,
+    "vocab_oov": q_vocab_oov,
+    "compress_ratio": q_compress_ratio,
+    "column_profile": q_column_profile,
     "value_deltas": q_value_deltas,
     "page_align": q_page_align,
     "cms_words": q_cms_words,
@@ -2644,6 +2672,8 @@ ORACLES = {
     "temp_sample": sql_ops.TEMP_SAMPLE_SQL,
     "length_batches": sql_ops.LENGTH_BATCHES_SQL,
     "simpson_by_source": sql_ops.SIMPSON_BY_SOURCE_SQL,
+    "vocab_oov": sql_ops.VOCAB_OOV_SQL,
+    "column_profile": sql_ops.COLUMN_PROFILE_SQL,
     "value_deltas": sql_ops.VALUE_DELTAS_SQL,
     "page_align": sql_ops.PAGE_ALIGN_SQL,
     "cms_words": sql_ops.CMS_WORDS_SQL,

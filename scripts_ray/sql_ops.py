@@ -3458,3 +3458,54 @@ SELECT source,
        CAST((1000000 * m2) // (nt * nt) AS BIGINT) AS simpson_micro
 FROM s
 """
+
+
+# ---- vocabulary coverage / OOV rate (ops/textstats.vocab_oov) -----------------
+
+from .ops.textstats import VOCAB_MIN, VOCAB_V  # noqa: E402
+
+VOCAB_OOV_SQL = f"""
+WITH tt AS (
+  SELECT source, unnest({_DOC_TOKS}) AS tok FROM documents
+),
+cnt AS (SELECT tok, count(*) AS n FROM tt GROUP BY tok),
+vocab AS (
+  SELECT tok FROM cnt WHERE n >= {VOCAB_MIN}
+  QUALIFY row_number() OVER (ORDER BY n DESC, tok) <= {VOCAB_V}
+),
+per AS (
+  SELECT t.source,
+         count(*) AS n_tokens,
+         count(*) FILTER (WHERE v.tok IS NULL) AS n_oov
+  FROM tt t LEFT JOIN vocab v ON v.tok = t.tok
+  GROUP BY t.source
+)
+SELECT source,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(n_oov AS BIGINT) AS n_oov,
+       CAST((1000 * n_oov) // n_tokens AS BIGINT) AS oov_permille
+FROM per
+"""
+
+
+# ---- per-column profiling report (ops/relational.column_profile) --------------
+
+COLUMN_PROFILE_SQL = """
+SELECT * FROM (
+  SELECT 'doc_id' AS "column", count(*) AS n_rows,
+         count(DISTINCT doc_id) AS n_distinct,
+         count(*) FILTER (WHERE doc_id IS NULL) AS n_null FROM documents
+  UNION ALL
+  SELECT 'lang', count(*), count(DISTINCT lang),
+         count(*) FILTER (WHERE lang IS NULL) FROM documents
+  UNION ALL
+  SELECT 'n_chars', count(*), count(DISTINCT n_chars),
+         count(*) FILTER (WHERE n_chars IS NULL) FROM documents
+  UNION ALL
+  SELECT 'source', count(*), count(DISTINCT source),
+         count(*) FILTER (WHERE source IS NULL) FROM documents
+  UNION ALL
+  SELECT 'text', count(*), count(DISTINCT text),
+         count(*) FILTER (WHERE text IS NULL) FROM documents
+) ORDER BY "column"
+"""

@@ -936,3 +936,74 @@ def test_simpson_by_source_hand_cases(ray_session):
     assert out.loc["mono", "simpson_micro"] == 1_000_000
     assert out.loc["poly", "n_tokens"] == 5
     assert out.loc["poly", "simpson_micro"] == 1_000_000 // 5
+
+
+def test_vocab_oov_hand_case(ray_session):
+    """Vocabulary selection honors min_count then top-v with the
+    (count desc, token asc) tie rule; OOV rates follow exactly."""
+    import pandas as pd
+    import ray.data as rd
+
+    from scripts_ray.ops.textstats import vocab_oov
+
+    # counts: a=4, b=3, c=3, d=1  -> min_count=2 drops d; v=2 keeps a,b
+    df = pd.DataFrame(
+        {
+            "source": ["s1", "s1", "s2"],
+            "text": ["a a b c", "a b c", "a b c d"],
+        }
+    )
+    out = (
+        vocab_oov(lambda: rd.from_pandas(df).repartition(2), v=2, min_count=2)
+        .to_pandas()
+        .set_index("source")
+    )
+    # s1: tokens a,a,b,c,a,b,c -> 7 total, OOV = {c}x2 -> 2
+    assert out.loc["s1", "n_tokens"] == 7 and out.loc["s1", "n_oov"] == 2
+    assert out.loc["s1", "oov_permille"] == (1000 * 2) // 7
+    # s2: a,b,c,d -> 4 total, OOV = c,d -> 2
+    assert out.loc["s2", "n_tokens"] == 4 and out.loc["s2", "n_oov"] == 2
+    assert out.loc["s2", "oov_permille"] == 500
+
+
+def test_compress_ratio_orders_repetition_vs_noise(ray_session):
+    """Planted repetitive text compresses hard; incompressible-looking
+    noise barely compresses — the signal must order them, and the ratio
+    arithmetic must be the exact integer floor."""
+    import zlib
+
+    import pandas as pd
+    import ray.data as rd
+
+    from scripts_ray.ops.textstats import COMPRESS_LEVEL, compress_ratio
+
+    rep = "spam ham " * 300
+    noise = "".join(
+        f"{(i * 2654435761) % 2**32:08x}" for i in range(300)
+    )
+    df = pd.DataFrame({"doc_id": [0, 1], "text": [rep, noise]})
+    out = compress_ratio(rd.from_pandas(df)).to_pandas().set_index("doc_id")
+    assert out.loc[0, "ratio_micro"] < 100_000          # repetitive: <10%
+    assert out.loc[1, "ratio_micro"] > 500_000          # noise: >50%
+    for i, t in ((0, rep), (1, noise)):
+        raw = t.encode("utf-8")
+        comp = len(zlib.compress(raw, COMPRESS_LEVEL))
+        assert out.loc[i, "comp_len"] == comp
+        assert out.loc[i, "ratio_micro"] == (1_000_000 * comp) // len(raw)
+
+
+def test_column_profile_counts(ray_session, sf_dir):
+    """doc_id is a unique non-null key; every column reports the true
+    row count; distinct counts match DuckDB exactly (oracle-checked too,
+    this is the independent pandas recount)."""
+    import pyarrow.parquet as pq
+
+    from scripts_ray.queries import QUERIES
+
+    out = QUERIES["column_profile"](sf_dir).set_index("column")
+    docs = pq.read_table(f"{sf_dir}/documents.parquet").to_pandas()
+    assert (out["n_rows"] == len(docs)).all()
+    assert out.loc["doc_id", "n_distinct"] == len(docs)
+    assert (out["n_null"] == 0).all()
+    for col in out.index:
+        assert out.loc[col, "n_distinct"] == docs[col].nunique(), col
