@@ -437,6 +437,13 @@ def run_bench() -> dict:
             "hard_negatives",
             "url_canon",
             "dense_event_grid",
+            "emb_outliers",
+            "user_type_matrix",
+            "temp_sample",
+            "length_batches",
+            "simpson_by_source",
+            "vocab_oov",
+            "compress_ratio",
         ]
     )
     for name in secondary:
