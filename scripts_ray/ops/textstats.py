@@ -1104,3 +1104,76 @@ def compress_ratio(docs_ds, level: int = COMPRESS_LEVEL):
         )
 
     return docs_ds.map_batches(ratio, batch_format="pandas")
+
+
+def qf_funnel(qf_ds):
+    """Drop-reason funnel of the flagship quality filter — the report a
+    curation run ships with (how many turns each gate removed, as a
+    share of the stream): per-stage counts from ONE bounded hash
+    aggregate over the pipeline's (keep, drop_reason) columns, kept rows
+    folded in as the 'kept' stage; the permille shares are a
+    dimension-sized driver fold (≤ #gates rows), the standard report
+    shape. Emits (stage, n, permille)."""
+    from .hashagg import hash_aggregate
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        stage = batch["drop_reason"].astype(object).where(
+            ~batch["keep"], "kept"
+        )
+        return (
+            pd.DataFrame({"stage": stage})
+            .groupby("stage", sort=False)
+            .size()
+            .reset_index(name="n")
+        )
+
+    agg = hash_aggregate(
+        qf_ds.map_batches(partial, batch_format="pandas"),
+        keys=["stage"],
+        aggs={"n": ("n", "sum")},
+    ).to_pandas()
+    # pre-aggregated per batch before the exchange: re-sum per stage
+    total = int(agg["n"].sum())
+    agg["permille"] = (1000 * agg["n"].astype(np.int64)) // total
+    return agg.sort_values("stage", kind="mergesort").reset_index(drop=True)
+
+
+def lang_source_chi2(docs_ds):
+    """(lang × source) independence audit — the corpus-bias check
+    (is language distribution independent of source, or does one crawl
+    carry all of one language): per observed cell the count, the
+    expected count under independence and the cell's chi-square
+    contribution, all in EXACT integer micro units (Python-int
+    arithmetic over the bounded langs × sources matrix here, HUGEINT in
+    the SQL twin — (o·N − r·c)² overflows int64 at corpus scale). One
+    two-level count aggregate; margins need every cell, so the fold is
+    the dimension-sized driver pattern (like source_divergence). Emits
+    (lang, source, n, expected_micro, chi2_micro)."""
+    from .hashagg import hash_aggregate
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        return (
+            batch.groupby(["lang", "source"], sort=False)
+            .size()
+            .reset_index(name="n")
+        )
+
+    cells = hash_aggregate(
+        docs_ds.map_batches(partial, batch_format="pandas"),
+        keys=["lang", "source"],
+        aggs={"n": ("n", "sum")},
+    ).to_pandas()
+    rl = cells.groupby("lang")["n"].sum().to_dict()
+    cs = cells.groupby("source")["n"].sum().to_dict()
+    big_n = int(cells["n"].sum())
+    exp, chi = [], []
+    for lang, source, o in cells[["lang", "source", "n"]].itertuples(
+        index=False
+    ):
+        r, c, o = int(rl[lang]), int(cs[source]), int(o)
+        exp.append((1_000_000 * r * c) // big_n)
+        d = o * big_n - r * c
+        chi.append((1_000_000 * d * d) // (r * c * big_n))
+    cells["expected_micro"] = np.array(exp, dtype=np.int64)
+    cells["chi2_micro"] = np.array(chi, dtype=np.int64)
+    return cells

@@ -1810,6 +1810,25 @@ def q_column_profile(sf_dir: str):
     return column_profile(lambda col: _read(sf_dir, "documents", columns=[col]))
 
 
+def q_qf_funnel(sf_dir: str):
+    """Per-gate drop funnel of the flagship quality filter (permille)."""
+    from .ops.textstats import qf_funnel
+
+    return qf_funnel(
+        quality_filter(derive_transcripts_ds(sf_dir), _put_counts(sf_dir))
+        .select_columns(["keep", "drop_reason"])
+    )
+
+
+def q_lang_source_chi2(sf_dir: str):
+    """(lang x source) chi-square independence audit, exact integer micro."""
+    from .ops.textstats import lang_source_chi2
+
+    return lang_source_chi2(
+        _read(sf_dir, "documents", columns=["lang", "source"])
+    )
+
+
 def q_decayed_user_value(sf_dir: str):
     """Per-user recency-decayed value sum (exact power-of-two decay)."""
     from .ops import temporal
@@ -2480,6 +2499,8 @@ QUERIES = {
     "vocab_oov": q_vocab_oov,
     "compress_ratio": q_compress_ratio,
     "column_profile": q_column_profile,
+    "qf_funnel": q_qf_funnel,
+    "lang_source_chi2": q_lang_source_chi2,
     "value_deltas": q_value_deltas,
     "page_align": q_page_align,
     "cms_words": q_cms_words,
@@ -2674,6 +2695,8 @@ ORACLES = {
     "simpson_by_source": sql_ops.SIMPSON_BY_SOURCE_SQL,
     "vocab_oov": sql_ops.VOCAB_OOV_SQL,
     "column_profile": sql_ops.COLUMN_PROFILE_SQL,
+    "qf_funnel": sql_ops.QF_FUNNEL_SQL,
+    "lang_source_chi2": sql_ops.LANG_SOURCE_CHI2_SQL,
     "value_deltas": sql_ops.VALUE_DELTAS_SQL,
     "page_align": sql_ops.PAGE_ALIGN_SQL,
     "cms_words": sql_ops.CMS_WORDS_SQL,

@@ -3509,3 +3509,37 @@ SELECT * FROM (
          count(*) FILTER (WHERE text IS NULL) FROM documents
 ) ORDER BY "column"
 """
+
+
+# ---- quality-filter drop-reason funnel (ops/textstats.qf_funnel) --------------
+
+from .sql import QF_PIPELINE_SQL  # noqa: E402
+
+QF_FUNNEL_SQL = f"""
+WITH qf AS ({QF_PIPELINE_SQL})
+SELECT CASE WHEN keep THEN 'kept' ELSE drop_reason END AS stage,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST((1000 * count(*)) // (SELECT count(*) FROM qf) AS BIGINT)
+         AS permille
+FROM qf GROUP BY 1
+"""
+
+
+# ---- (lang x source) chi-square independence audit ----------------------------
+# Exact integer micro units; HUGEINT so (o*N - r*c)^2 cannot overflow.
+
+LANG_SOURCE_CHI2_SQL = """
+WITH cell AS (SELECT lang, source, count(*) AS o FROM documents GROUP BY 1, 2),
+r AS (SELECT lang, sum(o) AS rl FROM cell GROUP BY lang),
+c AS (SELECT source, sum(o) AS cs FROM cell GROUP BY source),
+t AS (SELECT sum(o) AS nn FROM cell)
+SELECT cell.lang, cell.source, CAST(cell.o AS BIGINT) AS n,
+       CAST((1000000::HUGEINT * r.rl * c.cs) // t.nn AS BIGINT)
+         AS expected_micro,
+       CAST((1000000::HUGEINT
+             * (cell.o * t.nn - r.rl * c.cs)
+             * (cell.o * t.nn - r.rl * c.cs))
+            // (r.rl * c.cs * t.nn) AS BIGINT) AS chi2_micro
+FROM cell
+JOIN r USING (lang) JOIN c USING (source) CROSS JOIN t
+"""

@@ -1007,3 +1007,49 @@ def test_column_profile_counts(ray_session, sf_dir):
     assert (out["n_null"] == 0).all()
     for col in out.index:
         assert out.loc[col, "n_distinct"] == docs[col].nunique(), col
+
+
+def test_qf_funnel_conserves_and_matches_pipeline(ray_session, sf_dir):
+    """Funnel stages partition the stream: stage counts sum to the turn
+    count, 'kept' equals the pipeline's keep count, and every dropped
+    stage matches the pipeline's own drop_reason tally."""
+    from scripts_ray.queries import QUERIES, _put_counts, quality_filter
+    from scripts_ray.sources import derive_transcripts_ds
+
+    out = QUERIES["qf_funnel"](sf_dir).set_index("stage")
+    qf = (
+        quality_filter(derive_transcripts_ds(sf_dir), _put_counts(sf_dir))
+        .select_columns(["keep", "drop_reason"])
+        .to_pandas()
+    )
+    assert out["n"].sum() == len(qf)
+    assert out.loc["kept", "n"] == int(qf["keep"].sum())
+    want = qf.loc[~qf["keep"], "drop_reason"].value_counts()
+    for stage, n in want.items():
+        assert out.loc[stage, "n"] == n, stage
+    assert (out["permille"] == (1000 * out["n"]) // len(qf)).all()
+
+
+def test_lang_source_chi2_margins_and_uniform_case(ray_session, sf_dir):
+    """Observed counts reproduce the margins; a perfectly independent
+    hand table scores zero chi2 in every cell."""
+    import pandas as pd
+    import ray.data as rd
+
+    from scripts_ray.ops.textstats import lang_source_chi2
+    from scripts_ray.queries import QUERIES
+
+    out = QUERIES["lang_source_chi2"](sf_dir)
+    assert (out["chi2_micro"] >= 0).all()
+    assert out.groupby("lang")["n"].sum().gt(0).all()
+
+    # independent 2x2: every cell o == expected -> chi2 == 0
+    df = pd.DataFrame(
+        {
+            "lang": ["sv"] * 4 + ["en"] * 4,
+            "source": ["a", "a", "b", "b"] * 2,
+        }
+    )
+    ind = lang_source_chi2(rd.from_pandas(df))
+    assert (ind["chi2_micro"] == 0).all()
+    assert (ind["expected_micro"] == ind["n"] * 1_000_000).all()
