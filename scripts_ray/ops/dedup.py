@@ -1384,3 +1384,46 @@ def conv_dedup(transcripts_ds):
         keys=["fp"],
         aggs={"conv_id": ("conv_id", "min"), "n_dupes": ("conv_id", "count")},
     )
+
+
+def dup_rate_by_source(docs_ds):
+    """Duplicate-rate report per source (where is the crawl dirtiest —
+    the triage view that decides which source gets the aggressive dedup
+    budget): exact distinct-content counts per source via the SAME
+    128-bit content fingerprints as dedup_docs (their oracle pins the
+    fp ≡ normalized-text equivalence). One (source, fp) exchange at
+    distinct-content cardinality — the first-level combiner already
+    collapses within-batch repeats — then a bounded per-source fold.
+    Emits (source, n_docs, n_distinct, dup_permille)."""
+    from ..rules import normalize_whitespace
+    from .hashagg import hash_aggregate
+
+    def add_fp(batch: pa.Table) -> pd.DataFrame:
+        norm = normalize_whitespace(batch["text"].combine_chunks())
+        fp1, fp2 = content_fingerprints(pd.Series(norm.to_pandas()))
+        return pd.DataFrame(
+            {
+                "source": batch["source"].to_numpy(zero_copy_only=False),
+                "fp1": fp1,
+                "fp2": fp2,
+            }
+        )
+
+    per_fp = hash_aggregate(
+        docs_ds.map_batches(add_fp, batch_format="pyarrow"),
+        keys=["source", "fp1", "fp2"],
+        aggs={"n": ("fp1", "count")},
+    )
+    per_src = hash_aggregate(
+        per_fp,
+        keys=["source"],
+        aggs={"n_docs": ("n", "sum"), "n_distinct": ("n", "count")},
+    )
+
+    def rate(batch: pd.DataFrame) -> pd.DataFrame:
+        nd = batch["n_docs"].to_numpy(dtype=np.int64)
+        nu = batch["n_distinct"].to_numpy(dtype=np.int64)
+        batch["dup_permille"] = (1000 * (nd - nu)) // nd
+        return batch
+
+    return per_src.map_batches(rate, batch_format="pandas")

@@ -750,3 +750,43 @@ def length_batches(docs_ds, batch_rows: int = LB_BATCH):
     return map_partitions_by_key(
         docs_ds.map_batches(project, batch_format="pandas"), "bucket", assign
     )
+
+
+TRUNC_TOKENS = 96  # context-window budget for truncate_docs
+
+
+def truncate_docs(docs_ds, max_tokens: int = TRUNC_TOKENS):
+    """Token-boundary truncation — context-window prep (cut every doc to
+    its first `max_tokens` tokens, never mid-token, and record what was
+    cut so downstream token accounting stays honest). Pure per-row map,
+    no exchange; tokenize once per batch, join back only the kept
+    prefix. Emits (doc_id, n_tok_orig, truncated_text,
+    was_truncated)."""
+    import pyarrow as pa
+
+    from ..tokens import explode
+
+    def cut(batch: pd.DataFrame) -> pd.DataFrame:
+        ids = batch["doc_id"].to_numpy(dtype=np.int64)
+        rows, toks = explode(pa.array(batch["text"].tolist(), type=pa.string()))
+        n = (
+            np.bincount(rows, minlength=len(batch)).astype(np.int64)
+            if len(toks)
+            else np.zeros(len(batch), dtype=np.int64)
+        )
+        off = np.zeros(len(batch) + 1, dtype=np.int64)
+        np.cumsum(n, out=off[1:])
+        keep = np.minimum(n, max_tokens)
+        return pd.DataFrame(
+            {
+                "doc_id": ids,
+                "n_tok_orig": n,
+                "truncated_text": [
+                    " ".join(toks[a:a + k])
+                    for a, k in zip(off[:-1], keep)
+                ],
+                "was_truncated": n > max_tokens,
+            }
+        )
+
+    return docs_ds.map_batches(cut, batch_format="pandas")

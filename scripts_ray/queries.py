@@ -1829,6 +1829,42 @@ def q_lang_source_chi2(sf_dir: str):
     )
 
 
+def q_dup_rate_by_source(sf_dir: str):
+    """Duplicate-content rate per source (fingerprint-exact)."""
+    return dedup.dup_rate_by_source(
+        _read(sf_dir, "documents", columns=["doc_id", "text", "source"])
+    )
+
+
+def q_turn_len_quantiles(sf_dir: str):
+    """Per-role turn-length quantiles via the distributed histogram."""
+    from .ops.quantiles import group_quantiles
+
+    def project(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "role": batch["role"],
+                "n_chars": batch["text"].str.len().astype("int64"),
+            }
+        )
+
+    return group_quantiles(
+        derive_transcripts_ds(sf_dir)
+        .select_columns(["role", "text"])
+        .map_batches(project, batch_format="pandas"),
+        value_col="n_chars",
+        keys=["role"],
+        quantiles_permille=[500, 900, 990],
+    )
+
+
+def q_truncate_docs(sf_dir: str):
+    """Token-boundary truncation to the context budget."""
+    return sampling.truncate_docs(
+        _read(sf_dir, "documents", columns=["doc_id", "text"])
+    )
+
+
 def q_decayed_user_value(sf_dir: str):
     """Per-user recency-decayed value sum (exact power-of-two decay)."""
     from .ops import temporal
@@ -2501,6 +2537,9 @@ QUERIES = {
     "column_profile": q_column_profile,
     "qf_funnel": q_qf_funnel,
     "lang_source_chi2": q_lang_source_chi2,
+    "dup_rate_by_source": q_dup_rate_by_source,
+    "turn_len_quantiles": q_turn_len_quantiles,
+    "truncate_docs": q_truncate_docs,
     "value_deltas": q_value_deltas,
     "page_align": q_page_align,
     "cms_words": q_cms_words,
@@ -2697,6 +2736,9 @@ ORACLES = {
     "column_profile": sql_ops.COLUMN_PROFILE_SQL,
     "qf_funnel": sql_ops.QF_FUNNEL_SQL,
     "lang_source_chi2": sql_ops.LANG_SOURCE_CHI2_SQL,
+    "dup_rate_by_source": sql_ops.DUP_RATE_BY_SOURCE_SQL,
+    "turn_len_quantiles": sql_ops.TURN_LEN_QUANTILES_SQL,
+    "truncate_docs": sql_ops.TRUNCATE_DOCS_SQL,
     "value_deltas": sql_ops.VALUE_DELTAS_SQL,
     "page_align": sql_ops.PAGE_ALIGN_SQL,
     "cms_words": sql_ops.CMS_WORDS_SQL,

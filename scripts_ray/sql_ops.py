@@ -3543,3 +3543,54 @@ SELECT cell.lang, cell.source, CAST(cell.o AS BIGINT) AS n,
 FROM cell
 JOIN r USING (lang) JOIN c USING (source) CROSS JOIN t
 """
+
+
+# ---- duplicate-rate report per source (dup_rate_by_source) --------------------
+# Dup rule = identical normalized text, the same rule dedup_docs'
+# 128-bit fingerprints encode (their oracle already pins the
+# equivalence).
+
+DUP_RATE_BY_SOURCE_SQL = f"""
+WITH d AS (SELECT source, {_NORM} AS norm FROM documents),
+per AS (
+  SELECT source, count(*) AS n_docs, count(DISTINCT norm) AS n_distinct
+  FROM d GROUP BY source
+)
+SELECT source,
+       CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(n_distinct AS BIGINT) AS n_distinct,
+       CAST((1000 * (n_docs - n_distinct)) // n_docs AS BIGINT)
+         AS dup_permille
+FROM per
+"""
+
+
+# ---- per-role turn-length quantiles (turn_len_quantiles) ----------------------
+
+TURN_LEN_QUANTILES_SQL = (
+    _with(TRANSCRIPTS_CTE)
+    + """
+SELECT role,
+       CAST(quantile_disc(length(text), 0.500) AS BIGINT) AS p500,
+       CAST(quantile_disc(length(text), 0.900) AS BIGINT) AS p900,
+       CAST(quantile_disc(length(text), 0.990) AS BIGINT) AS p990
+FROM transcripts GROUP BY role
+"""
+)
+
+
+# ---- token-boundary truncation (ops/sampling.truncate_docs) -------------------
+
+from .ops.sampling import TRUNC_TOKENS  # noqa: E402
+
+TRUNCATE_DOCS_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, {_DOC_TOKS} AS t FROM documents
+)
+SELECT doc_id,
+       CAST(len(t) AS BIGINT) AS n_tok_orig,
+       array_to_string(t[1:least({TRUNC_TOKENS}, len(t))], ' ')
+         AS truncated_text,
+       len(t) > {TRUNC_TOKENS} AS was_truncated
+FROM toks
+"""

@@ -1053,3 +1053,45 @@ def test_lang_source_chi2_margins_and_uniform_case(ray_session, sf_dir):
     ind = lang_source_chi2(rd.from_pandas(df))
     assert (ind["chi2_micro"] == 0).all()
     assert (ind["expected_micro"] == ind["n"] * 1_000_000).all()
+
+
+def test_dup_rate_by_source_with_planted_dupes(ray_session):
+    """A source whose docs repeat one text reports the exact dup share;
+    an all-distinct source reports zero."""
+    import pandas as pd
+    import ray.data as rd
+
+    from scripts_ray.ops.dedup import dup_rate_by_source
+
+    df = pd.DataFrame(
+        {
+            "doc_id": range(10),
+            "source": ["dirty"] * 6 + ["clean"] * 4,
+            "text": ["same text"] * 4 + ["other", "third"]
+            + [f"unique {i}" for i in range(4)],
+        }
+    )
+    out = (
+        dup_rate_by_source(rd.from_pandas(df).repartition(3))
+        .to_pandas()
+        .set_index("source")
+    )
+    assert out.loc["dirty", "n_docs"] == 6
+    assert out.loc["dirty", "n_distinct"] == 3
+    assert out.loc["dirty", "dup_permille"] == (1000 * 3) // 6
+    assert out.loc["clean", "dup_permille"] == 0
+
+
+def test_truncate_docs_token_boundary(ray_session, sf_dir):
+    """Truncated text has exactly min(n_tok_orig, budget) tokens, the
+    prefix property holds, and the flag marks exactly the over-budget
+    docs."""
+    from scripts_ray.ops.sampling import TRUNC_TOKENS
+    from scripts_ray.queries import QUERIES
+
+    out = QUERIES["truncate_docs"](sf_dir).to_pandas()
+    n_out = out["truncated_text"].str.split(" ").str.len()
+    want = out["n_tok_orig"].clip(upper=TRUNC_TOKENS)
+    assert (n_out == want).all()
+    assert (out["was_truncated"] == (out["n_tok_orig"] > TRUNC_TOKENS)).all()
+    assert out["was_truncated"].any() and (~out["was_truncated"]).any()
