@@ -444,6 +444,10 @@ def run_bench() -> dict:
             "simpson_by_source",
             "vocab_oov",
             "compress_ratio",
+            "qf_funnel",
+            "dup_rate_by_source",
+            "rag_index",
+            "truncate_docs",
         ]
     )
     for name in secondary:

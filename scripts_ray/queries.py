@@ -1865,6 +1865,35 @@ def q_truncate_docs(sf_dir: str):
     )
 
 
+def q_rag_index(sf_dir: str):
+    """RAG index build — the retrieval capstone composition: overlapping
+    chunks (chunk_docs) -> injective chunk ids -> chunk-granular postings
+    (inverted_index's plan over the chunk stream); chunk-level postings
+    are what a RAG store actually serves. Streaming end to end: the
+    chunker is a pure map, the index one tok exchange."""
+    from .ops.retrieval import inverted_index
+    from .sql_ops import RAG_CHUNK_MULT
+
+    def to_docs(batch: pd.DataFrame) -> pd.DataFrame:
+        cidx = batch["chunk_idx"].to_numpy(dtype=np.int64)
+        if len(cidx) and cidx.max() >= RAG_CHUNK_MULT:
+            raise ValueError("chunk_idx exceeds the injective id range")
+        return pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"].to_numpy(dtype=np.int64)
+                * RAG_CHUNK_MULT
+                + cidx,
+                "text": batch["chunk_text"],
+            }
+        )
+
+    return inverted_index(
+        sampling.chunk_docs(
+            _read(sf_dir, "documents", columns=["doc_id", "text"])
+        ).map_batches(to_docs, batch_format="pandas")
+    )
+
+
 def q_decayed_user_value(sf_dir: str):
     """Per-user recency-decayed value sum (exact power-of-two decay)."""
     from .ops import temporal
@@ -2540,6 +2569,7 @@ QUERIES = {
     "dup_rate_by_source": q_dup_rate_by_source,
     "turn_len_quantiles": q_turn_len_quantiles,
     "truncate_docs": q_truncate_docs,
+    "rag_index": q_rag_index,
     "value_deltas": q_value_deltas,
     "page_align": q_page_align,
     "cms_words": q_cms_words,
@@ -2739,6 +2769,7 @@ ORACLES = {
     "dup_rate_by_source": sql_ops.DUP_RATE_BY_SOURCE_SQL,
     "turn_len_quantiles": sql_ops.TURN_LEN_QUANTILES_SQL,
     "truncate_docs": sql_ops.TRUNCATE_DOCS_SQL,
+    "rag_index": sql_ops.RAG_INDEX_SQL,
     "value_deltas": sql_ops.VALUE_DELTAS_SQL,
     "page_align": sql_ops.PAGE_ALIGN_SQL,
     "cms_words": sql_ops.CMS_WORDS_SQL,

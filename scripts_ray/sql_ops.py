@@ -3594,3 +3594,33 @@ SELECT doc_id,
        len(t) > {TRUNC_TOKENS} AS was_truncated
 FROM toks
 """
+
+
+# ---- RAG index build: postings over chunks (q_rag_index) ----------------------
+# chunk_docs' window rule + the inverted-index postings shape, with the
+# injective chunk_id = doc_id * RAG_CHUNK_MULT + chunk_idx.
+
+RAG_CHUNK_MULT = 100_000
+
+RAG_INDEX_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, {_DOC_TOKS} AS t FROM documents
+),
+nn AS (SELECT doc_id, t, len(t) AS n FROM toks WHERE len(t) > 0),
+starts AS (
+  SELECT doc_id, t, n,
+         CAST(unnest(range(0, n, {CHUNK_STRIDE})) AS BIGINT) AS s
+  FROM nn
+),
+chunks AS (
+  SELECT doc_id * {RAG_CHUNK_MULT} + (s // {CHUNK_STRIDE}) AS chunk_id,
+         t[CAST(s + 1 AS BIGINT):CAST(least(s + {CHUNK_LEN}, n) AS BIGINT)]
+           AS ct
+  FROM starts
+),
+pairs AS (SELECT DISTINCT chunk_id, unnest(ct) AS tok FROM chunks)
+SELECT tok, CAST(count(*) AS BIGINT) AS df,
+       string_agg(CAST(chunk_id AS VARCHAR), ',' ORDER BY chunk_id)
+         AS postings
+FROM pairs GROUP BY tok
+"""

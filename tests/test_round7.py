@@ -1095,3 +1095,35 @@ def test_truncate_docs_token_boundary(ray_session, sf_dir):
     assert (n_out == want).all()
     assert (out["was_truncated"] == (out["n_tok_orig"] > TRUNC_TOKENS)).all()
     assert out["was_truncated"].any() and (~out["was_truncated"]).any()
+
+
+def test_rag_index_postings_consistency(ray_session, sf_dir):
+    """Every chunk id in a token's postings decodes to a real chunk that
+    contains the token; each token's df equals its postings length; and
+    a chunk's tokens all point back to it."""
+    from scripts_ray.queries import QUERIES
+    from scripts_ray.sql_ops import RAG_CHUNK_MULT
+
+    idx = QUERIES["rag_index"](sf_dir).to_pandas()
+    chunks = QUERIES["chunk_docs"](sf_dir).to_pandas()
+    chunks["chunk_id"] = (
+        chunks["doc_id"] * RAG_CHUNK_MULT + chunks["chunk_idx"]
+    )
+    by_id = chunks.set_index("chunk_id")["chunk_text"]
+
+    assert (
+        idx["postings"].str.split(",").str.len() == idx["df"]
+    ).all()
+    for _, r in idx.sample(10, random_state=3).iterrows():
+        ids = [int(x) for x in r["postings"].split(",")]
+        assert ids == sorted(ids)
+        for cid in ids[:5]:
+            assert r["tok"] in by_id.loc[cid].split(" "), (r["tok"], cid)
+    # reverse direction on a sample of chunks
+    post = {
+        t: set(int(x) for x in p.split(","))
+        for t, p in zip(idx["tok"], idx["postings"])
+    }
+    for cid, text in by_id.sample(10, random_state=4).items():
+        for tok in set(text.split(" ")):
+            assert cid in post[tok], (cid, tok)
