@@ -560,3 +560,52 @@ def dense_event_grid(events_ds):
     out = grid.merge(counts, on=["event_type", "day"], how="left")
     out["n"] = out["n"].fillna(0).astype(np.int64)
     return out
+
+
+def cohort_retention(events_ds):
+    """Cohort retention matrix — the standard activation analysis (users
+    bucketed by first-active day; how many are still active `age` days
+    later): per-user first-day needs each user's rows together, so ONE
+    user_id exchange of pre-deduplicated (user, day) pairs (the per-batch
+    drop_duplicates is the combiner — a user's many same-day events ship
+    once); inside the partition the per-user min and the cell emission
+    are vectorized, and the (cohort_day, age_days) cells fold through the
+    bounded second aggregate (days² cells). Day key = calendar
+    day-of-month over the fixture's pinned single-month window
+    (dense_event_grid's convention). Emits (cohort_day, age_days,
+    n_users)."""
+    from .hashagg import hash_aggregate, map_partitions_by_key
+
+    def project(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "user_id": batch["user_id"].astype(np.int64),
+                "day": batch["ts"].dt.day.astype(np.int64),
+            }
+        ).drop_duplicates()
+
+    def cells(part: pd.DataFrame) -> pd.DataFrame:
+        part = part.drop_duplicates()
+        first = part.groupby("user_id", sort=False)["day"].transform("min")
+        return (
+            pd.DataFrame(
+                {
+                    "cohort_day": first.to_numpy(dtype=np.int64),
+                    "age_days": (part["day"] - first).to_numpy(dtype=np.int64),
+                }
+            )
+            .groupby(["cohort_day", "age_days"], sort=False)
+            .size()
+            .reset_index(name="n_users")
+        )
+
+    per_part = map_partitions_by_key(
+        events_ds.map_batches(project, batch_format="pandas"),
+        "user_id",
+        cells,
+    )
+    return hash_aggregate(
+        per_part,
+        keys=["cohort_day", "age_days"],
+        aggs={"n_users": ("n_users", "sum")},
+    )

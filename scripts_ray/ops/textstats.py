@@ -1177,3 +1177,43 @@ def lang_source_chi2(docs_ds):
     cells["expected_micro"] = np.array(exp, dtype=np.int64)
     cells["chi2_micro"] = np.array(chi, dtype=np.int64)
     return cells
+
+
+TREND_TOP_K = 5
+
+
+def trending_terms(trans_ds, k: int = TREND_TOP_K):
+    """Per-day trending terms over the turn stream — the monitoring view
+    of a live corpus (what surged today): (day, term) count partials →
+    one hash aggregate at day × vocabulary cardinality → grouped top-k
+    with its per-batch combiner prune (no global sort, hot days bounded
+    at k rows per batch on the exchange). Emits (day, term, n, rank)."""
+    from ..tokens import explode
+    from .hashagg import hash_aggregate
+    from .quantiles import group_topk
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        rows, toks = explode(pa.array(batch["text"].tolist(), type=pa.string()))
+        if len(toks) == 0:
+            return pd.DataFrame(
+                {
+                    "day": pd.Series([], dtype=np.int64),
+                    "term": pd.Series([], dtype=object),
+                    "n": pd.Series([], dtype=np.int64),
+                }
+            )
+        day = batch["ts"].dt.day.astype(np.int64).to_numpy()[rows]
+        return (
+            pd.DataFrame({"day": day, "term": toks})
+            .groupby(["day", "term"], sort=False)
+            .size()
+            .reset_index(name="n")
+        )
+
+    counts = hash_aggregate(
+        trans_ds.map_batches(partial, batch_format="pandas"),
+        keys=["day", "term"],
+        aggs={"n": ("n", "sum")},
+    )
+    return group_topk(counts, keys=["day"], sort_col="n", k=k,
+                      tie_cols=["term"])

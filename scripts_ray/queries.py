@@ -1894,6 +1894,24 @@ def q_rag_index(sf_dir: str):
     )
 
 
+def q_cohort_retention(sf_dir: str):
+    """Cohort retention matrix over the events stream."""
+    from .ops import temporal
+
+    return temporal.cohort_retention(
+        _read(sf_dir, "events", columns=["user_id", "ts"])
+    )
+
+
+def q_trending_terms(sf_dir: str):
+    """Per-day trending terms (grouped top-k over the turn stream)."""
+    from .ops.textstats import trending_terms
+
+    return trending_terms(
+        derive_transcripts_ds(sf_dir).select_columns(["ts", "text"])
+    )
+
+
 def q_decayed_user_value(sf_dir: str):
     """Per-user recency-decayed value sum (exact power-of-two decay)."""
     from .ops import temporal
@@ -2570,6 +2588,8 @@ QUERIES = {
     "turn_len_quantiles": q_turn_len_quantiles,
     "truncate_docs": q_truncate_docs,
     "rag_index": q_rag_index,
+    "cohort_retention": q_cohort_retention,
+    "trending_terms": q_trending_terms,
     "value_deltas": q_value_deltas,
     "page_align": q_page_align,
     "cms_words": q_cms_words,
@@ -2770,6 +2790,8 @@ ORACLES = {
     "turn_len_quantiles": sql_ops.TURN_LEN_QUANTILES_SQL,
     "truncate_docs": sql_ops.TRUNCATE_DOCS_SQL,
     "rag_index": sql_ops.RAG_INDEX_SQL,
+    "cohort_retention": sql_ops.COHORT_RETENTION_SQL,
+    "trending_terms": sql_ops.TRENDING_TERMS_SQL,
     "value_deltas": sql_ops.VALUE_DELTAS_SQL,
     "page_align": sql_ops.PAGE_ALIGN_SQL,
     "cms_words": sql_ops.CMS_WORDS_SQL,

@@ -3624,3 +3624,44 @@ SELECT tok, CAST(count(*) AS BIGINT) AS df,
          AS postings
 FROM pairs GROUP BY tok
 """
+
+
+# ---- cohort retention matrix (ops/temporal.cohort_retention) ------------------
+
+COHORT_RETENTION_SQL = """
+WITH d AS (
+  SELECT DISTINCT user_id, CAST(day(ts) AS BIGINT) AS day FROM events
+),
+f AS (
+  SELECT user_id, day,
+         min(day) OVER (PARTITION BY user_id) AS cohort
+  FROM d
+)
+SELECT CAST(cohort AS BIGINT) AS cohort_day,
+       CAST(day - cohort AS BIGINT) AS age_days,
+       CAST(count(*) AS BIGINT) AS n_users
+FROM f GROUP BY 1, 2
+"""
+
+
+# ---- per-day trending terms (ops/textstats.trending_terms) --------------------
+
+from .ops.textstats import TREND_TOP_K  # noqa: E402
+
+TRENDING_TERMS_SQL = (
+    _with(TRANSCRIPTS_CTE)
+    + f""",
+tc AS (
+  SELECT CAST(day(ts) AS BIGINT) AS day, tok AS term,
+         CAST(count(*) AS BIGINT) AS n
+  FROM (SELECT ts, unnest({_DOC_TOKS}) AS tok FROM transcripts)
+  GROUP BY 1, 2
+),
+r AS (
+  SELECT *, CAST(row_number() OVER (PARTITION BY day ORDER BY n DESC, term)
+                 AS BIGINT) AS rank
+  FROM tc
+)
+SELECT day, term, n, rank FROM r WHERE rank <= {TREND_TOP_K}
+"""
+)

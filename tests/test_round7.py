@@ -1127,3 +1127,67 @@ def test_rag_index_postings_consistency(ray_session, sf_dir):
     for cid, text in by_id.sample(10, random_state=4).items():
         for tok in set(text.split(" ")):
             assert cid in post[tok], (cid, tok)
+
+
+def test_cohort_retention_hand_case(ray_session):
+    """Hand-built activity: u1 active days 1,2,5; u2 days 2,2,3 (dup
+    event same day counts once); u3 day 5 only. Cells must be exact."""
+    import pandas as pd
+    import ray.data as rd
+
+    from scripts_ray.ops.temporal import cohort_retention
+
+    ts = pd.to_datetime(
+        [
+            "2024-01-01 05:00", "2024-01-02 06:00", "2024-01-05 07:00",  # u1
+            "2024-01-02 01:00", "2024-01-02 02:00", "2024-01-03 03:00",  # u2
+            "2024-01-05 09:00",                                          # u3
+        ]
+    )
+    df = pd.DataFrame({"user_id": [1, 1, 1, 2, 2, 2, 3], "ts": ts})
+    out = (
+        cohort_retention(rd.from_pandas(df).repartition(3))
+        .to_pandas()
+        .set_index(["cohort_day", "age_days"])["n_users"]
+        .to_dict()
+    )
+    assert out == {
+        (1, 0): 1, (1, 1): 1, (1, 4): 1,   # u1
+        (2, 0): 1, (2, 1): 1,              # u2 (same-day dup collapses)
+        (5, 0): 1,                         # u3
+    }
+
+
+def test_trending_terms_rank_and_counts(ray_session, sf_dir):
+    """Each day carries exactly top-k ranks in order; counts are
+    non-increasing with rank within a day; every (day, term) count matches
+    a brute recount over the transcript stream."""
+    import pyarrow as pa
+
+    from scripts_ray.ops.textstats import TREND_TOP_K
+    from scripts_ray.queries import QUERIES
+    from scripts_ray.sources import derive_transcripts_ds
+    from scripts_ray.tokens import explode
+
+    out = QUERIES["trending_terms"](sf_dir).to_pandas()
+    per_day = out.groupby("day")["rank"].agg(["min", "max", "count"])
+    assert (per_day["min"] == 1).all()
+    assert (per_day["max"] == per_day["count"]).all()
+    assert (per_day["count"] <= TREND_TOP_K).all()
+    mono = out.sort_values(["day", "rank"]).groupby("day")["n"]
+    assert (mono.diff().dropna() <= 0).all()
+
+    tr = (
+        derive_transcripts_ds(sf_dir)
+        .select_columns(["ts", "text"])
+        .to_pandas()
+    )
+    rows, toks = explode(pa.array(tr["text"].tolist(), type=pa.string()))
+    days = tr["ts"].dt.day.to_numpy()[rows]
+    brute = (
+        pd.DataFrame({"day": days, "term": toks})
+        .groupby(["day", "term"])
+        .size()
+    )
+    for _, r in out.sample(15, random_state=5).iterrows():
+        assert brute.loc[(r["day"], r["term"])] == r["n"]
