@@ -448,6 +448,8 @@ def run_bench() -> dict:
             "dup_rate_by_source",
             "rag_index",
             "truncate_docs",
+            "cohort_retention",
+            "trending_terms",
         ]
     )
     for name in secondary:
