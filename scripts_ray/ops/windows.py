@@ -345,3 +345,77 @@ def conv_render_part(part: pd.DataFrame) -> pd.DataFrame:
         .agg("\n".join)
         .reset_index(name="rendered")
     )
+
+
+def conv_balance(trans_ds):
+    """Dialogue balance report — the SFT-curation view (is a conversation
+    assistant-dominated, user-dominated, or balanced): per conversation
+    the user/assistant turn counts and character masses, and the
+    assistant share of ALL characters in integer permille. No window
+    needed, so this takes the combiner path rather than the conv
+    exchange: per-batch indicator partials → ONE hash aggregate at conv
+    cardinality → a trailing permille map. Emits (conv_id, n_user,
+    n_assistant, user_chars, assistant_chars, assistant_permille)."""
+    from .hashagg import hash_aggregate
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        role = batch["role"].to_numpy(dtype=object)
+        chars = batch["text"].str.len().to_numpy(dtype=np.int64)
+        d = pd.DataFrame(
+            {
+                "conv_id": batch["conv_id"],
+                "n_user": (role == "user").astype(np.int64),
+                "n_assistant": (role == "assistant").astype(np.int64),
+                "user_chars": np.where(role == "user", chars, 0),
+                "assistant_chars": np.where(role == "assistant", chars, 0),
+                "total_chars": chars,
+            }
+        )
+        return d.groupby("conv_id", sort=False).sum().reset_index()
+
+    agg = hash_aggregate(
+        trans_ds.map_batches(partial, batch_format="pandas"),
+        keys=["conv_id"],
+        aggs={
+            c: (c, "sum")
+            for c in ("n_user", "n_assistant", "user_chars",
+                      "assistant_chars", "total_chars")
+        },
+    )
+
+    def share(batch: pd.DataFrame) -> pd.DataFrame:
+        tot = batch["total_chars"].to_numpy(dtype=np.int64)
+        if len(tot) and tot.min() <= 0:
+            raise ValueError("conversation with zero characters")
+        batch["assistant_permille"] = (
+            1000 * batch["assistant_chars"].to_numpy(dtype=np.int64)
+        ) // tot
+        return batch.drop(columns=["total_chars"])
+
+    return agg.map_batches(share, batch_format="pandas")
+
+
+def alternation_part(part: pd.DataFrame) -> pd.DataFrame:
+    """Role-alternation score per conversation — the dialogue-shape
+    signal (healthy chat alternates speakers; long same-role runs mark
+    transcription glitches or monologues): over the turn_idx-ordered
+    stream, the share of adjacent pairs that switch roles, integer
+    permille. Runs on the standard conv exchange; the pair scan is one
+    vectorized shift compare. Single-turn conversations score 0 over 0
+    pairs (permille 0 by convention, matching the SQL CASE)."""
+    part = part.sort_values(["conv_id", "turn_idx"], kind="mergesort")
+    same = (part["conv_id"] == part["conv_id"].shift()).to_numpy()
+    alt = (part["role"].to_numpy(dtype=object)
+           != part["role"].shift().to_numpy(dtype=object))
+    d = pd.DataFrame(
+        {
+            "conv_id": part["conv_id"],
+            "n_pairs": same.astype(np.int64),
+            "n_alternating": (same & alt).astype(np.int64),
+        }
+    )
+    g = d.groupby("conv_id", sort=False).sum().reset_index()
+    np_ = g["n_pairs"].to_numpy(dtype=np.int64)
+    na = g["n_alternating"].to_numpy(dtype=np.int64)
+    g["alternation_permille"] = np.where(np_ > 0, (1000 * na) // np.maximum(np_, 1), 0)
+    return g

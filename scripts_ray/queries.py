@@ -1912,6 +1912,20 @@ def q_trending_terms(sf_dir: str):
     )
 
 
+def q_conv_balance(sf_dir: str):
+    """Dialogue balance: per-conv role/char masses + assistant permille."""
+    return windows.conv_balance(
+        derive_transcripts_ds(sf_dir).select_columns(
+            ["conv_id", "role", "text"]
+        )
+    )
+
+
+def q_alternation_score(sf_dir: str):
+    """Role-alternation share of adjacent turn pairs per conversation."""
+    return _conv_grouped(sf_dir, windows.alternation_part)
+
+
 def q_decayed_user_value(sf_dir: str):
     """Per-user recency-decayed value sum (exact power-of-two decay)."""
     from .ops import temporal
@@ -2590,6 +2604,8 @@ QUERIES = {
     "rag_index": q_rag_index,
     "cohort_retention": q_cohort_retention,
     "trending_terms": q_trending_terms,
+    "conv_balance": q_conv_balance,
+    "alternation_score": q_alternation_score,
     "value_deltas": q_value_deltas,
     "page_align": q_page_align,
     "cms_words": q_cms_words,
@@ -2792,6 +2808,8 @@ ORACLES = {
     "rag_index": sql_ops.RAG_INDEX_SQL,
     "cohort_retention": sql_ops.COHORT_RETENTION_SQL,
     "trending_terms": sql_ops.TRENDING_TERMS_SQL,
+    "conv_balance": sql_ops.CONV_BALANCE_SQL,
+    "alternation_score": sql_ops.ALTERNATION_SCORE_SQL,
     "value_deltas": sql_ops.VALUE_DELTAS_SQL,
     "page_align": sql_ops.PAGE_ALIGN_SQL,
     "cms_words": sql_ops.CMS_WORDS_SQL,

@@ -3665,3 +3665,53 @@ r AS (
 SELECT day, term, n, rank FROM r WHERE rank <= {TREND_TOP_K}
 """
 )
+
+
+# ---- dialogue balance report (ops/windows.conv_balance) -----------------------
+
+CONV_BALANCE_SQL = (
+    _with(TRANSCRIPTS_CTE)
+    + """
+SELECT conv_id,
+       CAST(count(*) FILTER (WHERE role = 'user') AS BIGINT) AS n_user,
+       CAST(count(*) FILTER (WHERE role = 'assistant') AS BIGINT)
+         AS n_assistant,
+       CAST(COALESCE(sum(length(text)) FILTER (WHERE role = 'user'), 0)
+            AS BIGINT) AS user_chars,
+       CAST(COALESCE(sum(length(text)) FILTER (WHERE role = 'assistant'), 0)
+            AS BIGINT) AS assistant_chars,
+       CAST((1000 * COALESCE(sum(length(text))
+                             FILTER (WHERE role = 'assistant'), 0))
+            // sum(length(text)) AS BIGINT) AS assistant_permille
+FROM transcripts GROUP BY conv_id
+"""
+)
+
+
+# ---- role-alternation score (ops/windows.alternation_part) --------------------
+
+ALTERNATION_SCORE_SQL = (
+    _with(TRANSCRIPTS_CTE)
+    + """
+, lagged AS (
+  SELECT conv_id,
+         lag(role) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS prev,
+         role
+  FROM transcripts
+),
+per AS (
+  SELECT conv_id,
+         count(*) FILTER (WHERE prev IS NOT NULL) AS n_pairs,
+         count(*) FILTER (WHERE prev IS NOT NULL AND role <> prev)
+           AS n_alternating
+  FROM lagged GROUP BY conv_id
+)
+SELECT conv_id,
+       CAST(n_pairs AS BIGINT) AS n_pairs,
+       CAST(n_alternating AS BIGINT) AS n_alternating,
+       CAST(CASE WHEN n_pairs = 0 THEN 0
+                 ELSE (1000 * n_alternating) // n_pairs END AS BIGINT)
+         AS alternation_permille
+FROM per
+"""
+)

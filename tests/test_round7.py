@@ -1191,3 +1191,47 @@ def test_trending_terms_rank_and_counts(ray_session, sf_dir):
     )
     for _, r in out.sample(15, random_state=5).iterrows():
         assert brute.loc[(r["day"], r["term"])] == r["n"]
+
+
+def test_conv_balance_and_alternation_hand_case(ray_session):
+    """A hand conversation: roles u,a,u,a,t — balance masses and the
+    alternation share are exact; a single-turn conv scores 0/0 pairs."""
+    import pandas as pd
+    import ray.data as rd
+
+    from scripts_ray.ops.hashagg import map_partitions_by_key
+    from scripts_ray.ops.windows import alternation_part, conv_balance
+
+    df = pd.DataFrame(
+        {
+            "conv_id": ["c1"] * 5 + ["c2"],
+            "turn_idx": [0, 1, 2, 3, 4, 0],
+            "role": ["user", "assistant", "user", "assistant", "tool",
+                     "user"],
+            "text": ["aa", "bbbb", "c", "ddd", "e", "zz"],
+        }
+    )
+    bal = (
+        conv_balance(rd.from_pandas(df).repartition(3))
+        .to_pandas()
+        .set_index("conv_id")
+    )
+    assert bal.loc["c1", "n_user"] == 2 and bal.loc["c1", "n_assistant"] == 2
+    assert bal.loc["c1", "user_chars"] == 3
+    assert bal.loc["c1", "assistant_chars"] == 7
+    assert bal.loc["c1", "assistant_permille"] == (1000 * 7) // 11
+    assert bal.loc["c2", "assistant_permille"] == 0
+
+    alt = (
+        map_partitions_by_key(
+            rd.from_pandas(df).repartition(3), "conv_id", alternation_part
+        )
+        .to_pandas()
+        .set_index("conv_id")
+    )
+    # c1 pairs: u->a, a->u, u->a, a->t : all 4 alternate
+    assert alt.loc["c1", "n_pairs"] == 4
+    assert alt.loc["c1", "n_alternating"] == 4
+    assert alt.loc["c1", "alternation_permille"] == 1000
+    assert alt.loc["c2", "n_pairs"] == 0
+    assert alt.loc["c2", "alternation_permille"] == 0
