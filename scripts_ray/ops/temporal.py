@@ -609,3 +609,92 @@ def cohort_retention(events_ds):
         keys=["cohort_day", "age_days"],
         aggs={"n_users": ("n_users", "sum")},
     )
+
+
+WINSOR_LO_PM = 10   # clamp below the 1st percentile
+WINSOR_HI_PM = 990  # and above the 99th
+
+
+def winsorize_values(events_ds_fn, lo_pm: int = WINSOR_LO_PM,
+                     hi_pm: int = WINSOR_HI_PM):
+    """Per-type winsorization — the feature-cleaning staple (clamp a
+    heavy-tailed metric to its [p1, p99] band so one glitch row cannot
+    dominate a model's loss): values in exact integer micro units
+    (floor(value·1e6), the rolling_agg convention), per-type bounds from
+    the exact distributed quantile histogram (type cardinality is
+    bounded), bounds broadcast once, then a pure clamp map on the
+    second pass over the factory. Two column-pruned reads by design
+    (the len_outliers pattern). Emits (event_id, event_type,
+    value_micro, clamped_micro)."""
+    import ray
+
+    from .quantiles import group_quantiles
+
+    def project(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "event_id": batch["event_id"].astype(np.int64),
+                "event_type": batch["event_type"],
+                "value_micro": np.floor(
+                    batch["value"].to_numpy(dtype=np.float64) * 1_000_000.0
+                ).astype(np.int64),
+            }
+        )
+
+    bounds = group_quantiles(
+        events_ds_fn().map_batches(project, batch_format="pandas"),
+        value_col="value_micro",
+        keys=["event_type"],
+        quantiles_permille=[lo_pm, hi_pm],
+    ).to_pandas()
+    bref = ray.put(
+        {
+            t: (int(lo), int(hi))
+            for t, lo, hi in zip(
+                bounds["event_type"],
+                bounds[f"p{lo_pm}"],
+                bounds[f"p{hi_pm}"],
+            )
+        }
+    )
+
+    def clamp(batch: pd.DataFrame) -> pd.DataFrame:
+        b = ray.get(bref)
+        d = project(batch)
+        lo = d["event_type"].map(lambda t: b[t][0]).to_numpy(dtype=np.int64)
+        hi = d["event_type"].map(lambda t: b[t][1]).to_numpy(dtype=np.int64)
+        d["clamped_micro"] = np.minimum(
+            np.maximum(d["value_micro"].to_numpy(dtype=np.int64), lo), hi
+        )
+        return d
+
+    return events_ds_fn().map_batches(clamp, batch_format="pandas")
+
+
+LATEST_K = 3
+
+
+def latest_events(events_ds, k: int = LATEST_K):
+    """Latest-N per user — the feature-store freshness view (a model's
+    online features are the user's most recent interactions): grouped
+    top-k by recency with the combiner prune (each batch ships at most
+    k rows per user to the exchange). Emits (user_id, ts, event_id,
+    rank) with rank 1 = most recent, ties to the lower event_id."""
+    from .quantiles import group_topk
+
+    def project(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "user_id": batch["user_id"].astype(np.int64),
+                "ts": batch["ts"],
+                "event_id": batch["event_id"].astype(np.int64),
+            }
+        )
+
+    return group_topk(
+        events_ds.map_batches(project, batch_format="pandas"),
+        keys=["user_id"],
+        sort_col="ts",
+        k=k,
+        tie_cols=["event_id"],
+    )

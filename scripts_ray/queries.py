@@ -1926,6 +1926,25 @@ def q_alternation_score(sf_dir: str):
     return _conv_grouped(sf_dir, windows.alternation_part)
 
 
+def q_winsorize_values(sf_dir: str):
+    """Per-type [p1, p99] winsorization of event values (integer micro)."""
+    from .ops import temporal
+
+    return temporal.winsorize_values(
+        lambda: _read(sf_dir, "events",
+                      columns=["event_id", "event_type", "value"])
+    )
+
+
+def q_latest_events(sf_dir: str):
+    """Latest-3 events per user (grouped top-k by recency)."""
+    from .ops import temporal
+
+    return temporal.latest_events(
+        _read(sf_dir, "events", columns=["user_id", "ts", "event_id"])
+    )
+
+
 def q_decayed_user_value(sf_dir: str):
     """Per-user recency-decayed value sum (exact power-of-two decay)."""
     from .ops import temporal
@@ -2606,6 +2625,8 @@ QUERIES = {
     "trending_terms": q_trending_terms,
     "conv_balance": q_conv_balance,
     "alternation_score": q_alternation_score,
+    "winsorize_values": q_winsorize_values,
+    "latest_events": q_latest_events,
     "value_deltas": q_value_deltas,
     "page_align": q_page_align,
     "cms_words": q_cms_words,
@@ -2810,6 +2831,8 @@ ORACLES = {
     "trending_terms": sql_ops.TRENDING_TERMS_SQL,
     "conv_balance": sql_ops.CONV_BALANCE_SQL,
     "alternation_score": sql_ops.ALTERNATION_SCORE_SQL,
+    "winsorize_values": sql_ops.WINSORIZE_VALUES_SQL,
+    "latest_events": sql_ops.LATEST_EVENTS_SQL,
     "value_deltas": sql_ops.VALUE_DELTAS_SQL,
     "page_align": sql_ops.PAGE_ALIGN_SQL,
     "cms_words": sql_ops.CMS_WORDS_SQL,

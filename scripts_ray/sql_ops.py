@@ -3715,3 +3715,40 @@ SELECT conv_id,
 FROM per
 """
 )
+
+
+# ---- per-type winsorization (ops/temporal.winsorize_values) -------------------
+
+from .ops.temporal import LATEST_K, WINSOR_HI_PM, WINSOR_LO_PM  # noqa: E402
+
+WINSORIZE_VALUES_SQL = f"""
+WITH v AS (
+  SELECT event_id, event_type,
+         CAST(floor(value * 1000000) AS BIGINT) AS value_micro
+  FROM events
+),
+q AS (
+  SELECT event_type,
+         CAST(quantile_disc(value_micro, {WINSOR_LO_PM / 1000}) AS BIGINT)
+           AS lo,
+         CAST(quantile_disc(value_micro, {WINSOR_HI_PM / 1000}) AS BIGINT)
+           AS hi
+  FROM v GROUP BY event_type
+)
+SELECT v.event_id, v.event_type, v.value_micro,
+       CAST(least(greatest(v.value_micro, q.lo), q.hi) AS BIGINT)
+         AS clamped_micro
+FROM v JOIN q USING (event_type)
+"""
+
+
+# ---- latest-N events per user (ops/temporal.latest_events) --------------------
+
+LATEST_EVENTS_SQL = f"""
+SELECT CAST(user_id AS BIGINT) AS user_id, ts,
+       CAST(event_id AS BIGINT) AS event_id,
+       CAST(row_number() OVER (
+         PARTITION BY user_id ORDER BY ts DESC, event_id
+       ) AS BIGINT) AS rank
+FROM events QUALIFY rank <= {LATEST_K}
+"""

@@ -1235,3 +1235,57 @@ def test_conv_balance_and_alternation_hand_case(ray_session):
     assert alt.loc["c1", "alternation_permille"] == 1000
     assert alt.loc["c2", "n_pairs"] == 0
     assert alt.loc["c2", "alternation_permille"] == 0
+
+
+def test_winsorize_clamps_planted_outliers(ray_session):
+    """A planted glitch value is pulled to the per-type p99 bound; inliers
+    pass through untouched; the clamp never widens the band."""
+    import pandas as pd
+    import ray.data as rd
+
+    from scripts_ray.ops.temporal import winsorize_values
+
+    n = 500
+    df = pd.DataFrame(
+        {
+            "event_id": range(n),
+            "event_type": ["click"] * n,
+            "value": [float(i % 100) for i in range(n - 1)] + [1e9],
+        }
+    )
+    out = (
+        winsorize_values(lambda: rd.from_pandas(df).repartition(4))
+        .to_pandas()
+        .set_index("event_id")
+    )
+    glitch = out.loc[n - 1]
+    assert glitch["value_micro"] == 10**15
+    assert glitch["clamped_micro"] < 10**15  # pulled to the p99 bound
+    inlier = out.loc[50]
+    assert inlier["clamped_micro"] == inlier["value_micro"]
+    assert (out["clamped_micro"] >= out["clamped_micro"].min()).all()
+    assert (
+        out["clamped_micro"].between(
+            out["clamped_micro"].min(), out["clamped_micro"].max()
+        )
+    ).all()
+
+
+def test_latest_events_is_true_recency_topk(ray_session, sf_dir):
+    """Per user: ranks are 1..min(k, n_events) and the rank-1 row is the
+    user's true max timestamp (brute pandas check)."""
+    import pyarrow.parquet as pq
+
+    from scripts_ray.ops.temporal import LATEST_K
+    from scripts_ray.queries import QUERIES
+
+    out = QUERIES["latest_events"](sf_dir).to_pandas()
+    ev = pq.read_table(f"{sf_dir}/events.parquet",
+                       columns=["user_id", "ts", "event_id"]).to_pandas()
+    per = out.groupby("user_id")
+    counts = ev.groupby("user_id").size()
+    for uid, g in per:
+        expect = min(LATEST_K, counts[uid])
+        assert sorted(g["rank"]) == list(range(1, expect + 1)), uid
+        top = g.loc[g["rank"] == 1].iloc[0]
+        assert top["ts"] == ev.loc[ev["user_id"] == uid, "ts"].max(), uid
