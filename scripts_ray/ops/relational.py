@@ -8,6 +8,8 @@ pre-aggregated rows, not the raw table.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -420,3 +422,88 @@ def column_profile(docs_ds_fn, columns: tuple[str, ...] = PROFILE_COLUMNS):
     return pd.DataFrame(
         rows, columns=["column", "n_rows", "n_distinct", "n_null"]
     ).sort_values("column", kind="mergesort").reset_index(drop=True)
+
+
+BJOIN_BUCKETS = 8
+
+
+def bucket_join_events(events_ds_fn, work_dir: str,
+                       n_buckets: int = BJOIN_BUCKETS):
+    """Storage-co-partitioned join — the shuffle-free join a warehouse
+    buys by bucketing BOTH tables on the same key at write time (the
+    'pick ONE partitioning key and reuse it across stages' discipline at
+    the storage layer): facts (event_id, user_id, value_micro) and the
+    derived user dimension (user_id, n_total) are each written to
+    user_id % n_buckets bucket files; the join then runs as n_buckets
+    INDEPENDENT bucket-local merges — no exchange at join time, and a
+    failed bucket can be re-joined alone (the checkpoint-layout
+    resumability contract). The bucket key is a plain modulo so the SQL
+    oracle is trivially the unbucketed join (bucketing is a physical
+    layout choice, invisible to the result). At test scale each bucket's
+    dim side loads into its map task; at real scale the same layout
+    feeds a per-bucket sorted merge. Emits (event_id, user_id,
+    value_micro, n_total)."""
+    import shutil
+
+    import pyarrow.parquet as pq_
+    import ray.data as rd
+
+    from .hashagg import hash_aggregate
+
+    shutil.rmtree(work_dir, ignore_errors=True)
+    os.makedirs(f"{work_dir}/facts", exist_ok=True)
+    os.makedirs(f"{work_dir}/dim", exist_ok=True)
+
+    def project(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "event_id": batch["event_id"].astype(np.int64),
+                "user_id": batch["user_id"].astype(np.int64),
+                "value_micro": np.floor(
+                    batch["value"].to_numpy(dtype=np.float64) * 1_000_000.0
+                ).astype(np.int64),
+                "_b": batch["user_id"].astype(np.int64) % n_buckets,
+            }
+        )
+
+    # write both sides bucketed on the SAME key expression
+    facts = events_ds_fn().map_batches(project, batch_format="pandas")
+    facts.write_parquet(f"{work_dir}/facts", partition_cols=["_b"])
+    dim = hash_aggregate(
+        events_ds_fn().map_batches(
+            lambda b: pd.DataFrame(
+                {"user_id": b["user_id"].astype(np.int64)}
+            ),
+            batch_format="pandas",
+        ),
+        keys=["user_id"],
+        aggs={"n_total": ("user_id", "count")},
+    )
+
+    def tag_dim(batch: pd.DataFrame) -> pd.DataFrame:
+        batch["_b"] = batch["user_id"].to_numpy(dtype=np.int64) % n_buckets
+        return batch
+
+    dim.map_batches(tag_dim, batch_format="pandas").write_parquet(
+        f"{work_dir}/dim", partition_cols=["_b"]
+    )
+
+    # join = n_buckets independent bucket-local merges, no exchange
+    parts = []
+    for b in range(n_buckets):
+        dim_b = pq_.read_table(
+            f"{work_dir}/dim/_b={b}", columns=["user_id", "n_total"]
+        ).to_pandas()
+
+        def merge(batch: pd.DataFrame, dim_b=dim_b) -> pd.DataFrame:
+            out = batch.merge(dim_b, on="user_id", how="inner")
+            return out[["event_id", "user_id", "value_micro", "n_total"]]
+
+        parts.append(
+            rd.read_parquet(
+                f"{work_dir}/facts/_b={b}",
+                columns=["event_id", "user_id", "value_micro"],
+            ).map_batches(merge, batch_format="pandas")
+        )
+    out = parts[0]
+    return out.union(*parts[1:])

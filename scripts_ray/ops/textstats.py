@@ -1217,3 +1217,43 @@ def trending_terms(trans_ds, k: int = TREND_TOP_K):
     )
     return group_topk(counts, keys=["day"], sort_col="n", k=k,
                       tie_cols=["term"])
+
+
+def vocab_growth(trans_ds):
+    """Vocabulary-growth curve over the stream — the corpus-freshness
+    analytic (is new data still contributing new types, or has the crawl
+    saturated): per calendar day, the count of token types whose FIRST
+    occurrence is that day, plus the running cumulative vocabulary. One
+    (tok → min day) aggregate at vocabulary cardinality; the per-day
+    fold and cumsum are dimension-sized (days), the standard report
+    fold. Emits (day, n_new_types, n_types_cum)."""
+    from ..tokens import explode
+    from .hashagg import hash_aggregate
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        rows, toks = explode(pa.array(batch["text"].tolist(), type=pa.string()))
+        if len(toks) == 0:
+            return pd.DataFrame(
+                {
+                    "tok": pd.Series([], dtype=object),
+                    "day": pd.Series([], dtype=np.int64),
+                }
+            )
+        day = batch["ts"].dt.day.astype(np.int64).to_numpy()[rows]
+        return (
+            pd.DataFrame({"tok": toks, "day": day})
+            .groupby("tok", sort=False)
+            .min()
+            .reset_index()
+        )
+
+    first = hash_aggregate(
+        trans_ds.map_batches(partial, batch_format="pandas"),
+        keys=["tok"],
+        aggs={"day": ("day", "min")},
+    )
+    per_day = hash_aggregate(
+        first, keys=["day"], aggs={"n_new_types": ("tok", "count")}
+    ).to_pandas().sort_values("day", kind="mergesort").reset_index(drop=True)
+    per_day["n_types_cum"] = per_day["n_new_types"].cumsum().astype(np.int64)
+    return per_day

@@ -1945,6 +1945,27 @@ def q_latest_events(sf_dir: str):
     )
 
 
+def q_vocab_growth(sf_dir: str):
+    """Per-day new-type counts + cumulative vocabulary over the stream."""
+    from .ops.textstats import vocab_growth
+
+    return vocab_growth(
+        derive_transcripts_ds(sf_dir).select_columns(["ts", "text"])
+    )
+
+
+def q_bucket_join_events(sf_dir: str):
+    """Shuffle-free co-bucketed join: both sides written bucketed on
+    user_id, joined as independent bucket-local merges."""
+    from .ops.relational import bucket_join_events
+
+    return bucket_join_events(
+        lambda: _read(sf_dir, "events",
+                      columns=["event_id", "user_id", "value"]),
+        work_dir="/tmp/graft_bucket_join",
+    )
+
+
 def q_decayed_user_value(sf_dir: str):
     """Per-user recency-decayed value sum (exact power-of-two decay)."""
     from .ops import temporal
@@ -2627,6 +2648,8 @@ QUERIES = {
     "alternation_score": q_alternation_score,
     "winsorize_values": q_winsorize_values,
     "latest_events": q_latest_events,
+    "vocab_growth": q_vocab_growth,
+    "bucket_join_events": q_bucket_join_events,
     "value_deltas": q_value_deltas,
     "page_align": q_page_align,
     "cms_words": q_cms_words,
@@ -2833,6 +2856,8 @@ ORACLES = {
     "alternation_score": sql_ops.ALTERNATION_SCORE_SQL,
     "winsorize_values": sql_ops.WINSORIZE_VALUES_SQL,
     "latest_events": sql_ops.LATEST_EVENTS_SQL,
+    "vocab_growth": sql_ops.VOCAB_GROWTH_SQL,
+    "bucket_join_events": sql_ops.BUCKET_JOIN_EVENTS_SQL,
     "value_deltas": sql_ops.VALUE_DELTAS_SQL,
     "page_align": sql_ops.PAGE_ALIGN_SQL,
     "cms_words": sql_ops.CMS_WORDS_SQL,

@@ -3752,3 +3752,40 @@ SELECT CAST(user_id AS BIGINT) AS user_id, ts,
        ) AS BIGINT) AS rank
 FROM events QUALIFY rank <= {LATEST_K}
 """
+
+
+# ---- vocabulary growth curve (ops/textstats.vocab_growth) ---------------------
+
+VOCAB_GROWTH_SQL = (
+    _with(TRANSCRIPTS_CTE)
+    + f""",
+tt AS (
+  SELECT tok, CAST(day(ts) AS BIGINT) AS day
+  FROM (SELECT ts, unnest({_DOC_TOKS}) AS tok FROM transcripts)
+),
+first AS (SELECT tok, min(day) AS day FROM tt GROUP BY tok),
+per AS (SELECT day, CAST(count(*) AS BIGINT) AS n_new_types
+        FROM first GROUP BY day)
+SELECT day, n_new_types,
+       CAST(sum(n_new_types) OVER (ORDER BY day) AS BIGINT) AS n_types_cum
+FROM per
+"""
+)
+
+
+# ---- storage-co-partitioned join (ops/relational.bucket_join_events) ----------
+# Bucketing is a physical layout; the oracle is the plain logical join.
+
+BUCKET_JOIN_EVENTS_SQL = """
+WITH v AS (
+  SELECT event_id, user_id,
+         CAST(floor(value * 1000000) AS BIGINT) AS value_micro
+  FROM events
+),
+d AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_total
+      FROM events GROUP BY user_id)
+SELECT CAST(v.event_id AS BIGINT) AS event_id,
+       CAST(v.user_id AS BIGINT) AS user_id,
+       v.value_micro, d.n_total
+FROM v JOIN d USING (user_id)
+"""

@@ -1289,3 +1289,72 @@ def test_latest_events_is_true_recency_topk(ray_session, sf_dir):
         assert sorted(g["rank"]) == list(range(1, expect + 1)), uid
         top = g.loc[g["rank"] == 1].iloc[0]
         assert top["ts"] == ev.loc[ev["user_id"] == uid, "ts"].max(), uid
+
+
+def test_vocab_growth_hand_case(ray_session):
+    """Planted stream: day 1 brings {a,b}, day 2 re-uses a and adds {c},
+    day 5 adds {d,e}. New-type counts and the cumulative curve are
+    exact; re-occurrences never count twice."""
+    import pandas as pd
+    import ray.data as rd
+
+    from scripts_ray.ops.textstats import vocab_growth
+
+    ts = pd.to_datetime(
+        ["2024-01-01", "2024-01-02", "2024-01-02", "2024-01-05"]
+    )
+    df = pd.DataFrame(
+        {"ts": ts, "text": ["a b a", "a c", "b c", "d e a"]}
+    )
+    out = vocab_growth(rd.from_pandas(df).repartition(3)).set_index("day")
+    assert out["n_new_types"].to_dict() == {1: 2, 2: 1, 5: 2}
+    assert out["n_types_cum"].to_dict() == {1: 2, 2: 3, 5: 5}
+
+
+def test_bucket_join_equals_distributed_join(ray_session, sf_dir):
+    """The co-bucketed physical join is row-identical to the engine's
+    distributed hash join on the same logical inputs, and the bucket
+    layout actually partitions by the key (every bucket file holds only
+    its user_id % B keys)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from scripts_ray.ops.relational import BJOIN_BUCKETS
+    from scripts_ray.queries import QUERIES, _read
+    from scripts_ray.ops.hashagg import hash_aggregate, hash_join
+
+    out = QUERIES["bucket_join_events"](sf_dir).to_pandas()
+
+    ev = _read(sf_dir, "events", columns=["event_id", "user_id", "value"])
+    import numpy as np
+
+    def project(batch):
+        return pd.DataFrame(
+            {
+                "event_id": batch["event_id"].astype(np.int64),
+                "user_id": batch["user_id"].astype(np.int64),
+                "value_micro": np.floor(
+                    batch["value"].to_numpy(dtype=np.float64) * 1e6
+                ).astype(np.int64),
+            }
+        )
+
+    dim = hash_aggregate(
+        _read(sf_dir, "events", columns=["user_id"]),
+        keys=["user_id"],
+        aggs={"n_total": ("user_id", "count")},
+    )
+    ref = hash_join(
+        ev.map_batches(project, batch_format="pandas"),
+        dim, on="user_id", how="inner",
+    ).to_pandas()[out.columns]
+    a = out.sort_values(["event_id"]).reset_index(drop=True)
+    b = ref.sort_values(["event_id"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b.astype(a.dtypes.to_dict()))
+
+    for b_ in range(BJOIN_BUCKETS):
+        d = f"/tmp/graft_bucket_join/facts/_b={b_}"
+        if os.path.isdir(d):
+            t = pq.read_table(d, columns=["user_id"]).to_pandas()
+            assert (t["user_id"] % BJOIN_BUCKETS == b_).all(), b_
