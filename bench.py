@@ -450,6 +450,12 @@ def run_bench() -> dict:
             "truncate_docs",
             "cohort_retention",
             "trending_terms",
+            "winsorize_values",
+            "latest_events",
+            "vocab_growth",
+            "bucket_join_events",
+            "conv_balance",
+            "alternation_score",
         ]
     )
     for name in secondary:
