@@ -1257,3 +1257,90 @@ def vocab_growth(trans_ds):
     ).to_pandas().sort_values("day", kind="mergesort").reset_index(drop=True)
     per_day["n_types_cum"] = per_day["n_new_types"].cumsum().astype(np.int64)
     return per_day
+
+
+def lang_mismatch(docs_ds):
+    """Language-audit report — declared metadata vs detected language
+    (upstream metadata lies; the mismatch share per source tells you
+    whose): ONE pass computing the stopword-vote detection (the
+    lang_docs rule, SQL-reproducible) against the declared `lang`
+    column, folded to per-source counts through the bounded aggregate.
+    Emits (source, n_docs, n_mismatch, mismatch_permille)."""
+    from .hashagg import hash_aggregate
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        sig = token_signals(batch["text"].combine_chunks())
+        detected = np.asarray(detect_lang(sig["n_sv"], sig["n_en"]),
+                              dtype=object)
+        declared = batch["lang"].to_numpy(zero_copy_only=False)
+        return (
+            pd.DataFrame(
+                {
+                    "source": batch["source"].to_numpy(zero_copy_only=False),
+                    "n_docs": np.ones(len(declared), dtype=np.int64),
+                    "n_mismatch": (detected != declared).astype(np.int64),
+                }
+            )
+            .groupby("source", sort=False)
+            .sum()
+            .reset_index()
+        )
+
+    agg = hash_aggregate(
+        docs_ds.map_batches(partial, batch_format="pyarrow"),
+        keys=["source"],
+        aggs={"n_docs": ("n_docs", "sum"), "n_mismatch": ("n_mismatch", "sum")},
+    )
+
+    def rate(batch: pd.DataFrame) -> pd.DataFrame:
+        batch["mismatch_permille"] = (
+            1000 * batch["n_mismatch"].to_numpy(dtype=np.int64)
+        ) // batch["n_docs"].to_numpy(dtype=np.int64)
+        return batch
+
+    return agg.map_batches(rate, batch_format="pandas")
+
+
+def gopher_rate_by_source(docs_ds_fn):
+    """Gopher-gate pass rate per source — which crawl is burning the
+    quality budget: the gate runs once (its own value-checked plant +
+    rules), survivors join back to the doc→source map on the
+    distributed hash join (doc cardinality), then the bounded per-source
+    fold. Emits (source, n_docs, n_keep, keep_permille)."""
+    from .hashagg import hash_aggregate, hash_join
+
+    gated = gopher_quality(docs_ds_fn()).map_batches(
+        lambda b: pd.DataFrame(
+            {
+                "doc_id": b["doc_id"].astype(np.int64),
+                "n_keep": b["keep"].astype(np.int64),
+            }
+        ),
+        batch_format="pandas",
+    )
+    joined = hash_join(
+        gated,
+        docs_ds_fn().map_batches(
+            lambda b: pd.DataFrame(
+                {"doc_id2": b["doc_id"].astype(np.int64),
+                 "source": b["source"]}
+            ),
+            batch_format="pandas",
+        ),
+        on="doc_id",
+        right_on="doc_id2",
+        how="inner",
+    )
+    agg = hash_aggregate(
+        joined,
+        keys=["source"],
+        aggs={"n_docs": ("n_keep", "count"), "n_keep": ("n_keep", "sum")},
+    )
+
+    def rate(batch: pd.DataFrame) -> pd.DataFrame:
+        batch["keep_permille"] = (
+            1000 * batch["n_keep"].to_numpy(dtype=np.int64)
+        ) // batch["n_docs"].to_numpy(dtype=np.int64)
+        return batch
+
+    return agg.map_batches(rate, batch_format="pandas")

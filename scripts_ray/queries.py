@@ -1966,6 +1966,25 @@ def q_bucket_join_events(sf_dir: str):
     )
 
 
+def q_lang_mismatch(sf_dir: str):
+    """Declared-vs-detected language mismatch share per source."""
+    from .ops.textstats import lang_mismatch
+
+    return lang_mismatch(
+        _read(sf_dir, "documents", columns=["source", "lang", "text"])
+    )
+
+
+def q_gopher_rate_by_source(sf_dir: str):
+    """Gopher-gate keep rate per source (distributed join + fold)."""
+    from .ops.textstats import gopher_rate_by_source
+
+    return gopher_rate_by_source(
+        lambda: _read(sf_dir, "documents",
+                      columns=["doc_id", "text", "source"])
+    )
+
+
 def q_decayed_user_value(sf_dir: str):
     """Per-user recency-decayed value sum (exact power-of-two decay)."""
     from .ops import temporal
@@ -2650,6 +2669,8 @@ QUERIES = {
     "latest_events": q_latest_events,
     "vocab_growth": q_vocab_growth,
     "bucket_join_events": q_bucket_join_events,
+    "lang_mismatch": q_lang_mismatch,
+    "gopher_rate_by_source": q_gopher_rate_by_source,
     "value_deltas": q_value_deltas,
     "page_align": q_page_align,
     "cms_words": q_cms_words,
@@ -2858,6 +2879,8 @@ ORACLES = {
     "latest_events": sql_ops.LATEST_EVENTS_SQL,
     "vocab_growth": sql_ops.VOCAB_GROWTH_SQL,
     "bucket_join_events": sql_ops.BUCKET_JOIN_EVENTS_SQL,
+    "lang_mismatch": sql_ops.LANG_MISMATCH_SQL,
+    "gopher_rate_by_source": sql_ops.GOPHER_RATE_BY_SOURCE_SQL,
     "value_deltas": sql_ops.VALUE_DELTAS_SQL,
     "page_align": sql_ops.PAGE_ALIGN_SQL,
     "cms_words": sql_ops.CMS_WORDS_SQL,

@@ -3789,3 +3789,48 @@ SELECT CAST(v.event_id AS BIGINT) AS event_id,
        v.value_micro, d.n_total
 FROM v JOIN d USING (user_id)
 """
+
+
+# ---- declared-vs-detected language audit (ops/textstats.lang_mismatch) --------
+
+LANG_MISMATCH_SQL = f"""
+WITH t AS (
+  SELECT source, lang AS declared, {_DOC_TOKS} AS toks FROM documents
+),
+c AS (
+  SELECT source, declared,
+    CAST(length(list_filter(toks, x -> list_contains({_SV_LIST}, x))) AS BIGINT) AS n_sv,
+    CAST(length(list_filter(toks, x -> list_contains({_EN_LIST}, x))) AS BIGINT) AS n_en
+  FROM t
+),
+d AS (
+  SELECT source, declared,
+         CASE WHEN n_sv > n_en THEN 'sv'
+              WHEN n_en > n_sv THEN 'en'
+              ELSE 'und' END AS detected
+  FROM c
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(*) FILTER (WHERE detected <> declared) AS BIGINT)
+         AS n_mismatch,
+       CAST((1000 * count(*) FILTER (WHERE detected <> declared)) // count(*)
+            AS BIGINT) AS mismatch_permille
+FROM d GROUP BY source
+"""
+
+
+# ---- gopher pass rate per source (ops/textstats.gopher_rate_by_source) --------
+
+GOPHER_RATE_BY_SOURCE_SQL = f"""
+WITH g AS ({GOPHER_QUALITY_SQL}),
+j AS (
+  SELECT d.source, CASE WHEN g.keep THEN 1 ELSE 0 END AS k
+  FROM g JOIN documents d USING (doc_id)
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(k) AS BIGINT) AS n_keep,
+       CAST((1000 * sum(k)) // count(*) AS BIGINT) AS keep_permille
+FROM j GROUP BY source
+"""

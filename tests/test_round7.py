@@ -1358,3 +1358,53 @@ def test_bucket_join_equals_distributed_join(ray_session, sf_dir):
         if os.path.isdir(d):
             t = pq.read_table(d, columns=["user_id"]).to_pandas()
             assert (t["user_id"] % BJOIN_BUCKETS == b_).all(), b_
+
+
+def test_lang_mismatch_consistency(ray_session, sf_dir):
+    """The per-source mismatch tallies reconcile exactly with a doc-level
+    join of lang_docs (detected) against the declared column."""
+    import pyarrow.parquet as pq
+
+    from scripts_ray.ops.textstats import lang_docs
+    from scripts_ray.queries import QUERIES, _read
+
+    out = QUERIES["lang_mismatch"](sf_dir).to_pandas().set_index("source")
+    det = lang_docs(
+        _read(sf_dir, "documents", columns=["doc_id", "text"])
+    ).to_pandas()
+    docs = pq.read_table(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "lang", "source"]).to_pandas()
+    m = det.merge(docs, on="doc_id")
+    want = (
+        m.assign(mis=(m["lang_x"] != m["lang_y"]).astype(int))
+        .groupby("source")
+        .agg(n_docs=("mis", "size"), n_mismatch=("mis", "sum"))
+    )
+    assert out["n_docs"].sort_index().equals(want["n_docs"].sort_index())
+    assert out["n_mismatch"].sort_index().equals(
+        want["n_mismatch"].sort_index()
+    )
+
+
+def test_gopher_rate_reconciles_with_gate(ray_session, sf_dir):
+    """Per-source keep counts equal the gate's own doc-level keeps joined
+    to sources; totals conserve."""
+    import pyarrow.parquet as pq
+
+    from scripts_ray.queries import QUERIES
+
+    out = QUERIES["gopher_rate_by_source"](sf_dir).to_pandas()
+    gate = QUERIES["gopher_quality"](sf_dir).to_pandas()
+    docs = pq.read_table(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "source"]).to_pandas()
+    m = gate.merge(docs, on="doc_id")
+    want = m.groupby("source")["keep"].agg(["size", "sum"]).sort_index()
+    got = out.set_index("source").sort_index()
+    # the join path yields pandas string[python]-dtype keys — compare values
+    assert [str(i) for i in got.index] == [str(i) for i in want.index]
+    assert got["n_docs"].to_numpy().tolist() == want["size"].to_numpy().tolist()
+    assert (
+        got["n_keep"].astype("int64").to_numpy().tolist()
+        == want["sum"].astype("int64").to_numpy().tolist()
+    )
+    assert got["n_docs"].sum() == len(gate)
