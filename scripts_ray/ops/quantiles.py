@@ -322,3 +322,42 @@ def len_log2_hist(docs_ds, value_col: str = "n_chars"):
         return batch[["bucket", "lo", "hi", "n_docs"]]
 
     return agg.map_batches(bounds, batch_format="pandas")
+
+
+def activity_gini(events_ds):
+    """Exact Gini coefficient of per-user activity — the skew audit that
+    decides whether sampling/salting is needed (G≈0: uniform users;
+    G→1: a few users own the stream). No global sort and no per-row
+    ranks: Gini over counts folds EXACTLY from the count histogram —
+    for each distinct activity level x with c users at base rank b, the
+    rank-weighted sum contributes x·(c·b + c·(c+1)/2) — so the plan is
+    the user-count aggregate, the (x → c) histogram aggregate (bounded
+    by distinct activity levels), and a Python-int driver fold
+    (HUGEINT-exact in the SQL twin; rank-tie order provably cancels).
+    gini_micro = floor(1e6·(2·Σr·x − (n+1)·Σx) / (n·Σx)). Emits one row
+    (n_users, total_events, gini_micro)."""
+    from .hashagg import hash_aggregate
+
+    per_user = hash_aggregate(
+        events_ds, keys=["user_id"], aggs={"x": ("user_id", "count")}
+    )
+    hist = hash_aggregate(
+        per_user, keys=["x"], aggs={"c": ("x", "count")}
+    ).to_pandas().sort_values("x", kind="mergesort")
+
+    n = srx = sx = 0
+    for x, c in zip(hist["x"], hist["c"]):
+        x, c = int(x), int(c)
+        srx += x * (c * n + c * (c + 1) // 2)
+        sx += x * c
+        n += c
+    if sx == 0:
+        raise ValueError("activity_gini: no events")
+    gini = (1_000_000 * (2 * srx - (n + 1) * sx)) // (n * sx)
+    return pd.DataFrame(
+        {
+            "n_users": [np.int64(n)],
+            "total_events": [np.int64(sx)],
+            "gini_micro": [np.int64(gini)],
+        }
+    )

@@ -1985,6 +1985,13 @@ def q_gopher_rate_by_source(sf_dir: str):
     )
 
 
+def q_activity_gini(sf_dir: str):
+    """Exact Gini of per-user event counts (skew audit, single row)."""
+    from .ops.quantiles import activity_gini
+
+    return activity_gini(_read(sf_dir, "events", columns=["user_id"]))
+
+
 def q_decayed_user_value(sf_dir: str):
     """Per-user recency-decayed value sum (exact power-of-two decay)."""
     from .ops import temporal
@@ -2671,6 +2678,7 @@ QUERIES = {
     "bucket_join_events": q_bucket_join_events,
     "lang_mismatch": q_lang_mismatch,
     "gopher_rate_by_source": q_gopher_rate_by_source,
+    "activity_gini": q_activity_gini,
     "value_deltas": q_value_deltas,
     "page_align": q_page_align,
     "cms_words": q_cms_words,
@@ -2881,6 +2889,7 @@ ORACLES = {
     "bucket_join_events": sql_ops.BUCKET_JOIN_EVENTS_SQL,
     "lang_mismatch": sql_ops.LANG_MISMATCH_SQL,
     "gopher_rate_by_source": sql_ops.GOPHER_RATE_BY_SOURCE_SQL,
+    "activity_gini": sql_ops.ACTIVITY_GINI_SQL,
     "value_deltas": sql_ops.VALUE_DELTAS_SQL,
     "page_align": sql_ops.PAGE_ALIGN_SQL,
     "cms_words": sql_ops.CMS_WORDS_SQL,

@@ -3834,3 +3834,24 @@ SELECT source,
        CAST((1000 * sum(k)) // count(*) AS BIGINT) AS keep_permille
 FROM j GROUP BY source
 """
+
+
+# ---- exact activity Gini (ops/quantiles.activity_gini) ------------------------
+# Row-number tie order cancels (equal x within a run), so the window
+# restatement equals the engine's histogram fold exactly.
+
+ACTIVITY_GINI_SQL = """
+WITH ux AS (SELECT user_id, count(*) AS x FROM events GROUP BY user_id),
+o AS (SELECT x, row_number() OVER (ORDER BY x, user_id) AS r FROM ux),
+s AS (
+  SELECT count(*) AS n,
+         sum(CAST(x AS HUGEINT)) AS sx,
+         sum(CAST(r AS HUGEINT) * x) AS srx
+  FROM o
+)
+SELECT CAST(n AS BIGINT) AS n_users,
+       CAST(sx AS BIGINT) AS total_events,
+       CAST((1000000 * (2 * srx - (n + 1) * sx)) // (n * sx) AS BIGINT)
+         AS gini_micro
+FROM s
+"""

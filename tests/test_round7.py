@@ -1408,3 +1408,23 @@ def test_gopher_rate_reconciles_with_gate(ray_session, sf_dir):
         == want["sum"].astype("int64").to_numpy().tolist()
     )
     assert got["n_docs"].sum() == len(gate)
+
+
+def test_activity_gini_known_distributions(ray_session):
+    """Uniform activity scores ~0; one dominant user pushes G toward
+    (n-1)/n; both match the closed-form integer formula."""
+    import pandas as pd
+    import ray.data as rd
+
+    from scripts_ray.ops.quantiles import activity_gini
+
+    uniform = pd.DataFrame({"user_id": list(range(10)) * 7})
+    g0 = activity_gini(rd.from_pandas(uniform).repartition(3))
+    assert g0["gini_micro"].iloc[0] == 0
+    assert g0["n_users"].iloc[0] == 10 and g0["total_events"].iloc[0] == 70
+
+    skew = pd.DataFrame({"user_id": [1] * 96 + [2, 3, 4, 5]})
+    g1 = activity_gini(rd.from_pandas(skew))
+    # exact: x=(1,1,1,1,96) ranks 1..5 -> Σr·x = 1+2+3+4+480 = 490,
+    # G = (2·490 − 6·100)/(5·100) = 0.76
+    assert g1["gini_micro"].iloc[0] == (1_000_000 * (2 * 490 - 6 * 100)) // 500
