@@ -456,6 +456,9 @@ def run_bench() -> dict:
             "bucket_join_events",
             "conv_balance",
             "alternation_score",
+            "lang_mismatch",
+            "gopher_rate_by_source",
+            "activity_gini",
         ]
     )
     for name in secondary:
