@@ -507,3 +507,60 @@ def bucket_join_events(events_ds_fn, work_dir: str,
         )
     out = parts[0]
     return out.union(*parts[1:])
+
+
+Q13_EXCLUDE_PRIORITY = "1-URGENT"
+
+
+def q13_custdist(customer_ds, orders_ds,
+                 exclude_priority: str = Q13_EXCLUDE_PRIORITY):
+    """TPC-H Q13 shape — the customer order-count distribution including
+    ZERO-order customers (the query that punishes engines without a real
+    outer join: the zeros only exist on the left-join miss side).
+    Plan: filtered per-customer order counts (two-level aggregate) →
+    distributed LEFT join against the customer key column → miss side
+    coalesced to zero → the bounded (c_count → custdist) histogram.
+    Emits (c_count, custdist)."""
+    from .hashagg import hash_aggregate, hash_join
+
+    def o_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        keep = batch[batch["o_orderpriority"] != exclude_priority]
+        return (
+            pd.DataFrame({"o_custkey": keep["o_custkey"].astype(np.int64)})
+            .groupby("o_custkey", sort=False)
+            .size()
+            .reset_index(name="n")
+        )
+
+    counts = hash_aggregate(
+        orders_ds.map_batches(o_partial, batch_format="pandas"),
+        keys=["o_custkey"],
+        aggs={"n": ("n", "sum")},
+    )
+    joined = hash_join(
+        customer_ds.map_batches(
+            lambda b: pd.DataFrame(
+                {"c_custkey": b["c_custkey"].astype(np.int64)}
+            ),
+            batch_format="pandas",
+        ),
+        counts,
+        on="c_custkey",
+        right_on="o_custkey",
+        how="left",
+    )
+
+    def c_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        c = batch["n"].fillna(0).astype(np.int64)
+        return (
+            pd.DataFrame({"c_count": c})
+            .groupby("c_count", sort=False)
+            .size()
+            .reset_index(name="custdist")
+        )
+
+    return hash_aggregate(
+        joined.map_batches(c_partial, batch_format="pandas"),
+        keys=["c_count"],
+        aggs={"custdist": ("custdist", "sum")},
+    )

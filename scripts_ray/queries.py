@@ -1992,6 +1992,16 @@ def q_activity_gini(sf_dir: str):
     return activity_gini(_read(sf_dir, "events", columns=["user_id"]))
 
 
+def q_q13_custdist(sf_dir: str):
+    """TPC-H Q13: order-count distribution incl. zero-order customers."""
+    from .ops.relational import q13_custdist
+
+    return q13_custdist(
+        _read(sf_dir, "customer", columns=["c_custkey"]),
+        _read(sf_dir, "orders", columns=["o_custkey", "o_orderpriority"]),
+    )
+
+
 def q_decayed_user_value(sf_dir: str):
     """Per-user recency-decayed value sum (exact power-of-two decay)."""
     from .ops import temporal
@@ -2679,6 +2689,7 @@ QUERIES = {
     "lang_mismatch": q_lang_mismatch,
     "gopher_rate_by_source": q_gopher_rate_by_source,
     "activity_gini": q_activity_gini,
+    "q13_custdist": q_q13_custdist,
     "value_deltas": q_value_deltas,
     "page_align": q_page_align,
     "cms_words": q_cms_words,
@@ -2890,6 +2901,7 @@ ORACLES = {
     "lang_mismatch": sql_ops.LANG_MISMATCH_SQL,
     "gopher_rate_by_source": sql_ops.GOPHER_RATE_BY_SOURCE_SQL,
     "activity_gini": sql_ops.ACTIVITY_GINI_SQL,
+    "q13_custdist": sql_ops.Q13_CUSTDIST_SQL,
     "value_deltas": sql_ops.VALUE_DELTAS_SQL,
     "page_align": sql_ops.PAGE_ALIGN_SQL,
     "cms_words": sql_ops.CMS_WORDS_SQL,

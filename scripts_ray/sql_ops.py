@@ -3855,3 +3855,22 @@ SELECT CAST(n AS BIGINT) AS n_users,
          AS gini_micro
 FROM s
 """
+
+
+# ---- TPC-H Q13: customer order-count distribution ------------------------------
+
+from .ops.relational import Q13_EXCLUDE_PRIORITY  # noqa: E402
+
+Q13_CUSTDIST_SQL = f"""
+WITH oc AS (
+  SELECT o_custkey, count(*) AS n FROM orders
+  WHERE o_orderpriority <> '{Q13_EXCLUDE_PRIORITY}' GROUP BY o_custkey
+),
+cc AS (
+  SELECT c.c_custkey, COALESCE(oc.n, 0) AS c_count
+  FROM customer c LEFT JOIN oc ON oc.o_custkey = c.c_custkey
+)
+SELECT CAST(c_count AS BIGINT) AS c_count,
+       CAST(count(*) AS BIGINT) AS custdist
+FROM cc GROUP BY c_count
+"""

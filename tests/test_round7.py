@@ -1428,3 +1428,30 @@ def test_activity_gini_known_distributions(ray_session):
     # exact: x=(1,1,1,1,96) ranks 1..5 -> Σr·x = 1+2+3+4+480 = 490,
     # G = (2·490 − 6·100)/(5·100) = 0.76
     assert g1["gini_micro"].iloc[0] == (1_000_000 * (2 * 490 - 6 * 100)) // 500
+
+
+def test_q13_custdist_zero_bucket_and_conservation(ray_session, sf_dir):
+    """The zero-order bucket exists only via the left-join miss side and
+    must equal the customers absent from the filtered orders; the
+    distribution sums to the customer count."""
+    import pyarrow.parquet as pq
+
+    from scripts_ray.ops.relational import Q13_EXCLUDE_PRIORITY
+    from scripts_ray.queries import QUERIES
+
+    out = QUERIES["q13_custdist"](sf_dir).to_pandas().set_index("c_count")
+    cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                         columns=["c_custkey"]).to_pandas()
+    orders = pq.read_table(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_orderpriority"],
+    ).to_pandas()
+    kept = orders[orders["o_orderpriority"] != Q13_EXCLUDE_PRIORITY]
+    with_orders = set(kept["o_custkey"])
+    zero = len(set(cust["c_custkey"]) - with_orders)
+    assert out["custdist"].sum() == len(cust)
+    if zero:
+        assert out.loc[0, "custdist"] == zero
+    counts = kept.groupby("o_custkey").size().value_counts()
+    for c, n in counts.items():
+        assert out.loc[c, "custdist"] == n, c
