@@ -698,3 +698,31 @@ def latest_events(events_ds, k: int = LATEST_K):
         k=k,
         tie_cols=["event_id"],
     )
+
+
+def event_heatmap(events_ds):
+    """Weekly activity heatmap — (ISO day-of-week × hour) event counts,
+    the load-profile view every event pipeline ships: a pure two-level
+    count aggregate bounded by 7 × 24 cells. Day convention pinned to
+    ISO (1 = Monday … 7 = Sunday) so pandas (dayofweek+1) and DuckDB
+    (isodow) agree exactly. Emits (isodow, hour, n)."""
+    from .hashagg import hash_aggregate
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        return (
+            pd.DataFrame(
+                {
+                    "isodow": (batch["ts"].dt.dayofweek + 1).astype(np.int64),
+                    "hour": batch["ts"].dt.hour.astype(np.int64),
+                }
+            )
+            .groupby(["isodow", "hour"], sort=False)
+            .size()
+            .reset_index(name="n")
+        )
+
+    return hash_aggregate(
+        events_ds.map_batches(partial, batch_format="pandas"),
+        keys=["isodow", "hour"],
+        aggs={"n": ("n", "sum")},
+    )

@@ -2002,6 +2002,13 @@ def q_q13_custdist(sf_dir: str):
     )
 
 
+def q_event_heatmap(sf_dir: str):
+    """(ISO dow x hour) event-count heatmap."""
+    from .ops import temporal
+
+    return temporal.event_heatmap(_read(sf_dir, "events", columns=["ts"]))
+
+
 def q_decayed_user_value(sf_dir: str):
     """Per-user recency-decayed value sum (exact power-of-two decay)."""
     from .ops import temporal
@@ -2690,6 +2697,7 @@ QUERIES = {
     "gopher_rate_by_source": q_gopher_rate_by_source,
     "activity_gini": q_activity_gini,
     "q13_custdist": q_q13_custdist,
+    "event_heatmap": q_event_heatmap,
     "value_deltas": q_value_deltas,
     "page_align": q_page_align,
     "cms_words": q_cms_words,
@@ -2902,6 +2910,7 @@ ORACLES = {
     "gopher_rate_by_source": sql_ops.GOPHER_RATE_BY_SOURCE_SQL,
     "activity_gini": sql_ops.ACTIVITY_GINI_SQL,
     "q13_custdist": sql_ops.Q13_CUSTDIST_SQL,
+    "event_heatmap": sql_ops.EVENT_HEATMAP_SQL,
     "value_deltas": sql_ops.VALUE_DELTAS_SQL,
     "page_align": sql_ops.PAGE_ALIGN_SQL,
     "cms_words": sql_ops.CMS_WORDS_SQL,

@@ -3874,3 +3874,13 @@ SELECT CAST(c_count AS BIGINT) AS c_count,
        CAST(count(*) AS BIGINT) AS custdist
 FROM cc GROUP BY c_count
 """
+
+
+# ---- weekly activity heatmap (ops/temporal.event_heatmap) ---------------------
+
+EVENT_HEATMAP_SQL = """
+SELECT CAST(isodow(ts) AS BIGINT) AS isodow,
+       CAST(hour(ts) AS BIGINT) AS hour,
+       CAST(count(*) AS BIGINT) AS n
+FROM events GROUP BY 1, 2
+"""

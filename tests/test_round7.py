@@ -1455,3 +1455,24 @@ def test_q13_custdist_zero_bucket_and_conservation(ray_session, sf_dir):
     counts = kept.groupby("o_custkey").size().value_counts()
     for c, n in counts.items():
         assert out.loc[c, "custdist"] == n, c
+
+
+def test_event_heatmap_conventions(ray_session, sf_dir):
+    """ISO dow in 1..7 and hour in 0..23; counts conserve to the event
+    total; spot cells match a brute pandas recount."""
+    import pyarrow.parquet as pq
+
+    from scripts_ray.queries import QUERIES
+
+    out = QUERIES["event_heatmap"](sf_dir).to_pandas()
+    assert out["isodow"].between(1, 7).all()
+    assert out["hour"].between(0, 23).all()
+    ev = pq.read_table(f"{sf_dir}/events.parquet", columns=["ts"]).to_pandas()
+    assert out["n"].sum() == len(ev)
+    brute = (
+        ev.assign(isodow=ev["ts"].dt.dayofweek + 1, hour=ev["ts"].dt.hour)
+        .groupby(["isodow", "hour"])
+        .size()
+    )
+    got = out.set_index(["isodow", "hour"])["n"]
+    assert got.sort_index().equals(brute.sort_index().rename("n"))
