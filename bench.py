@@ -459,6 +459,8 @@ def run_bench() -> dict:
             "lang_mismatch",
             "gopher_rate_by_source",
             "activity_gini",
+            "q13_custdist",
+            "event_heatmap",
         ]
     )
     for name in secondary:
