@@ -26,6 +26,23 @@ import pandas as pd
 import pyarrow as pa
 
 
+# Pinned merge table for the SQL-value-checked twin (`bpe_budgets_fixed`,
+# the ann_ivf_fixed trick): a fixed 4-entry rank-ordered table that
+# exercises a chained merge ((at,a) consumes the (a,t) result) on the
+# fixture vocabulary. The DuckDB oracle restates encoding EXACTLY as a
+# rank-ordered replace() chain over '<sym>'-wrapped characters — sound
+# because a merge of rank r can only create pairs of rank > r (any pair
+# containing `ab` must have been learned after (a,b)), so global
+# rank-order application == the iterative lowest-rank encoder, and the
+# '>' boundary marker prevents cross-symbol prefix matches.
+BPE_PINNED_MERGES: list[tuple[str, str]] = [
+    ("a", "t"),
+    ("e", "r"),
+    ("at", "a"),
+    ("s", "t"),
+]
+
+
 def word_counts_ds(docs_ds) -> pd.DataFrame:
     """Distributed word-frequency table: per-batch value_counts partials →
     one token-key hash exchange → pandas frame (vocabulary-bounded)."""

@@ -1290,7 +1290,14 @@ def line_dedup(docs_ds, num_partitions: int = 64):
                     "n_lines": np.array([], dtype=np.int64),
                 }
             )
-        pack = part["doc_id"].to_numpy() * _LINE_PACK + part["line_idx"].to_numpy()
+        line_idx = part["line_idx"].to_numpy()
+        if line_idx.max() >= _LINE_PACK:
+            raise ValueError(
+                f"line_idx {line_idx.max()} >= _LINE_PACK {_LINE_PACK}: "
+                "packed first-occurrence order would diverge from the "
+                "(doc_id, line_idx) oracle order — raise _LINE_PACK"
+            )
+        pack = part["doc_id"].to_numpy() * _LINE_PACK + line_idx
         idx = (
             part.assign(_pack=pack)
             .groupby(["fp1", "fp2"], sort=False)["_pack"]

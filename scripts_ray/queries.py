@@ -626,6 +626,24 @@ def q_bpe_budgets(sf_dir: str):
     )
 
 
+def q_bpe_budgets_fixed(sf_dir: str):
+    """Value-checked twin of bpe_budgets (the ann_ivf_fixed trick): the
+    merge table is PINNED (ops/bpe.py BPE_PINNED_MERGES) instead of
+    trained, so the DuckDB oracle can restate encoding exactly as a
+    rank-ordered replace() chain over '<sym>'-wrapped characters. Same
+    broadcast-merges actor encoding path as the trained variant."""
+    import ray
+
+    from .ops.bpe import BPE_PINNED_MERGES, BpeEncoder
+
+    return _read(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
+        BpeEncoder,
+        fn_constructor_args=(ray.put(list(BPE_PINNED_MERGES)),),
+        concurrency=_scorer_band(),
+        batch_format="pyarrow",
+    )
+
+
 def q_fix_encoding(sf_dir: str):
     """Mojibake (double-encoding) repair — the ftfy-core web-curation
     staple and the north star's 'encoding normalization' item. The
@@ -2523,6 +2541,7 @@ QUERIES = {
     "fix_encoding": q_fix_encoding,
     "nfc_docs": q_nfc_docs,
     "bpe_budgets": q_bpe_budgets,  # rows-only by design (iterative trainer)
+    "bpe_budgets_fixed": q_bpe_budgets_fixed,  # pinned-merge value-checked twin
     "tox_turns": q_qf_toxicity,
     "merge_runs": q_merge_runs,
     "next_after_system": q_next_after_system,
@@ -2824,6 +2843,7 @@ ORACLES = {
     # exact-ANN SQL oracle validates the IVF machinery end-to-end
     "ann_ivf_full": sql_ops.ANN_COSINE_SQL,
     "ann_ivf_fixed": sql_ops.ANN_IVF_FIXED_SQL,
+    "bpe_budgets_fixed": sql_ops.BPE_BUDGETS_FIXED_SQL,
     "semdedup": sql_ops.SEMDEDUP_SQL,
     "near_dup_embedding": sql_ops.NEAR_DUP_EMBEDDING_SQL,
     # the LSH-pruned scale path deterministically covers every pair at

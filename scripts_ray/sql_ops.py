@@ -574,6 +574,32 @@ SELECT doc_id, unnest(regexp_extract_all(text, '{KWIC_PATTERN}')) AS context
 FROM documents
 """
 
+
+def _bpe_fixed_encode_expr() -> str:
+    """BPE encoding as a rank-ordered replace() chain over '<sym>'-wrapped
+    characters (see ops/bpe.py BPE_PINNED_MERGES for the soundness
+    argument); piece count = number of '<' boundary markers left."""
+    from .ops.bpe import BPE_PINNED_MERGES
+
+    expr = "regexp_replace(tok, '(.)', '<\\1>', 'g')"
+    for a, b in BPE_PINNED_MERGES:
+        expr = f"replace({expr}, '<{a}><{b}>', '<{a}{b}>')"
+    return expr
+
+
+BPE_BUDGETS_FIXED_SQL = f"""
+WITH enc AS (
+  SELECT doc_id,
+         {_bpe_fixed_encode_expr()} AS s
+  FROM (SELECT doc_id, unnest({_DOC_TOKS}) AS tok FROM documents)
+)
+SELECT d.doc_id,
+       CAST(COALESCE(sum(length(e.s) - length(replace(e.s, '<', ''))), 0)
+            AS BIGINT) AS n_bpe
+FROM documents d LEFT JOIN enc e USING (doc_id)
+GROUP BY d.doc_id
+"""
+
 # Config-driven KWIC bank: one SELECT per DEFAULT bank pattern (generated
 # from the same config constant the engine reads).
 from .config import DEFAULT_KWIC_BANK as _KWIC_BANK  # noqa: E402

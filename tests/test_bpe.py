@@ -96,3 +96,31 @@ def test_encoder_stage_counts(ray_session, tmp_path):
         bpe_encode_word("widest", ranks)
     )
     assert out[2] == 0
+
+
+def test_pinned_replace_chain_oracle_matches_encoder():
+    # the bpe_budgets_fixed soundness claim, checked exhaustively over a
+    # synthetic closure vocabulary: the DuckDB rank-ordered replace()
+    # chain over '<sym>'-wrapped characters == the iterative
+    # lowest-rank-first encoder, for the pinned merge table.
+    import duckdb
+
+    from scripts_ray.ops.bpe import BPE_PINNED_MERGES
+    from scripts_ray.sql_ops import _bpe_fixed_encode_expr
+
+    ranks = {p: i for i, p in enumerate(BPE_PINNED_MERGES)}
+    # every <=5-char word over the merge alphabet (worst-case interactions)
+    alpha = sorted({c for p in BPE_PINNED_MERGES for c in (p[0] + p[1])})
+    words = list(alpha)
+    for _ in range(4):
+        words += [w + c for w in words[-len(alpha) ** 3 :] for c in alpha]
+    words = sorted(set(words))[:800] + ["stat", "atat", "rater", "stater"]
+
+    con = duckdb.connect()
+    sql = (
+        "SELECT tok, length(s) - length(replace(s, '<', '')) AS n "
+        f"FROM (SELECT unnest(?) AS tok) t, LATERAL (SELECT "
+        f"{_bpe_fixed_encode_expr()} AS s) x"
+    )
+    for tok, n in con.execute(sql, [words]).fetchall():
+        assert n == len(bpe_encode_word(tok, ranks)), tok
