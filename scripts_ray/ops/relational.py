@@ -228,21 +228,21 @@ def json_props(events_ds):
     return events_ds.map_batches(extract, batch_format="pyarrow")
 
 
-def q5_local_supply(orders_ds, lineitem_ds, sf_dir: str,
-                    region: str = "AFRICA", year: int = 1995):
+def q5_local_supply(orders_ds, lineitem_ds, customer_ds, supplier_ds,
+                    sf_dir: str, region: str = "AFRICA", year: int = 1995):
     """TPC-H-Q5-shaped composition — revenue by nation where customer and
     supplier share the nation, within one region and order year: the
-    5-dimension star join plan. All four dimension sides (region →
-    nation-key set, customer → nation, supplier → nation) broadcast as
-    ONE bundled ref (sorted key arrays + searchsorted probes — they are
-    dimension-sized next to lineitem; a customer table that outgrew
-    broadcast would swap to a distributed hash_join with the identical
-    downstream); the single fact⋈fact edge (lineitem ⋈ orders) is the
-    one distributed exchange, followed by the two-level nation aggregate.
-    Revenue in floor-integer cents, bit-equal to the SQL oracle.
+    5-dimension star join plan. Only the genuinely fixed-size dimensions
+    (region 5 rows, nation 25 rows) are driver-read and closure-captured;
+    customer and supplier SCALE WITH the fact data in the TPC-H shape, so
+    both route through the distributed ``hash_join`` (the q13_custdist
+    plan) after a map-side in-region prune — no fact-scale broadcast.
+    Three distributed exchanges total: orders⋈customer on custkey,
+    lineitem⋈supplier on suppkey, then the fact⋈fact edge on orderkey,
+    followed by the two-level nation aggregate. Revenue in floor-integer
+    cents, bit-equal to the SQL oracle.
     Emits (n_name, n_orders_rows, rev_cents)."""
     import pyarrow.parquet as pq
-    import ray
 
     from .hashagg import hash_aggregate, hash_join
 
@@ -254,58 +254,72 @@ def q5_local_supply(orders_ds, lineitem_ds, sf_dir: str,
         f"{sf_dir}/region.parquet", columns=["r_regionkey", "r_name"]
     ).to_pandas()
     rkey = reg.loc[reg["r_name"] == region, "r_regionkey"]
-    in_region = nation[nation["n_regionkey"].isin(rkey)]
-    cust = pq.read_table(
-        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
-    ).to_pandas().sort_values("c_custkey")
-    supp = pq.read_table(
-        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
-    ).to_pandas().sort_values("s_suppkey")
-    dims_ref = ray.put(
-        (
-            cust["c_custkey"].to_numpy(dtype=np.int64),
-            cust["c_nationkey"].to_numpy(dtype=np.int64),
-            supp["s_suppkey"].to_numpy(dtype=np.int64),
-            supp["s_nationkey"].to_numpy(dtype=np.int64),
-            np.sort(in_region["n_nationkey"].to_numpy(dtype=np.int64)),
-        )
+    in_region = np.sort(
+        nation.loc[nation["n_regionkey"].isin(rkey), "n_nationkey"]
+        .to_numpy(dtype=np.int64)
     )
     lo = np.datetime64(f"{year}-01-01")
     hi = np.datetime64(f"{year + 1}-01-01")
 
-    def probe_orders(batch: pd.DataFrame) -> pd.DataFrame:
-        ck, cn, _, _, nk = ray.get(dims_ref)
+    def o_filter(batch: pd.DataFrame) -> pd.DataFrame:
         d = batch["o_orderdate"].to_numpy()
         out = batch.loc[(d >= lo) & (d < hi), ["o_orderkey", "o_custkey"]]
-        # customer nation via sorted-key gather; keep in-region customers
-        idx = np.searchsorted(ck, out["o_custkey"].to_numpy())
-        nat = cn[np.minimum(idx, len(ck) - 1)]
-        ok = (ck[np.minimum(idx, len(ck) - 1)] == out["o_custkey"].to_numpy()) & \
-            np.isin(nat, nk)
-        out = out.loc[ok, ["o_orderkey"]]
-        out["c_nation"] = nat[ok]
-        return out
+        return out.astype(np.int64)
 
-    def line_side(batch: pd.DataFrame) -> pd.DataFrame:
-        _, _, sk, sn, _ = ray.get(dims_ref)
-        idx = np.searchsorted(sk, batch["l_suppkey"].to_numpy())
-        s_nat = sn[np.minimum(idx, len(sk) - 1)]
+    def c_filter(batch: pd.DataFrame) -> pd.DataFrame:
+        # in-region prune BEFORE the exchange (25-entry key set, closure)
+        nat = batch["c_nationkey"].to_numpy(dtype=np.int64)
+        keep = np.isin(nat, in_region)
+        return pd.DataFrame(
+            {
+                "c_custkey": batch["c_custkey"].to_numpy(np.int64)[keep],
+                "c_nation": nat[keep],
+            }
+        )
+
+    def s_filter(batch: pd.DataFrame) -> pd.DataFrame:
+        nat = batch["s_nationkey"].to_numpy(dtype=np.int64)
+        keep = np.isin(nat, in_region)
+        return pd.DataFrame(
+            {
+                "s_suppkey": batch["s_suppkey"].to_numpy(np.int64)[keep],
+                "s_nation": nat[keep],
+            }
+        )
+
+    def l_project(batch: pd.DataFrame) -> pd.DataFrame:
         ext = batch["l_extendedprice"].to_numpy()
         disc = batch["l_discount"].to_numpy()
         return pd.DataFrame(
             {
                 "o_orderkey": batch["l_orderkey"].astype(np.int64),
-                "s_nation": s_nat,
+                "l_suppkey": batch["l_suppkey"].astype(np.int64),
                 "rev_cents": np.floor(ext * (1 - disc) * 100).astype(np.int64),
             }
         )
 
-    joined = hash_join(
-        lineitem_ds.map_batches(line_side, batch_format="pandas"),
-        orders_ds.map_batches(probe_orders, batch_format="pandas"),
-        on="o_orderkey",
+    ord_cust = hash_join(
+        orders_ds.map_batches(o_filter, batch_format="pandas"),
+        customer_ds.map_batches(c_filter, batch_format="pandas"),
+        on="o_custkey",
+        right_on="c_custkey",
         how="inner",
+    ).map_batches(
+        lambda b: b[["o_orderkey", "c_nation"]], batch_format="pandas"
     )
+
+    line_supp = hash_join(
+        lineitem_ds.map_batches(l_project, batch_format="pandas"),
+        supplier_ds.map_batches(s_filter, batch_format="pandas"),
+        on="l_suppkey",
+        right_on="s_suppkey",
+        how="inner",
+    ).map_batches(
+        lambda b: b[["o_orderkey", "s_nation", "rev_cents"]],
+        batch_format="pandas",
+    )
+
+    joined = hash_join(line_supp, ord_cust, on="o_orderkey", how="inner")
 
     def local_only(batch: pd.DataFrame) -> pd.DataFrame:
         out = batch[batch["s_nation"].to_numpy() == batch["c_nation"].to_numpy()]
@@ -415,8 +429,12 @@ def column_profile(docs_ds_fn, columns: tuple[str, ...] = PROFILE_COLUMNS):
     for col in columns:
         ds = docs_ds_fn(col)
         n_rows = ds.count()
-        n_distinct = distinct(ds, col).count()
+        n_groups = distinct(ds, col).count()
         n_null = ds.filter(lambda r, c=col: r[c] is None).count()
+        # SQL count(DISTINCT col) ignores NULLs; the engine's distinct()
+        # keeps the null group — subtract it so both sides agree on
+        # columns that contain nulls.
+        n_distinct = n_groups - (1 if n_null > 0 else 0)
         rows.append((col, np.int64(n_rows), np.int64(n_distinct),
                      np.int64(n_null)))
     return pd.DataFrame(
@@ -488,12 +506,27 @@ def bucket_join_events(events_ds_fn, work_dir: str,
         f"{work_dir}/dim", partition_cols=["_b"]
     )
 
-    # join = n_buckets independent bucket-local merges, no exchange
+    # join = n_buckets independent bucket-local merges, no exchange.
+    # An EMPTY bucket writes no hive partition directory at all — skip
+    # absent fact buckets (and degrade an absent dim bucket to an empty
+    # typed frame) instead of letting read_parquet raise FileNotFoundError.
+    empty_dim = pd.DataFrame(
+        {
+            "user_id": np.array([], dtype=np.int64),
+            "n_total": np.array([], dtype=np.int64),
+        }
+    )
     parts = []
     for b in range(n_buckets):
-        dim_b = pq_.read_table(
-            f"{work_dir}/dim/_b={b}", columns=["user_id", "n_total"]
-        ).to_pandas()
+        if not os.path.isdir(f"{work_dir}/facts/_b={b}"):
+            continue
+        dim_b = (
+            pq_.read_table(
+                f"{work_dir}/dim/_b={b}", columns=["user_id", "n_total"]
+            ).to_pandas()
+            if os.path.isdir(f"{work_dir}/dim/_b={b}")
+            else empty_dim
+        )
 
         def merge(batch: pd.DataFrame, dim_b=dim_b) -> pd.DataFrame:
             out = batch.merge(dim_b, on="user_id", how="inner")
@@ -505,8 +538,19 @@ def bucket_join_events(events_ds_fn, work_dir: str,
                 columns=["event_id", "user_id", "value_micro"],
             ).map_batches(merge, batch_format="pandas")
         )
+    if not parts:
+        return rd.from_pandas(
+            pd.DataFrame(
+                {
+                    "event_id": np.array([], dtype=np.int64),
+                    "user_id": np.array([], dtype=np.int64),
+                    "value_micro": np.array([], dtype=np.int64),
+                    "n_total": np.array([], dtype=np.int64),
+                }
+            )
+        )
     out = parts[0]
-    return out.union(*parts[1:])
+    return out.union(*parts[1:]) if len(parts) > 1 else out
 
 
 Q13_EXCLUDE_PRIORITY = "1-URGENT"

@@ -384,12 +384,15 @@ def conv_balance(trans_ds):
     )
 
     def share(batch: pd.DataFrame) -> pd.DataFrame:
+        # zero-char convention PINNED in both engines: a conversation
+        # whose turns are all empty strings scores permille 0 (the
+        # alternation_part n_pairs=0 convention), mirrored by the SQL
+        # twin's CASE WHEN total = 0.
         tot = batch["total_chars"].to_numpy(dtype=np.int64)
-        if len(tot) and tot.min() <= 0:
-            raise ValueError("conversation with zero characters")
-        batch["assistant_permille"] = (
-            1000 * batch["assistant_chars"].to_numpy(dtype=np.int64)
-        ) // tot
+        ac = batch["assistant_chars"].to_numpy(dtype=np.int64)
+        batch["assistant_permille"] = np.where(
+            tot > 0, (1000 * ac) // np.maximum(tot, 1), 0
+        ).astype(np.int64)
         return batch.drop(columns=["total_chars"])
 
     return agg.map_batches(share, batch_format="pandas")

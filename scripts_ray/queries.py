@@ -1975,12 +1975,16 @@ def q_vocab_growth(sf_dir: str):
 def q_bucket_join_events(sf_dir: str):
     """Shuffle-free co-bucketed join: both sides written bucketed on
     user_id, joined as independent bucket-local merges."""
+    import tempfile
+
     from .ops.relational import bucket_join_events
 
+    # per-run unique scratch dir so two concurrent runs never clobber
+    # each other's bucket files mid-read
     return bucket_join_events(
         lambda: _read(sf_dir, "events",
                       columns=["event_id", "user_id", "value"]),
-        work_dir="/tmp/graft_bucket_join",
+        work_dir=tempfile.mkdtemp(prefix="graft_bucket_join_"),
     )
 
 
@@ -2115,6 +2119,8 @@ def q_q5_local_supply(sf_dir: str):
         _read(sf_dir, "lineitem",
               columns=["l_orderkey", "l_suppkey", "l_extendedprice",
                        "l_discount"]),
+        _read(sf_dir, "customer", columns=["c_custkey", "c_nationkey"]),
+        _read(sf_dir, "supplier", columns=["s_suppkey", "s_nationkey"]),
         sf_dir,
     )
 

@@ -3706,9 +3706,11 @@ SELECT conv_id,
             AS BIGINT) AS user_chars,
        CAST(COALESCE(sum(length(text)) FILTER (WHERE role = 'assistant'), 0)
             AS BIGINT) AS assistant_chars,
-       CAST((1000 * COALESCE(sum(length(text))
-                             FILTER (WHERE role = 'assistant'), 0))
-            // sum(length(text)) AS BIGINT) AS assistant_permille
+       CAST(CASE WHEN COALESCE(sum(length(text)), 0) = 0 THEN 0
+                 ELSE (1000 * COALESCE(sum(length(text))
+                              FILTER (WHERE role = 'assistant'), 0))
+                      // sum(length(text)) END AS BIGINT)
+         AS assistant_permille
 FROM transcripts GROUP BY conv_id
 """
 )

@@ -1,0 +1,82 @@
+"""Round-4: ADVICE regression fixes (pinned edge-case conventions) and
+scale-path hardening."""
+
+import numpy as np
+import pandas as pd
+
+
+def test_conv_balance_zero_char_conversation_scores_zero(ray_session):
+    """The pinned convention: a conversation whose turns are all empty
+    strings emits assistant_permille 0 (both engines), not an error."""
+    import ray.data as rd
+
+    from scripts_ray.ops.windows import conv_balance
+
+    df = pd.DataFrame(
+        {
+            "conv_id": ["c0", "c0", "c1", "c1"],
+            "role": ["user", "assistant", "user", "assistant"],
+            "text": ["", "", "hi", "hello there"],
+        }
+    )
+    out = (
+        conv_balance(rd.from_pandas(df))
+        .to_pandas()
+        .set_index("conv_id")
+        .sort_index()
+    )
+    assert out.loc["c0", "assistant_permille"] == 0
+    assert out.loc["c0", "user_chars"] == 0
+    assert (
+        out.loc["c1", "assistant_permille"]
+        == 1000 * len("hello there") // (2 + len("hello there"))
+    )
+
+
+def test_column_profile_excludes_nulls_from_distinct(ray_session):
+    """count(DISTINCT col) semantics: NULL is counted in n_null but never
+    as a distinct value (the oracle's convention)."""
+    import ray.data as rd
+
+    from scripts_ray.ops.relational import column_profile
+
+    df = pd.DataFrame({"a": ["x", "y", None, "x", None]})
+    out = column_profile(lambda col: rd.from_pandas(df[[col]]), ("a",))
+    row = out.iloc[0]
+    assert row["n_rows"] == 5
+    assert row["n_distinct"] == 2  # x, y — not the null group
+    assert row["n_null"] == 2
+
+
+def test_bucket_join_skips_empty_buckets(ray_session, tmp_path):
+    """An events table whose user_ids occupy only 2 of 8 buckets writes no
+    hive directory for the other 6 — the join must skip them instead of
+    raising FileNotFoundError, and still match the pandas join."""
+    import ray.data as rd
+
+    from scripts_ray.ops.relational import bucket_join_events
+
+    df = pd.DataFrame(
+        {
+            "event_id": np.arange(10, dtype=np.int64),
+            "user_id": np.array([8, 8, 16, 16, 16, 9, 9, 8, 16, 9],
+                                dtype=np.int64),  # buckets {0, 1} only
+            "value": np.linspace(0.5, 5.0, 10),
+        }
+    )
+    out = (
+        bucket_join_events(lambda: rd.from_pandas(df), str(tmp_path / "bj"))
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    exp_totals = df.groupby("user_id").size()
+    assert len(out) == 10
+    assert (
+        out["n_total"].to_numpy()
+        == exp_totals.loc[out["user_id"]].to_numpy()
+    ).all()
+    assert (
+        out["value_micro"].to_numpy()
+        == np.floor(df["value"].to_numpy() * 1_000_000.0).astype(np.int64)
+    ).all()
