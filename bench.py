@@ -113,6 +113,41 @@ def prepare_minhash_docs(n_docs: int = 120_000, seed: int = 3) -> str:
     return path
 
 
+def prepare_stopword_docs(n_docs: int = 160_000, seed: int = 7) -> str:
+    """Synthetic corpus where ONE stop-word token ('the') appears in EVERY
+    document — the postings-skew stress for the segmented inverted index:
+    the single-string layout would build one O(n_docs) group; the
+    (tok, doc_id-range) layout must cap every group at the segment range."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    path = f"/tmp/bench_stopword_docs_{n_docs}"
+    if not os.path.exists(path):
+        rng = np.random.default_rng(seed)
+        letters = "abcdefghijklmnopqrstuvwxyz"
+        vocab = np.array(
+            [letters[i % 26] + letters[(i // 26) % 26] + letters[i // 676]
+             for i in range(2000)],
+            dtype=object,
+        )
+        toks = rng.integers(0, 2000, size=(n_docs, 20))
+        texts = ["the " + " ".join(row) for row in vocab[toks]]
+        os.makedirs(path + ".tmp", exist_ok=True)
+        per_file = 16384
+        for i in range(0, n_docs, per_file):
+            t = pa.table(
+                {
+                    "doc_id": pa.array(range(i, min(i + per_file, n_docs)),
+                                       type=pa.int64()),
+                    "text": pa.array(texts[i : i + per_file], type=pa.string()),
+                }
+            )
+            pq.write_table(t, f"{path}.tmp/part-{i // per_file:04d}.parquet")
+        os.rename(path + ".tmp", path)
+    return path
+
+
 def _hostcap_chunk(_):
     """One fixed chunk of scorer-like work (regex tokenize + siphash over
     strings) — used by --hostcap to measure the HOST's own process-level
@@ -483,6 +518,27 @@ def run_bench() -> dict:
         queries["minhash_120k_docs"] = round(dt, 3)
         extras["minhash_docs_per_sec"] = round(120_000 / dt, 1)
         extras["minhash_cand_pairs"] = n_pairs
+
+        # segmented inverted index under maximal postings skew: a planted
+        # stop word in EVERY one of 160k docs — the max per-group size must
+        # stay at the segment range (64), proving no single postings group
+        # dominates (the single-string layout's group would be 160k)
+        import pandas as _pd
+
+        from scripts_ray.ops import retrieval as _retrieval
+
+        sw_path = prepare_stopword_docs()
+        t0 = time.time()
+        seg = _retrieval.inverted_index_seg(rd.read_parquet(sw_path))
+        folded = seg.map_batches(
+            lambda b: _pd.DataFrame(
+                {"mx": [int(b["df_seg"].max())], "n": [len(b)]}
+            ),
+            batch_format="pandas",
+        ).to_pandas()  # one row per block — bounded driver collect
+        queries["invidx_seg_160k_docs"] = round(time.time() - t0, 3)
+        extras["invidx_seg_max_group"] = int(folded["mx"].max())
+        extras["invidx_seg_rows"] = int(folded["n"].sum())
 
         # measured ANN recall@5 vs the exact baseline for both scale paths
         exact = QUERIES["ann_cosine"](SF_DIR).to_pandas()

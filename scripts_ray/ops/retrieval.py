@@ -645,6 +645,64 @@ def inverted_index(docs_ds, num_partitions: int = 64):
     )
 
 
+INDEX_SEG_RANGE = 64  # doc_ids per postings segment
+
+
+def inverted_index_seg(docs_ds, seg_range: int = INDEX_SEG_RANGE,
+                       num_partitions: int = 64):
+    """The SCALE form of the inverted index: postings chunked per
+    (tok, doc_id-range) fixed-size segment — the standard index-shard
+    layout. The segment id (doc_id // seg_range) is computable MAP-SIDE,
+    so the exchange key is (tok, seg_idx) and a stopword appearing in
+    every document lands in N_docs/seg_range separate groups of at most
+    seg_range entries each — no single group is ever corpus-sized
+    (contrast `inverted_index`, the single-string small-vocabulary
+    exhibit whose stopword group is O(N_docs)). Query-side, a reader
+    scans the token's segments in seg_idx order (doc_id order is
+    preserved across segments because segments partition the id space by
+    range, not rank). Emits (tok, seg_idx, df_seg, postings_chunk)."""
+    from ..tokens import explode
+    from .hashagg import map_partitions_by_key
+
+    def pairs(batch: pa.Table) -> pd.DataFrame:
+        rows, toks = explode(batch["text"].combine_chunks())
+        ids = batch["doc_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        d = ids[rows].astype(np.int64)
+        out = pd.DataFrame(
+            {"tok": toks, "seg_idx": d // seg_range, "doc_id": d}
+        ).drop_duplicates(ignore_index=True)
+        return out
+
+    def build(part: pd.DataFrame) -> pd.DataFrame:
+        if len(part) == 0:
+            return pd.DataFrame(
+                {
+                    "tok": np.array([], dtype=object),
+                    "seg_idx": np.array([], dtype=np.int64),
+                    "df_seg": np.array([], dtype=np.int64),
+                    "postings_chunk": np.array([], dtype=object),
+                }
+            )
+        part = part.drop_duplicates(["tok", "seg_idx", "doc_id"]).sort_values(
+            ["tok", "seg_idx", "doc_id"], kind="mergesort"
+        )
+        part["doc_str"] = part["doc_id"].astype(str)
+        g = part.groupby(["tok", "seg_idx"], sort=False)
+        out = g.agg(
+            df_seg=("doc_id", "size"), postings_chunk=("doc_str", ",".join)
+        ).reset_index()
+        out["seg_idx"] = out["seg_idx"].astype(np.int64)
+        out["df_seg"] = out["df_seg"].astype(np.int64)
+        return out
+
+    return map_partitions_by_key(
+        docs_ds.map_batches(pairs, batch_format="pyarrow"),
+        keys=["tok", "seg_idx"],
+        fn=build,
+        num_partitions=num_partitions,
+    )
+
+
 def phrase_search(docs_ds, phrase: tuple[str, ...] = PHRASE):
     """Exact phrase query: every (doc_id, pos) where the document's
     token stream contains `phrase` as consecutive tokens starting at

@@ -2426,6 +2426,16 @@ def q_inverted_index(sf_dir: str):
     return inverted_index(_read(sf_dir, "documents", columns=["doc_id", "text"]))
 
 
+def q_inverted_index_seg(sf_dir: str):
+    """Scale-form inverted index: postings chunked per (tok, doc_id-range)
+    segment, exchange keyed on (tok, seg_idx) so no group is corpus-sized."""
+    from .ops.retrieval import inverted_index_seg
+
+    return inverted_index_seg(
+        _read(sf_dir, "documents", columns=["doc_id", "text"])
+    )
+
+
 def q_phrase_search(sf_dir: str):
     """Exact consecutive-token phrase hits as (doc_id, pos)."""
     from .ops.retrieval import phrase_search
@@ -2617,6 +2627,7 @@ QUERIES = {
     "source_divergence": q_source_divergence,
     "cluster_topics": q_cluster_topics,
     "inverted_index": q_inverted_index,
+    "inverted_index_seg": q_inverted_index_seg,
     "fuzzy_title_pairs": q_fuzzy_title_pairs,
     "pmi_bigrams": q_pmi_bigrams,
     "len_outliers": q_len_outliers,
@@ -2820,6 +2831,7 @@ ORACLES = {
     "source_divergence": sql_ops.SOURCE_DIVERGENCE_SQL,
     "cluster_topics": sql_ops.CLUSTER_TOPICS_SQL,
     "inverted_index": sql_ops.INVERTED_INDEX_SQL,
+    "inverted_index_seg": sql_ops.INVERTED_INDEX_SEG_SQL,
     "fuzzy_title_pairs": sql_ops.FUZZY_TITLE_PAIRS_SQL,
     "pmi_bigrams": sql_ops.PMI_BIGRAMS_SQL,
     "len_outliers": sql_ops.LEN_OUTLIERS_SQL,

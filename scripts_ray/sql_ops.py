@@ -2724,6 +2724,25 @@ SELECT tok, CAST(count(*) AS BIGINT) AS df,
 FROM pairs GROUP BY tok
 """
 
+def _inverted_index_seg_sql() -> str:
+    from .ops.retrieval import INDEX_SEG_RANGE
+
+    return f"""
+WITH pairs AS (
+  SELECT DISTINCT doc_id, tok
+  FROM (SELECT doc_id, unnest({_DOC_TOKS}) AS tok FROM documents)
+)
+SELECT tok,
+       CAST(doc_id // {INDEX_SEG_RANGE} AS BIGINT) AS seg_idx,
+       CAST(count(*) AS BIGINT) AS df_seg,
+       string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)
+         AS postings_chunk
+FROM pairs GROUP BY tok, doc_id // {INDEX_SEG_RANGE}
+"""
+
+
+INVERTED_INDEX_SEG_SQL = _inverted_index_seg_sql()
+
 _PHRASE_CONDS = " AND ".join(
     f"list_extract(l, p.pos + {j} + 1) = '{w}'" for j, w in enumerate(PHRASE)
 )

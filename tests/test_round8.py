@@ -80,3 +80,28 @@ def test_bucket_join_skips_empty_buckets(ray_session, tmp_path):
         out["value_micro"].to_numpy()
         == np.floor(df["value"].to_numpy() * 1_000_000.0).astype(np.int64)
     ).all()
+
+
+def test_inverted_index_seg_caps_stopword_group(ray_session):
+    """20k docs all containing 'the': the single-string layout would build
+    one 20k-entry postings group; the segmented layout must cap every
+    group at the doc_id range and reassemble to the identical postings."""
+    import ray.data as rd
+
+    from scripts_ray.ops.retrieval import INDEX_SEG_RANGE, inverted_index_seg
+
+    n = 20_000
+    df = pd.DataFrame(
+        {
+            "doc_id": np.arange(n, dtype=np.int64),
+            "text": ["the tok" + chr(ord("a") + i % 26) for i in range(n)],
+        }
+    )
+    out = inverted_index_seg(rd.from_pandas(df)).to_pandas()
+    the = out[out["tok"] == "the"].sort_values("seg_idx")
+    # every group bounded by the range, full coverage, exact reassembly
+    assert the["df_seg"].max() <= INDEX_SEG_RANGE
+    assert len(the) == -(-n // INDEX_SEG_RANGE)
+    assert the["df_seg"].sum() == n
+    joined = ",".join(the["postings_chunk"])
+    assert joined == ",".join(str(i) for i in range(n))
