@@ -9,18 +9,30 @@ where each matcher claims a probe only when it resolves to a UNIQUE
 registry entity; an ambiguous or empty result falls through to the next
 tier, and a probe no tier resolves is emitted as 'unknown' (:95-103).
 
-This module re-derives that semantics engine-side with four tiers over a
+This module re-derives that semantics engine-side with seven tiers over a
 canonical name registry (distinct `p_name` → min `p_partkey`, the entity
 table analog of the cleaned MP registry):
 
-1. ``exact``    — probe equals a registry name (reference `in_name`);
-2. ``tokenset`` — same token multiset, order-insensitive (reference
-   `firstname_lastname_reversed`);
-3. ``subset``   — every token of a registry name appears in the probe
+1. ``exact``     — probe equals a registry name (reference `in_name`);
+2. ``tokenset``  — same token multiset, order-insensitive;
+3. ``subset``    — every token of a registry name appears in the probe
    (reference `mpsubnames_in_name`: the registry entity's subnames are
    contained in the noisy probe);
-4. ``lev``      — minimum Levenshtein distance ≤ FUZZY_MAX_DIST with a
-   unique argmin (reference `fuzzy_name`, textdistance levenshtein).
+4. ``lev``       — minimum Levenshtein distance ≤ FUZZY_MAX_DIST with a
+   unique argmin (reference `fuzzy_name`, textdistance levenshtein);
+5. ``first_last``     — probe's FIRST and LAST tokens equal a registry
+   name's first and last tokens, middle tokens ignored (reference
+   `firstname_lastname`);
+6. ``two_last``       — probe's last TWO tokens equal a registry name's
+   last two (reference `two_lastnames`);
+7. ``first_last_rev`` — probe's (first, last) equal a registry name's
+   (last, first): the "Lastname Firstname" ordering (reference
+   `firstname_lastname_reversed`).
+
+The positional tiers 5-7 only consider probes and registry names with
+≥ 2 tokens, and like every tier claim a probe only when exactly ONE
+registry form qualifies (ambiguous forms are dropped from the tier map
+at registry build time).
 
 Every tier resolves a probe only when exactly ONE entity qualifies; ties
 fall through — the reference's uniqueness rule, and the property that
@@ -50,50 +62,57 @@ import pandas as pd
 import pyarrow as pa
 
 FUZZY_MAX_DIST = 2
-DEFAULT_LADDER = ("exact", "tokenset", "subset", "lev")
-N_PROBE_MODES = 5
+DEFAULT_LADDER = (
+    "exact", "tokenset", "subset", "lev",
+    "first_last", "two_last", "first_last_rev",
+)
+N_PROBE_MODES = 8
 GARBAGE_MOD = 97
 
 
 # ---- registry ---------------------------------------------------------------
 
 
-def build_name_registry(sf_dir: str) -> dict:
-    """Pack the part-name entity registry into broadcastable state (ONE
-    bundled object for a single ``ray.put``):
+def build_registry(t: pd.DataFrame) -> dict:
+    """Pack a (p_partkey, p_name) frame into the broadcastable registry
+    (ONE bundled object for a single ``ray.put``):
 
     - ``part_names``: p_name indexed by p_partkey (probe construction);
-    - ``exact`` / ``tokenset``: name-form → entity key dicts holding ONLY
+    - ``exact`` / ``tokenset`` / ``first_last`` / ``two_last`` /
+      ``first_last_rev``: name-form → entity key dicts holding ONLY
       unique forms (an ambiguous form is absent → the tier passes);
     - ``token_df``: (token, key, ntok) rows for the subset-tier merge;
     - ``codes`` / ``lens`` / ``keys`` sorted by name length, plus the
       padded uint8 code matrix for the batched Levenshtein DP.
     """
-    import pyarrow.parquet as pq
-
-    t = pq.read_table(
-        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_name"]
-    ).to_pandas()
     part_names = (
         t.sort_values("p_partkey")["p_name"].to_numpy(dtype=object)
     )
     g = t.groupby("p_name", sort=True)["p_partkey"].min()
     names = g.index.to_numpy(dtype=object)
     keys = g.to_numpy(dtype=np.int64)
+    tok_lists = [n.split() for n in names]
 
-    def unique_map(forms: np.ndarray) -> dict:
-        s = pd.Series(keys, index=forms)
+    def unique_map(forms, ks) -> dict:
+        s = pd.Series(ks, index=forms)
         counts = s.groupby(level=0).size()
         uniq = counts.index[counts.to_numpy() == 1]
         return s[s.index.isin(uniq)].to_dict()
 
+    def positional_map(form_of) -> dict:
+        # tiers 5-7 only consider names with >= 2 tokens
+        multi = [i for i, tl in enumerate(tok_lists) if len(tl) >= 2]
+        return unique_map(
+            [form_of(tok_lists[i]) for i in multi], keys[multi]
+        )
+
     sorted_forms = np.array(
-        [" ".join(sorted(n.split())) for n in names], dtype=object
+        [" ".join(sorted(tl)) for tl in tok_lists], dtype=object
     )
     tok_rows = [
-        (tok, k, len(set(n.split())))
-        for n, k in zip(names, keys)
-        for tok in set(n.split())
+        (tok, k, len(set(tl)))
+        for tl, k in zip(tok_lists, keys)
+        for tok in set(tl)
     ]
     token_df = pd.DataFrame(tok_rows, columns=["token", "key", "ntok"])
 
@@ -102,13 +121,27 @@ def build_name_registry(sf_dir: str) -> dict:
     codes = _encode(names[order], int(lens.max()))
     return {
         "part_names": part_names,
-        "exact": unique_map(names),
-        "tokenset": unique_map(sorted_forms),
+        "exact": unique_map(names, keys),
+        "tokenset": unique_map(sorted_forms, keys),
+        "first_last": positional_map(lambda tl: tl[0] + " " + tl[-1]),
+        "two_last": positional_map(lambda tl: tl[-2] + " " + tl[-1]),
+        "first_last_rev": positional_map(lambda tl: tl[-1] + " " + tl[0]),
         "token_df": token_df,
         "lens_sorted": lens[order],
         "keys_sorted": keys[order],
         "codes_sorted": codes,
     }
+
+
+def build_name_registry(sf_dir: str) -> dict:
+    """Registry from the part table parquet (see ``build_registry``)."""
+    import pyarrow.parquet as pq
+
+    return build_registry(
+        pq.read_table(
+            f"{sf_dir}/part.parquet", columns=["p_partkey", "p_name"]
+        ).to_pandas()
+    )
 
 
 def _encode(strs: np.ndarray, width: int) -> np.ndarray:
@@ -246,8 +279,22 @@ def match_ladder(probes: np.ndarray, reg: dict,
             got = pd.Series(norm, dtype=object).map(reg["tokenset"])
         elif tier == "subset":
             got = _subset_match(sub, reg)
-        else:
+        elif tier == "lev":
             got = _lev_match(sub, reg, max_dist)
+        else:  # positional tiers: first_last / two_last / first_last_rev
+            forms = np.empty(len(sub), dtype=object)
+            for i, s_ in enumerate(sub):
+                tl = s_.split()
+                if len(tl) < 2:
+                    forms[i] = None
+                elif tier == "two_last":
+                    forms[i] = tl[-2] + " " + tl[-1]
+                else:
+                    # probe form is (first, last) for BOTH first_last and
+                    # first_last_rev — the _rev map is keyed on the
+                    # registry's (last, first) instead
+                    forms[i] = tl[0] + " " + tl[-1]
+            got = pd.Series(forms, dtype=object).map(reg[tier])
         got = got.reset_index(drop=True)
         hit = got.notna().to_numpy()
         keys[idx[hit]] = got[hit].to_numpy(dtype=np.int64)
@@ -257,37 +304,59 @@ def match_ladder(probes: np.ndarray, reg: dict,
 
 
 # ---- probe construction (deterministic, SQL-restated) -----------------------
-# Five corruption modes keyed by event_id, one per reference noise shape:
+# Eight corruption modes keyed by event_id, one per reference noise shape:
 # 0 = clean (exact), 1 = token order flipped (tokenset), 2 = leading-char
 # typo (lev), 3 = trailing noise token (subset), 4 = unmatchable garbage
-# (unknown). The SAME formulas appear in sql_ops.FUZZY_ATTRIBUTION_SQL.
+# (unknown), 5 = a FOREIGN full name spliced between first and last
+# (subset goes ambiguous → first_last), 6 = a REVERSED foreign name
+# prefixed (subset ambiguous, forward (first, last) form starts with a
+# last-position token → two_last), 7 = last + foreign name + first
+# (subset ambiguous, no forward positional form → first_last_rev). The
+# foreign-name offsets (+1, +7, +3 on partkey) are arbitrary but pinned.
+# The SAME formulas appear in sql_ops.FUZZY_ATTRIBUTION_SQL.
+_MODE5_OFF, _MODE6_OFF, _MODE7_OFF = 1, 7, 3
 
 
 def probe_codes(event_ids: np.ndarray, n_parts: int) -> np.ndarray:
-    """Collapse each event to its probe-identity code: modes 0-3 are a
-    function of (partkey, mode); mode 4 of event_id % GARBAGE_MOD. The
-    code space is ≤ 4·n_parts + GARBAGE_MOD, so distinct-probe work is
-    bounded by the entity vocabulary, not the corpus."""
+    """Collapse each event to its probe-identity code: modes 0-3 and 5-7
+    are a function of (partkey, mode); mode 4 of event_id % GARBAGE_MOD.
+    The code space is ≤ 8·n_parts + GARBAGE_MOD, so distinct-probe work
+    is bounded by the entity vocabulary, not the corpus."""
     pk = event_ids % n_parts
     mode = event_ids % N_PROBE_MODES
     return np.where(
-        mode < 4, pk * 4 + mode, 4 * n_parts + event_ids % GARBAGE_MOD
+        mode != 4,
+        pk * N_PROBE_MODES + mode,
+        N_PROBE_MODES * n_parts + event_ids % GARBAGE_MOD,
     ).astype(np.int64)
 
 
 def probe_of_code(code: int, part_names: np.ndarray) -> str:
     n_parts = len(part_names)
-    if code >= 4 * n_parts:
-        return f"zz{code - 4 * n_parts}q"
-    pk, mode = divmod(code, 4)
+    if code >= N_PROBE_MODES * n_parts:
+        return f"zz{code - N_PROBE_MODES * n_parts}q"
+    pk, mode = divmod(code, N_PROBE_MODES)
     nm = part_names[pk]
+    tl = nm.split()
     if mode == 0:
         return nm
     if mode == 1:
-        return " ".join(nm.split()[::-1])
+        return " ".join(tl[::-1])
     if mode == 2:
         return "x" + nm[1:]
-    return nm + " deluxe"
+    if mode == 3:
+        return nm + " deluxe"
+    if mode == 5:
+        other = part_names[(pk + _MODE5_OFF) % n_parts]
+        return tl[0] + " " + other + " " + tl[-1]
+    if mode == 6:
+        # REVERSED foreign name prefixed: the probe then starts with a
+        # last-position token, so the forward (first, last) form misses
+        # the registry and the probe falls through to two_last
+        other = part_names[(pk + _MODE6_OFF) % n_parts]
+        return " ".join(other.split()[::-1]) + " " + nm
+    other = part_names[(pk + _MODE7_OFF) % n_parts]
+    return tl[-1] + " " + other + " " + tl[0]
 
 
 def fuzzy_attribute(events_ds, reg_ref,

@@ -1965,21 +1965,53 @@ FROM hm GROUP BY event_type, register
 # unique-or-fall-through, unknown residue).
 FUZZY_ATTRIBUTION_SQL = """
 WITH np AS (SELECT count(*) AS n FROM part),
-pn AS (SELECT p_partkey, p_name FROM part),
-probes AS (
+pn AS (SELECT p_partkey, p_name, string_split(p_name, ' ') AS s FROM part),
+ev AS (
+  -- join keys precomputed as plain columns: equi-joining pn on the raw
+  -- modulo EXPRESSIONS makes DuckDB fall back to nested-loop plans that
+  -- re-evaluate the split-name CTE per row (observed: minutes vs 40 ms)
   SELECT e.event_id,
-    CASE CAST(e.event_id % 5 AS INT)
+         e.event_id % np.n AS pk,
+         (e.event_id % np.n + 1) % np.n AS pk5,
+         (e.event_id % np.n + 7) % np.n AS pk7,
+         (e.event_id % np.n + 3) % np.n AS pk3
+  FROM events e CROSS JOIN np
+),
+probes AS (
+  SELECT ev.event_id,
+    CASE CAST(ev.event_id % 8 AS INT)
       WHEN 0 THEN p.p_name
-      WHEN 1 THEN array_to_string(list_reverse(string_split(p.p_name, ' ')), ' ')
+      WHEN 1 THEN array_to_string(list_reverse(p.s), ' ')
       WHEN 2 THEN 'x' || substr(p.p_name, 2)
       WHEN 3 THEN p.p_name || ' deluxe'
-      ELSE 'zz' || CAST(e.event_id % 97 AS VARCHAR) || 'q'
+      WHEN 5 THEN p.s[1] || ' ' || p5.p_name || ' ' || p.s[len(p.s)]
+      WHEN 6 THEN array_to_string(list_reverse(p7.s), ' ') || ' ' || p.p_name
+      WHEN 7 THEN p.s[len(p.s)] || ' ' || p3.p_name || ' ' || p.s[1]
+      ELSE 'zz' || CAST(ev.event_id % 97 AS VARCHAR) || 'q'
     END AS probe_name
-  FROM events e CROSS JOIN np
-  JOIN pn p ON p.p_partkey = e.event_id % np.n
+  FROM ev
+  JOIN pn p  ON p.p_partkey  = ev.pk
+  JOIN pn p5 ON p5.p_partkey = ev.pk5
+  JOIN pn p7 ON p7.p_partkey = ev.pk7
+  JOIN pn p3 ON p3.p_partkey = ev.pk3
 ),
 reg AS (SELECT p_name AS nm, min(p_partkey) AS k FROM part GROUP BY p_name),
+regs AS (SELECT nm, k, string_split(nm, ' ') AS s FROM reg),
+flreg AS (
+  SELECT s[1] || ' ' || s[len(s)] AS form, min(k) AS mk
+  FROM regs WHERE len(s) >= 2 GROUP BY 1 HAVING count(*) = 1
+),
+tlreg AS (
+  SELECT s[len(s) - 1] || ' ' || s[len(s)] AS form, min(k) AS mk
+  FROM regs WHERE len(s) >= 2 GROUP BY 1 HAVING count(*) = 1
+),
+frreg AS (
+  SELECT s[len(s)] || ' ' || s[1] AS form, min(k) AS mk
+  FROM regs WHERE len(s) >= 2 GROUP BY 1 HAVING count(*) = 1
+),
 dp AS (SELECT DISTINCT probe_name AS probe FROM probes),
+dp2 AS (SELECT probe, string_split(probe, ' ') AS ps FROM dp
+        WHERE len(string_split(probe, ' ')) >= 2),
 ex AS (
   SELECT probe, min(k) AS mk FROM dp JOIN reg ON reg.nm = dp.probe
   GROUP BY probe HAVING count(*) = 1
@@ -2006,19 +2038,38 @@ lv AS (
   WHERE ld.d = mdt.md AND mdt.md <= 2
   GROUP BY ld.probe HAVING count(*) = 1
 ),
+fl AS (
+  SELECT probe, mk FROM dp2
+  JOIN flreg ON flreg.form = ps[1] || ' ' || ps[len(ps)]
+),
+tl AS (
+  SELECT probe, mk FROM dp2
+  JOIN tlreg ON tlreg.form = ps[len(ps) - 1] || ' ' || ps[len(ps)]
+),
+fr AS (
+  SELECT probe, mk FROM dp2
+  JOIN frreg ON frreg.form = ps[1] || ' ' || ps[len(ps)]
+),
 pick AS (
   SELECT dp.probe,
-    CAST(COALESCE(ex.mk, ts.mk, ss.mk, lv.mk, -1) AS BIGINT) AS match_key,
+    CAST(COALESCE(ex.mk, ts.mk, ss.mk, lv.mk, fl.mk, tl.mk, fr.mk, -1)
+         AS BIGINT) AS match_key,
     CASE WHEN ex.mk IS NOT NULL THEN 'exact'
          WHEN ts.mk IS NOT NULL THEN 'tokenset'
          WHEN ss.mk IS NOT NULL THEN 'subset'
          WHEN lv.mk IS NOT NULL THEN 'lev'
+         WHEN fl.mk IS NOT NULL THEN 'first_last'
+         WHEN tl.mk IS NOT NULL THEN 'two_last'
+         WHEN fr.mk IS NOT NULL THEN 'first_last_rev'
          ELSE 'unknown' END AS match_type
   FROM dp
   LEFT JOIN ex ON ex.probe = dp.probe
   LEFT JOIN ts ON ts.probe = dp.probe
   LEFT JOIN ss ON ss.probe = dp.probe
   LEFT JOIN lv ON lv.probe = dp.probe
+  LEFT JOIN fl ON fl.probe = dp.probe
+  LEFT JOIN tl ON tl.probe = dp.probe
+  LEFT JOIN fr ON fr.probe = dp.probe
 )
 SELECT p.event_id, p.probe_name, pick.match_key, pick.match_type
 FROM probes p JOIN pick ON pick.probe = p.probe_name

@@ -10,39 +10,15 @@ from scripts_ray.ops import fuzzy
 
 
 def _reg_from_names(names, keys=None):
-    """Build a registry dict from an in-memory name list (same packing as
-    build_name_registry, minus the parquet read)."""
-    keys = np.arange(len(names), dtype=np.int64) if keys is None else np.asarray(keys, dtype=np.int64)
-    t = pd.DataFrame({"p_partkey": keys, "p_name": names})
-    g = t.groupby("p_name", sort=True)["p_partkey"].min()
-    nm = g.index.to_numpy(dtype=object)
-    ks = g.to_numpy(dtype=np.int64)
-
-    def unique_map(forms):
-        s = pd.Series(ks, index=forms)
-        counts = s.groupby(level=0).size()
-        uniq = counts.index[counts.to_numpy() == 1]
-        return s[s.index.isin(uniq)].to_dict()
-
-    sorted_forms = np.array(
-        [" ".join(sorted(n.split())) for n in nm], dtype=object
+    """Registry from an in-memory name list (shared packing)."""
+    keys = (
+        np.arange(len(names), dtype=np.int64)
+        if keys is None
+        else np.asarray(keys, dtype=np.int64)
     )
-    tok_rows = [
-        (tok, k, len(set(n.split())))
-        for n, k in zip(nm, ks)
-        for tok in set(n.split())
-    ]
-    lens = np.array([len(n) for n in nm], dtype=np.int64)
-    order = np.argsort(lens, kind="stable")
-    return {
-        "part_names": t.sort_values("p_partkey")["p_name"].to_numpy(dtype=object),
-        "exact": unique_map(nm),
-        "tokenset": unique_map(sorted_forms),
-        "token_df": pd.DataFrame(tok_rows, columns=["token", "key", "ntok"]),
-        "lens_sorted": lens[order],
-        "keys_sorted": ks[order],
-        "codes_sorted": fuzzy._encode(nm[order], int(lens.max())),
-    }
+    return fuzzy.build_registry(
+        pd.DataFrame({"p_partkey": keys, "p_name": names})
+    )
 
 
 def _py_lev(a, b):
@@ -135,4 +111,30 @@ def test_fuzzy_attribution_oracle(ray_session, sf_dir, duck):
     pd.testing.assert_frame_equal(got, exp, check_dtype=False)
     # the fixture's corruption modes exercise EVERY tier
     assert set(got["match_type"]) == {"exact", "tokenset", "subset", "lev",
-                                      "unknown"}
+                                      "first_last", "two_last",
+                                      "first_last_rev", "unknown"}
+
+
+def test_positional_tiers_resolve_multi_token_names():
+    """Tiers 5-7 (reference firstname_lastname / two_lastnames /
+    firstname_lastname_reversed): middle-token noise that defeats the
+    containment tiers resolves positionally, in ladder order."""
+    reg = _reg_from_names(
+        ["alice marie johnson", "bob james smith", "carol ann jones"]
+    )
+    probes = np.array(
+        ["alice xq johnson",    # middle replaced -> first_last
+         "xyzzy james smith",   # first replaced -> two_last
+         "johnson xq alice"],   # reversed + noise -> first_last_rev
+        dtype=object,
+    )
+    keys, types = fuzzy.match_ladder(probes, reg)
+    assert list(types) == ["first_last", "two_last", "first_last_rev"]
+    assert list(keys) == [0, 1, 0]
+    # ambiguity rule holds positionally too: two names sharing (first,
+    # last) make the first_last form unclaimable
+    reg2 = _reg_from_names(["ann b lee", "ann c lee"])
+    keys2, types2 = fuzzy.match_ladder(
+        np.array(["ann xqzzy lee"], dtype=object), reg2
+    )
+    assert list(types2) == ["unknown"] and list(keys2) == [-1]
