@@ -506,6 +506,47 @@ def doc_token_hash_sets(docs_ds, id_col: str = "doc_id"):
     return docs_ds.map_batches(enc, batch_format="pyarrow")
 
 
+def doc_shingle_hash_sets(docs_ds, id_col: str = "doc_id"):
+    """Per-document DISTINCT 3-token winnow-shingle fingerprint set in the
+    same sorted-uint64-blob encoding as ``doc_token_hash_sets``, so
+    ``verify_pairs_exact`` verifies SHINGLE Jaccard unchanged (the
+    granularity production near-dup dedup actually uses — unigram token
+    sets degenerate on small vocabularies). Columns: (`id_col`, th,
+    n_toks)."""
+
+    def enc(batch: pd.DataFrame) -> pd.DataFrame:
+        from ..tokens import explode
+
+        n = len(batch)
+        rows, toks = explode(pa.array(batch["text"].tolist(), type=pa.string()))
+        srows, fps = winnow_shingle_fps(rows, toks)
+        blobs = [b""] * n
+        ns = np.zeros(n, dtype=np.int64)
+        if len(fps):
+            h = fps.astype(np.uint64)
+            order = np.lexsort((h, srows))
+            r, h = srows[order], h[order]
+            keep = np.empty(len(h), dtype=bool)
+            keep[0] = True
+            keep[1:] = (r[1:] != r[:-1]) | (h[1:] != h[:-1])
+            r, h = r[keep], h[keep]
+            starts = np.searchsorted(r, np.arange(n))
+            ends = np.searchsorted(r, np.arange(n), side="right")
+            for i in range(n):
+                seg = h[starts[i] : ends[i]]
+                blobs[i] = seg.tobytes()
+                ns[i] = len(seg)
+        return pd.DataFrame(
+            {
+                id_col: batch[id_col].to_numpy(dtype=np.int64),
+                "th": blobs,
+                "n_toks": ns,
+            }
+        )
+
+    return docs_ds.map_batches(enc, batch_format="pandas")
+
+
 def verify_pairs_exact(
     pairs_ds, toks_a_ds, toks_b_ds, threshold_num: int = 2, threshold_den: int = 1
 ):

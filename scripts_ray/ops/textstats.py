@@ -501,77 +501,94 @@ def plant_gopher(batch_text, doc_id) -> pa.Array:
     )
 
 
+def _gopher_rules_batch(batch: pa.Table) -> pa.Table:
+    """The Gopher rule kernel shared by `gopher_quality` (signal report)
+    and `gopher_filter` (fused in-place gate)."""
+    from ..rules import RE_WHITESPACE
+    from ..tokens import token_signals
+
+    planted = plant_gopher(batch["text"], batch["doc_id"])
+    n_words = (
+        pc.count_substring_regex(planted, pattern=RE_NONWS)
+        .to_numpy(zero_copy_only=False)
+        .astype(np.int64)
+    )
+    nonws_chars = (
+        pc.utf8_length(
+            pc.replace_substring_regex(
+                planted, pattern=RE_WHITESPACE, replacement=""
+            )
+        )
+        .to_numpy(zero_copy_only=False)
+        .astype(np.int64)
+    )
+    n_sym = (
+        pc.count_substring(planted, pattern="#").to_numpy(zero_copy_only=False)
+        + pc.count_substring(planted, pattern="...").to_numpy(
+            zero_copy_only=False
+        )
+    ).astype(np.int64)
+    n_alpha = (
+        pc.count_substring_regex(planted, pattern=RE_ALPHA_WORD)
+        .to_numpy(zero_copy_only=False)
+        .astype(np.int64)
+    )
+    n_stop = token_signals(planted)["n_en"]
+
+    def ratio(num, scale):
+        with np.errstate(divide="ignore", invalid="ignore"):
+            r = np.floor(scale * num / n_words)
+        return np.where(n_words > 0, r, 0).astype(np.int64)
+
+    wlen = ratio(nonws_chars, 1000.0)
+    sym = ratio(n_sym, 1000.0)
+    alpha = ratio(n_alpha, 1000.0)
+    ok = n_words > 0
+    keep = (
+        (n_words >= GOPHER_MIN_WORDS)
+        & (n_words <= GOPHER_MAX_WORDS)
+        & (wlen >= GOPHER_WLEN_MIN_MILLI)
+        & (wlen <= GOPHER_WLEN_MAX_MILLI)
+        & (sym < GOPHER_MAX_SYMBOL_PERMILLE)
+        & (alpha >= GOPHER_MIN_ALPHA_PERMILLE)
+        & (n_stop >= GOPHER_MIN_STOP_HITS)
+        & ok
+    )
+    maybe = lambda v: pa.array(  # noqa: E731 — NULL where no words
+        [int(v[i]) if ok[i] else None for i in range(len(v))], type=pa.int64()
+    )
+    return pa.table(
+        {
+            "doc_id": batch["doc_id"],
+            "n_words": pa.array(n_words, type=pa.int64()),
+            "mean_wlen_milli": maybe(wlen),
+            "symbol_permille": maybe(sym),
+            "alpha_permille": maybe(alpha),
+            "n_stop": pa.array(n_stop, type=pa.int64()),
+            "keep": pa.array(keep.tolist(), type=pa.bool_()),
+        }
+    )
+
+
 def gopher_quality(docs_ds):
     """Per-doc Gopher rule signals + the composed keep verdict. Pure
     vectorized map — Arrow RE2 counts and one tokenize pass, no exchange,
     embarrassingly parallel at any corpus size."""
-    from ..rules import RE_WHITESPACE
-    from ..tokens import token_signals
+    return docs_ds.map_batches(_gopher_rules_batch, batch_format="pyarrow")
 
-    def rules_batch(batch: pa.Table) -> pa.Table:
-        planted = plant_gopher(batch["text"], batch["doc_id"])
-        n_words = (
-            pc.count_substring_regex(planted, pattern=RE_NONWS)
-            .to_numpy(zero_copy_only=False)
-            .astype(np.int64)
-        )
-        nonws_chars = (
-            pc.utf8_length(
-                pc.replace_substring_regex(
-                    planted, pattern=RE_WHITESPACE, replacement=""
-                )
-            )
-            .to_numpy(zero_copy_only=False)
-            .astype(np.int64)
-        )
-        n_sym = (
-            pc.count_substring(planted, pattern="#").to_numpy(zero_copy_only=False)
-            + pc.count_substring(planted, pattern="...").to_numpy(
-                zero_copy_only=False
-            )
-        ).astype(np.int64)
-        n_alpha = (
-            pc.count_substring_regex(planted, pattern=RE_ALPHA_WORD)
-            .to_numpy(zero_copy_only=False)
-            .astype(np.int64)
-        )
-        n_stop = token_signals(planted)["n_en"]
 
-        def ratio(num, scale):
-            with np.errstate(divide="ignore", invalid="ignore"):
-                r = np.floor(scale * num / n_words)
-            return np.where(n_words > 0, r, 0).astype(np.int64)
+def gopher_filter(docs_ds):
+    """Fused Gopher gate: the same verdict as `gopher_quality`, but the
+    SURVIVING rows are emitted in place (all input columns preserved) —
+    a pure map filter. The alternative (compute flags, join them back)
+    ships every byte of corpus text through a shuffle; at web scale the
+    gate must run where the text already is."""
 
-        wlen = ratio(nonws_chars, 1000.0)
-        sym = ratio(n_sym, 1000.0)
-        alpha = ratio(n_alpha, 1000.0)
-        ok = n_words > 0
-        keep = (
-            (n_words >= GOPHER_MIN_WORDS)
-            & (n_words <= GOPHER_MAX_WORDS)
-            & (wlen >= GOPHER_WLEN_MIN_MILLI)
-            & (wlen <= GOPHER_WLEN_MAX_MILLI)
-            & (sym < GOPHER_MAX_SYMBOL_PERMILLE)
-            & (alpha >= GOPHER_MIN_ALPHA_PERMILLE)
-            & (n_stop >= GOPHER_MIN_STOP_HITS)
-            & ok
-        )
-        maybe = lambda v: pa.array(  # noqa: E731 — NULL where no words
-            [int(v[i]) if ok[i] else None for i in range(len(v))], type=pa.int64()
-        )
-        return pa.table(
-            {
-                "doc_id": batch["doc_id"],
-                "n_words": pa.array(n_words, type=pa.int64()),
-                "mean_wlen_milli": maybe(wlen),
-                "symbol_permille": maybe(sym),
-                "alpha_permille": maybe(alpha),
-                "n_stop": pa.array(n_stop, type=pa.int64()),
-                "keep": pa.array(keep.tolist(), type=pa.bool_()),
-            }
-        )
+    def gate(batch: pa.Table) -> pa.Table:
+        keep = _gopher_rules_batch(batch)["keep"]
+        return batch.filter(keep)
 
-    return docs_ds.map_batches(rules_batch, batch_format="pyarrow")
+    return docs_ds.map_batches(gate, batch_format="pyarrow")
 
 
 # ---- HTML text extraction (trafilatura-lite web-pipeline stage) --------------

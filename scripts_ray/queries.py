@@ -1241,6 +1241,105 @@ def q_curate_mix(sf_dir: str):
     return mixture_pick(survivors)
 
 
+def q_pretrain_pack(sf_dir: str):
+    """The pre-training data CAPSTONE: the full modern curation chain as
+    ONE composition — html_strip → Gopher quality gate → corpus line
+    dedup → MinHash near-dup keep-BEST → benchmark decontamination →
+    temperature-balanced source sampling → fixed-length sequence packing
+    + training-shard assignment. Every stage is an existing value-checked
+    operator; the oracle nests their SQL twins as CTEs over the same
+    transformed text.
+
+    Scale notes: stages chain as streaming Datasets; the two
+    materialize() points are the line-deduped corpus (consumed by the
+    candidate/verify/quality/universe legs — at 100 TB this is the
+    parquet CHECKPOINT between dedup phases, exactly what
+    checkpoint.write_corpus provides) and the final sampled picks
+    (consumed by both packers). All joins are distributed doc-cardinality
+    hash joins; only the benchmark shingle set (eval-suite-sized) and the
+    MinHash permutations broadcast."""
+    import pyarrow.compute as _pc
+
+    from .ops import cluster
+    from .ops.hashagg import hash_join
+
+    raw = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    # 1. markup -> prose
+    hs = textstats.html_strip(raw).map_batches(
+        lambda b: pa.table(
+            {"doc_id": b["doc_id"], "text": b["clean_text"]}
+        ),
+        batch_format="pyarrow",
+    )
+    # 2. Gopher heuristic gate — FUSED as an in-place map filter: the
+    #    flag-then-join-back alternative would ship the full corpus text
+    #    through an exchange (and run html_strip twice, once per consumer)
+    surv1 = textstats.gopher_filter(hs)
+    # 3. corpus-wide exact line dedup; n_chars of the DEDUPED text is the
+    #    keep-best quality signal downstream
+    ld = dedup.line_dedup(surv1).map_batches(
+        lambda b: pa.table(
+            {
+                "doc_id": b["doc_id"],
+                "text": b["text_dedup"],
+                "n_chars": _pc.cast(
+                    _pc.utf8_length(b["text_dedup"].combine_chunks()),
+                    pa.int64(),
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    ).materialize()  # checkpoint point: 4 downstream consumers
+    # 4. MinHash-LSH near-dup -> exact verify -> clusters -> keep BEST.
+    #    SHINGLE granularity (not unigram sets, which degenerate on small
+    #    vocabularies): candidates from the high-recall 2-row hasher,
+    #    verified against exact shingle-set Jaccard >= 0.5
+    hasher = dedup.MinHasher(**dedup.VERIFY_HASHER_KWARGS)
+    pairs = dedup.verify_pairs_exact(
+        dedup.minhash_candidates(ld, hasher, shingle_n=3),
+        dedup.doc_shingle_hash_sets(ld),
+        dedup.doc_shingle_hash_sets(ld),
+    )
+    labels = cluster.connected_components(
+        pairs.select_columns(["doc_a", "doc_b"])
+    )
+    kept = cluster.keep_best_after_clustering(
+        ld.select_columns(["doc_id", "n_chars"]), labels
+    ).materialize()  # id-only; pins the minhash/verify/CC chain to one run
+    surv2 = hash_join(
+        ld.select_columns(["doc_id", "text"]), kept, on="doc_id",
+        how="inner", empty_right_cols=["doc_id"],
+    ).materialize()  # checkpoint point: decontaminate reads it twice
+    #                  (eval-shingle collect + scoring pass)
+    # 5. benchmark decontamination (drops the eval slice itself too)
+    clean_ids = dedup.decontaminate(surv2).map_batches(
+        lambda b: b.loc[b["contaminated"] == 0, ["doc_id"]],
+        batch_format="pandas",
+    )
+    # 6. temperature-balanced per-source sample of the clean survivors
+    srcd = hash_join(
+        clean_ids,
+        _read(sf_dir, "documents", columns=["doc_id", "source"]),
+        on="doc_id",
+        how="inner",
+        empty_left_cols=["doc_id"],
+    )
+    picked = sampling.temp_sample(srcd).map_batches(
+        lambda b: b[["doc_id"]], batch_format="pandas"
+    )
+    final = hash_join(
+        ld.select_columns(["doc_id", "text"]), picked, on="doc_id",
+        how="inner", empty_right_cols=["doc_id"],
+    ).materialize()  # two packers consume it
+    # 7. sequence packing + shard assignment over the packed corpus
+    segs = sampling.seq_pack(final)
+    shards = sampling.shard_pack(final).map_batches(
+        lambda b: b[["doc_id", "n_tok", "shard_id"]], batch_format="pandas"
+    )
+    return hash_join(segs, shards, on="doc_id", how="inner")
+
+
 def q_validate_docs(sf_dir: str):
     return textstats.validate_docs(
         _read(sf_dir, "documents", columns=["doc_id", "text"])
@@ -2645,6 +2744,7 @@ QUERIES = {
     "cms_by_source": q_cms_by_source,
     "shard_pack": q_shard_pack,
     "curate_mix": q_curate_mix,
+    "pretrain_pack": q_pretrain_pack,
     "validate_docs": q_validate_docs,
     "dead_letter_docs": q_dead_letter_docs,
     "binary_meta": q_binary_meta,
@@ -2849,6 +2949,7 @@ ORACLES = {
     "cms_by_source": sql_ops.CMS_BY_SOURCE_SQL,
     "shard_pack": sql_ops.SHARD_PACK_SQL,
     "curate_mix": sql_ops.CURATE_MIX_SQL,
+    "pretrain_pack": sql_ops.PRETRAIN_PACK_SQL,
     "validate_docs": sql_ops.VALIDATE_DOCS_SQL,
     "dead_letter_docs": sql_ops.DEAD_LETTER_DOCS_SQL,
     "binary_meta": sql_ops.BINARY_META_SQL,

@@ -3982,3 +3982,101 @@ SELECT CAST(isodow(ts) AS BIGINT) AS isodow,
        CAST(count(*) AS BIGINT) AS n
 FROM events GROUP BY 1, 2
 """
+
+
+# ---- pre-training capstone: the full curation chain as nested CTEs ----------
+# html_strip -> gopher gate -> line dedup -> minhash keep-best ->
+# decontaminate -> temperature sample -> seq_pack + shard_pack, each
+# component oracle RETARGETED from the raw documents view onto the
+# previous stage's transformed text (inner WITH blocks are scoped to
+# their parenthesized subqueries, so component CTE names cannot collide).
+
+
+def _over(sql: str, rel: str) -> str:
+    """Retarget a component oracle from `documents` to another relation."""
+    return sql.replace("FROM documents", f"FROM {rel}").replace(
+        "JOIN documents", f"JOIN {rel}"
+    )
+
+
+def _shingle_keep_best_sql(rel: str) -> str:
+    """Keep-best near-dup dedup at SHINGLE granularity over `rel`
+    (columns doc_id, text, n_chars): all-pairs winnow-shingle Jaccard
+    >= 0.5 edges -> recursive transitive closure -> per-cluster argmax
+    n_chars (ties to smaller id). The engine runs MinHash-LSH candidates
+    + exact shingle verify + distributed components; equality proves the
+    sketch's recall like minhash_verified does. Unigram Jaccard (the
+    dedup_keep_best exhibit) degenerates on the fixture's ~31-token
+    vocabulary — shingles are what production near-dup uses anyway."""
+    return f"""
+WITH RECURSIVE {_over(_WINNOW_SHV_CTE, rel)},
+shd AS (SELECT DISTINCT doc_id, fp FROM shv),
+counts AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM shd GROUP BY doc_id),
+jp AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS inter
+  FROM shd a JOIN shd b ON a.fp = b.fp AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+jpairs AS (
+  SELECT doc_a, doc_b FROM jp
+  JOIN counts ca ON ca.doc_id = doc_a
+  JOIN counts cb ON cb.doc_id = doc_b
+  WHERE 2 * inter >= ca.n + cb.n - inter
+),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM jpairs
+  UNION SELECT doc_b, doc_a FROM jpairs
+),
+reach(node, r) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.dst, re.r FROM reach re JOIN edges e ON e.src = re.node
+),
+labels AS (SELECT node, min(r) AS root FROM reach GROUP BY node),
+best AS (
+  SELECT l.root, d.doc_id
+  FROM labels l JOIN {rel} d ON d.doc_id = l.node
+  QUALIFY row_number() OVER (
+    PARTITION BY l.root ORDER BY d.n_chars DESC, d.doc_id
+  ) = 1
+)
+SELECT CAST(d.doc_id AS BIGINT) AS doc_id
+FROM {rel} d
+WHERE d.doc_id NOT IN (SELECT node FROM labels)
+   OR d.doc_id IN (SELECT doc_id FROM best)
+"""
+
+
+PRETRAIN_PACK_SQL = f"""
+WITH hs AS MATERIALIZED (
+  SELECT doc_id, clean_text AS text FROM ({HTML_STRIP_SQL}) _hs
+),
+gk AS MATERIALIZED (
+  SELECT doc_id FROM ({_over(GOPHER_QUALITY_SQL, 'hs')}) _gq WHERE keep
+),
+surv1 AS MATERIALIZED (SELECT hs.doc_id, hs.text FROM hs JOIN gk USING (doc_id)),
+ldq AS MATERIALIZED (
+  SELECT doc_id, text_dedup AS text, length(text_dedup) AS n_chars
+  FROM ({_over(LINE_DEDUP_SQL, 'surv1')}) _ld
+),
+kept AS MATERIALIZED (
+  SELECT doc_id FROM ({_shingle_keep_best_sql('ldq')}) _kb
+),
+surv2 AS MATERIALIZED (SELECT ldq.doc_id, ldq.text FROM ldq JOIN kept USING (doc_id)),
+clean AS MATERIALIZED (
+  SELECT doc_id FROM ({_over(DECONTAMINATE_SQL, 'surv2')}) _dc
+  WHERE contaminated = 0
+),
+srcd AS MATERIALIZED (
+  SELECT c.doc_id, d.source FROM clean c JOIN documents d USING (doc_id)
+),
+picked AS MATERIALIZED (
+  SELECT doc_id FROM ({_over(TEMP_SAMPLE_SQL, 'srcd')}) _ts
+),
+final AS MATERIALIZED (SELECT s2.doc_id, s2.text FROM surv2 s2 JOIN picked USING (doc_id)),
+segs AS MATERIALIZED ({_over(SEQ_PACK_SQL, 'final')}),
+shards AS MATERIALIZED ({_over(SHARD_PACK_SQL, 'final')})
+SELECT segs.seq_id, segs.doc_id, segs.doc_start, segs.doc_end, segs.seq_off,
+       shards.n_tok, shards.shard_id
+FROM segs JOIN shards USING (doc_id)
+"""

@@ -105,3 +105,25 @@ def test_inverted_index_seg_caps_stopword_group(ray_session):
     assert the["df_seg"].sum() == n
     joined = ",".join(the["postings_chunk"])
     assert joined == ",".join(str(i) for i in range(n))
+
+
+def test_gopher_filter_matches_flag_then_subset(ray_session):
+    """The fused in-place gate must keep exactly the rows gopher_quality
+    flags keep=True, preserving all input columns (the capstone relies on
+    this equivalence to avoid shipping corpus text through a join)."""
+    import ray.data as rd
+
+    from scripts_ray.ops.textstats import gopher_filter, gopher_quality
+
+    docs = pd.read_parquet(
+        "/root/testdata/sf0.001/documents.parquet",
+        columns=["doc_id", "text"],
+    )
+    ds = rd.from_pandas(docs)
+    flags = gopher_quality(ds).to_pandas().sort_values("doc_id")
+    fused = gopher_filter(ds).to_pandas().sort_values("doc_id")
+    want = set(flags.loc[flags["keep"], "doc_id"])
+    assert set(fused["doc_id"]) == want
+    assert list(fused.columns) == ["doc_id", "text"]
+    merged = fused.merge(docs, on="doc_id", suffixes=("_f", "_raw"))
+    assert (merged["text_f"] == merged["text_raw"]).all()
