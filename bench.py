@@ -113,6 +113,67 @@ def prepare_minhash_docs(n_docs: int = 120_000, seed: int = 3) -> str:
     return path
 
 
+def prepare_pretrain_docs(n_docs: int = 100_000, seed: int = 11) -> str:
+    """Synthetic web-corpus for the pretrain_pack capstone bench: multi-line
+    docs of 4-6-letter words with stopword-bearing lines (so a healthy
+    fraction survives the Gopher gate), ~10% of lines drawn from a small
+    boilerplate pool (real work for corpus line dedup) and ~1% planted
+    near-duplicates (real work for MinHash keep-best), plus a 32-way
+    source column for the temperature sampler."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    path = f"/tmp/bench_pretrain_docs_v3_{n_docs}"
+    if not os.path.exists(path):
+        rng = np.random.default_rng(seed)
+        letters = "abcdefghijklmnopqrstuvwxyz"
+        vocab = np.array(
+            ["".join(letters[c % 26] for c in row)
+             for row in rng.integers(0, 10_000, size=(2000, 5))],
+            dtype=object,
+        )
+        # line = "the " + 14 random vocab words: the stopword anchors the
+        # Gopher stop-hit rule without creating a UNIFORM line-junction
+        # trigram (a shared "of it the" junction would put every doc's
+        # shingle set in contact with the eval slice and mass-flag the
+        # corpus as contaminated). Cross-doc duplicate LINES come from
+        # line_dedup's own planted per-doc header/footer (it re-chunks
+        # text into 12-token lines, so document newlines are cosmetic).
+        lines = rng.integers(0, 2000, size=(n_docs, 5, 14))
+        texts = [
+            "\n".join("the " + " ".join(vocab[lines[i, j]]) for j in range(5))
+            for i in range(n_docs)
+        ]
+        # ~1% near-dupes: the PREVIOUS doc with one word PREPENDED — the
+        # insertion shifts every 12-token chunk boundary, so corpus line
+        # dedup (which runs first and would strip any byte-equal chunk
+        # from the copy, eroding the pair below the verify bar) keeps both
+        # docs whole, while the shingle Jaccard stays ~0.95
+        dup = np.flatnonzero(np.arange(n_docs) % 100 == 1)
+        dup = dup[dup > 0]
+        extra = rng.integers(0, 2000, size=len(dup))
+        for i, w in zip(dup, extra):
+            texts[i] = vocab[w] + " " + texts[i - 1]
+        os.makedirs(path + ".tmp", exist_ok=True)
+        per_file = 16384
+        for i in range(0, n_docs, per_file):
+            hi = min(i + per_file, n_docs)
+            t = pa.table(
+                {
+                    "doc_id": pa.array(range(i, hi), type=pa.int64()),
+                    "text": pa.array(texts[i:hi], type=pa.string()),
+                    "source": pa.array(
+                        [f"src{j % 32:02d}" for j in range(i, hi)],
+                        type=pa.string(),
+                    ),
+                }
+            )
+            pq.write_table(t, f"{path}.tmp/part-{i // per_file:04d}.parquet")
+        os.rename(path + ".tmp", path)
+    return path
+
+
 def prepare_stopword_docs(n_docs: int = 160_000, seed: int = 7) -> str:
     """Synthetic corpus where ONE stop-word token ('the') appears in EVERY
     document — the postings-skew stress for the segmented inverted index:
@@ -539,6 +600,31 @@ def run_bench() -> dict:
         queries["invidx_seg_160k_docs"] = round(time.time() - t0, 3)
         extras["invidx_seg_max_group"] = int(folded["mx"].max())
         extras["invidx_seg_rows"] = int(folded["n"].sum())
+
+        # headline-2: the pretrain_pack capstone (docs in -> packed segment
+        # rows out) over a 100k-doc synthetic web corpus — the end-to-end
+        # curation chain (strip/gate/line-dedup/minhash-keep-best/decontam/
+        # temp-sample/pack) as one measured number
+        from scripts_ray.queries import pretrain_pack_pipeline
+
+        pp_path = prepare_pretrain_docs()
+        pp_docs = int(pp_path.rsplit("_", 1)[1])
+        t0 = time.time()
+        pp_out = pretrain_pack_pipeline(
+            rd.read_parquet(pp_path, columns=["doc_id", "text"]),
+            rd.read_parquet(pp_path, columns=["doc_id", "source"]),
+        )
+        pp_folded = pp_out.map_batches(
+            lambda b: _pd.DataFrame(
+                {"rows": [len(b)], "docs": [b["doc_id"].nunique()]}
+            ),
+            batch_format="pandas",
+        ).to_pandas()  # one row per block — bounded driver collect
+        dt = time.time() - t0
+        queries["pretrain_pack_100k_docs"] = round(dt, 3)
+        extras["pretrain_docs_per_sec"] = round(pp_docs / dt, 1)
+        extras["pretrain_seg_rows"] = int(pp_folded["rows"].sum())
+        extras["pretrain_docs_packed"] = int(pp_folded["docs"].sum())
 
         # measured ANN recall@5 vs the exact baseline for both scale paths
         exact = QUERIES["ann_cosine"](SF_DIR).to_pandas()

@@ -273,9 +273,13 @@ def hash_join(
         def pad(batch: pd.DataFrame) -> pd.DataFrame:
             if how == "semi":
                 return batch.head(0)
-            out = batch.convert_dtypes().reindex(
-                columns=list(batch.columns) + list(empty_right_cols)
+            # dedupe against existing columns — the key columns appear in
+            # BOTH the left batch and an empty_right_cols hint, and a
+            # duplicated column name poisons every downstream block op
+            cols = list(
+                dict.fromkeys(list(batch.columns) + list(empty_right_cols))
             )
+            out = batch.convert_dtypes().reindex(columns=cols)
             return out if how in ("left", "outer") else out.head(0)
 
         return left_ds.map_batches(pad, batch_format="pandas")

@@ -1241,14 +1241,15 @@ def q_curate_mix(sf_dir: str):
     return mixture_pick(survivors)
 
 
-def q_pretrain_pack(sf_dir: str):
+def pretrain_pack_pipeline(raw, source_ds):
     """The pre-training data CAPSTONE: the full modern curation chain as
     ONE composition — html_strip → Gopher quality gate → corpus line
     dedup → MinHash near-dup keep-BEST → benchmark decontamination →
     temperature-balanced source sampling → fixed-length sequence packing
     + training-shard assignment. Every stage is an existing value-checked
     operator; the oracle nests their SQL twins as CTEs over the same
-    transformed text.
+    transformed text. `raw` is the (doc_id, text) corpus; `source_ds` the
+    (doc_id, source) side used by the temperature sampler.
 
     Scale notes: stages chain as streaming Datasets; the two
     materialize() points are the line-deduped corpus (consumed by the
@@ -1262,8 +1263,6 @@ def q_pretrain_pack(sf_dir: str):
 
     from .ops import cluster
     from .ops.hashagg import hash_join
-
-    raw = _read(sf_dir, "documents", columns=["doc_id", "text"])
 
     # 1. markup -> prose
     hs = textstats.html_strip(raw).map_batches(
@@ -1320,7 +1319,7 @@ def q_pretrain_pack(sf_dir: str):
     # 6. temperature-balanced per-source sample of the clean survivors
     srcd = hash_join(
         clean_ids,
-        _read(sf_dir, "documents", columns=["doc_id", "source"]),
+        source_ds,
         on="doc_id",
         how="inner",
         empty_left_cols=["doc_id"],
@@ -1338,6 +1337,13 @@ def q_pretrain_pack(sf_dir: str):
         lambda b: b[["doc_id", "n_tok", "shard_id"]], batch_format="pandas"
     )
     return hash_join(segs, shards, on="doc_id", how="inner")
+
+
+def q_pretrain_pack(sf_dir: str):
+    return pretrain_pack_pipeline(
+        _read(sf_dir, "documents", columns=["doc_id", "text"]),
+        _read(sf_dir, "documents", columns=["doc_id", "source"]),
+    )
 
 
 def q_validate_docs(sf_dir: str):
