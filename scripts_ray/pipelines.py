@@ -30,6 +30,9 @@ SIGNAL_COLS = ["n_chars", "n_symbols", "n_tokens", "n_distinct", "n_sv", "n_en"]
 
 
 def scrub_batch(batch: pa.Table) -> pa.Table:
+    from .faults import maybe_fail_once
+
+    maybe_fail_once()  # no-op unless a retry test armed the fault marker
     return batch.append_column(
         "scrubbed_text", scrub_text(batch["text"].combine_chunks())
     )
@@ -48,6 +51,9 @@ class Scorer:
         self.model = UnigramScores(counts)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        from .faults import maybe_fail_once
+
+        maybe_fail_once()  # no-op unless a retry test armed the fault marker
         sig = token_signals(batch["scrubbed_text"].combine_chunks(), self.model)
         lang = gate_mod.detect_lang(sig["n_sv"], sig["n_en"])
         ppl = gate_mod.ppl_score(
