@@ -1123,6 +1123,48 @@ def compress_ratio(docs_ds, level: int = COMPRESS_LEVEL):
     return docs_ds.map_batches(ratio, batch_format="pandas")
 
 
+def compress_ratio_fixed(docs_ds):
+    """Value-checked twin of `compress_ratio` (the ann_ivf_fixed /
+    bpe_budgets_fixed pattern): the compression function is pinned to
+    character-level RLE — n_runs = number of maximal runs of identical
+    code points — which DuckDB can restate exactly (string_split('') +
+    an indexed list lambda), unlike zlib's DEFLATE. Same signal shape
+    (repetitive text → few runs → low ratio; diverse prose → ratio near
+    1000000·1/1), same output contract (doc_id, raw_len, n_runs,
+    ratio_micro = 10⁶·n_runs // raw_len), same loud empty-text error.
+
+    Kernel: one utf-32 encode of the batch-joined text, one vectorized
+    neighbor-compare, per-doc run counts via prefix sums at the char
+    offsets — no per-row Python beyond the C-speed join/encode."""
+
+    def ratio(batch: pd.DataFrame) -> pd.DataFrame:
+        texts = batch["text"].tolist()
+        lens = np.array([len(t) for t in texts], dtype=np.int64)
+        if len(lens) and lens.min() <= 0:
+            raise ValueError("compress_ratio_fixed: empty document text")
+        arr = np.frombuffer(
+            "".join(texts).encode("utf-32-le"), dtype=np.uint32
+        )
+        # cs[i] = number of neighbor changes among positions [0, i)
+        changes = np.concatenate(
+            [[0], (arr[1:] != arr[:-1]).astype(np.int64)]
+        ).cumsum()
+        ends = lens.cumsum()
+        starts = ends - lens
+        # runs within a doc = 1 + changes strictly inside its char span
+        n_runs = 1 + changes[ends - 1] - changes[starts]
+        return pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"].to_numpy(dtype=np.int64),
+                "raw_len": lens,
+                "n_runs": n_runs,
+                "ratio_micro": (1_000_000 * n_runs) // lens,
+            }
+        )
+
+    return docs_ds.map_batches(ratio, batch_format="pandas")
+
+
 def qf_funnel(qf_ds):
     """Drop-reason funnel of the flagship quality filter — the report a
     curation run ships with (how many turns each gate removed, as a

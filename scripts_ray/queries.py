@@ -1926,6 +1926,16 @@ def q_compress_ratio(sf_dir: str):
     )
 
 
+def q_compress_ratio_fixed(sf_dir: str):
+    """Value-checked compressibility twin: pinned character-RLE in place
+    of zlib, byte-exact against the DuckDB list-lambda oracle."""
+    from .ops.textstats import compress_ratio_fixed
+
+    return compress_ratio_fixed(
+        _read(sf_dir, "documents", columns=["doc_id", "text"])
+    )
+
+
 def q_column_profile(sf_dir: str):
     """Exact per-column cardinality/null profile of the documents table."""
     from .ops.relational import column_profile
@@ -2820,6 +2830,7 @@ QUERIES = {
     "simpson_by_source": q_simpson_by_source,
     "vocab_oov": q_vocab_oov,
     "compress_ratio": q_compress_ratio,
+    "compress_ratio_fixed": q_compress_ratio_fixed,
     "column_profile": q_column_profile,
     "qf_funnel": q_qf_funnel,
     "lang_source_chi2": q_lang_source_chi2,
@@ -3037,6 +3048,7 @@ ORACLES = {
     "simpson_by_source": sql_ops.SIMPSON_BY_SOURCE_SQL,
     "vocab_oov": sql_ops.VOCAB_OOV_SQL,
     "column_profile": sql_ops.COLUMN_PROFILE_SQL,
+    "compress_ratio_fixed": sql_ops.COMPRESS_RATIO_FIXED_SQL,
     "qf_funnel": sql_ops.QF_FUNNEL_SQL,
     "lang_source_chi2": sql_ops.LANG_SOURCE_CHI2_SQL,
     "dup_rate_by_source": sql_ops.DUP_RATE_BY_SOURCE_SQL,

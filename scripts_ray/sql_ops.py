@@ -4080,3 +4080,27 @@ SELECT segs.seq_id, segs.doc_id, segs.doc_start, segs.doc_end, segs.seq_off,
        shards.n_tok, shards.shard_id
 FROM segs JOIN shards USING (doc_id)
 """
+
+
+# ---- pinned character-RLE compressibility (compress_ratio's checked twin) ----
+# n_runs counts maximal runs of identical code points via string_split('')
+# (code-point granularity — matches the engine's utf-32 neighbor compare)
+# and an indexed list lambda; this DuckDB has no WITH ORDINALITY.
+COMPRESS_RATIO_FIXED_SQL = """
+WITH l AS (
+  SELECT doc_id, string_split(text, '') AS cs, length(text) AS raw_len
+  FROM documents
+),
+r AS (
+  SELECT doc_id, raw_len,
+         CAST(list_sum(list_transform(
+           cs, (c, i) -> CASE WHEN i = 1 OR c != cs[i - 1] THEN 1 ELSE 0 END
+         )) AS BIGINT) AS n_runs
+  FROM l
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(raw_len AS BIGINT) AS raw_len,
+       n_runs,
+       (1000000 * n_runs) // raw_len AS ratio_micro
+FROM r
+"""

@@ -127,3 +127,31 @@ def test_gopher_filter_matches_flag_then_subset(ray_session):
     assert list(fused.columns) == ["doc_id", "text"]
     merged = fused.merge(docs, on="doc_id", suffixes=("_f", "_raw"))
     assert (merged["text_f"] == merged["text_raw"]).all()
+
+
+def test_compress_ratio_fixed_rle_semantics(ray_session):
+    """Pinned character-RLE twin: repetitive text yields few runs / low
+    ratio, diverse text approaches 10^6; code-POINT granularity (a
+    combining accent is its own run) matches the DuckDB oracle's
+    string_split('') semantics."""
+    import ray.data as rd
+
+    from scripts_ray.ops.textstats import compress_ratio_fixed
+
+    df = pd.DataFrame(
+        {
+            "doc_id": np.array([1, 2, 3], dtype=np.int64),
+            "text": ["aaaaaaaaab", "abcdefghij", "éé"],
+        }
+    )
+    out = (
+        compress_ratio_fixed(rd.from_pandas(df))
+        .to_pandas()
+        .set_index("doc_id")
+    )
+    assert int(out.loc[1, "n_runs"]) == 2 and int(out.loc[1, "raw_len"]) == 10
+    assert int(out.loc[1, "ratio_micro"]) == 200_000
+    assert int(out.loc[2, "n_runs"]) == 10
+    assert int(out.loc[2, "ratio_micro"]) == 1_000_000
+    # 4 code points, every neighbor differs -> 4 runs
+    assert int(out.loc[3, "raw_len"]) == 4 and int(out.loc[3, "n_runs"]) == 4
