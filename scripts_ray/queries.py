@@ -2027,6 +2027,36 @@ def q_rag_index(sf_dir: str):
     )
 
 
+def q_rag_index_seg(sf_dir: str):
+    """The SCALE form of the RAG index: the same chunk stream as
+    q_rag_index routed through the segmented postings layout
+    (inverted_index_seg), so a stop-word's chunk postings are capped per
+    (tok, chunk_id-range) segment instead of forming one corpus-sized
+    group — closing the documented skew weakness for the chunk-granular
+    index too."""
+    from .ops.retrieval import inverted_index_seg
+    from .sql_ops import RAG_CHUNK_MULT
+
+    def to_docs(batch: pd.DataFrame) -> pd.DataFrame:
+        cidx = batch["chunk_idx"].to_numpy(dtype=np.int64)
+        if len(cidx) and cidx.max() >= RAG_CHUNK_MULT:
+            raise ValueError("chunk_idx exceeds the injective id range")
+        return pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"].to_numpy(dtype=np.int64)
+                * RAG_CHUNK_MULT
+                + cidx,
+                "text": batch["chunk_text"],
+            }
+        )
+
+    return inverted_index_seg(
+        sampling.chunk_docs(
+            _read(sf_dir, "documents", columns=["doc_id", "text"])
+        ).map_batches(to_docs, batch_format="pandas")
+    )
+
+
 def q_cohort_retention(sf_dir: str):
     """Cohort retention matrix over the events stream."""
     from .ops import temporal
@@ -2838,6 +2868,7 @@ QUERIES = {
     "turn_len_quantiles": q_turn_len_quantiles,
     "truncate_docs": q_truncate_docs,
     "rag_index": q_rag_index,
+    "rag_index_seg": q_rag_index_seg,
     "cohort_retention": q_cohort_retention,
     "trending_terms": q_trending_terms,
     "conv_balance": q_conv_balance,
@@ -3055,6 +3086,7 @@ ORACLES = {
     "turn_len_quantiles": sql_ops.TURN_LEN_QUANTILES_SQL,
     "truncate_docs": sql_ops.TRUNCATE_DOCS_SQL,
     "rag_index": sql_ops.RAG_INDEX_SQL,
+    "rag_index_seg": sql_ops.RAG_INDEX_SEG_SQL,
     "cohort_retention": sql_ops.COHORT_RETENTION_SQL,
     "trending_terms": sql_ops.TRENDING_TERMS_SQL,
     "conv_balance": sql_ops.CONV_BALANCE_SQL,

@@ -3722,6 +3722,26 @@ FROM pairs GROUP BY tok
 """
 
 
+def _rag_index_seg_sql() -> str:
+    """Segmented (tok, chunk_id-range) form of the RAG index — same chunk
+    derivation, postings grouped per fixed-size id-range segment."""
+    from .ops.retrieval import INDEX_SEG_RANGE
+
+    chunks_prefix = RAG_INDEX_SQL.split("pairs AS")[0]
+    return f"""{chunks_prefix}
+pairs AS (SELECT DISTINCT chunk_id, unnest(ct) AS tok FROM chunks)
+SELECT tok,
+       CAST(chunk_id // {INDEX_SEG_RANGE} AS BIGINT) AS seg_idx,
+       CAST(count(*) AS BIGINT) AS df_seg,
+       string_agg(CAST(chunk_id AS VARCHAR), ',' ORDER BY chunk_id)
+         AS postings_chunk
+FROM pairs GROUP BY tok, chunk_id // {INDEX_SEG_RANGE}
+"""
+
+
+RAG_INDEX_SEG_SQL = _rag_index_seg_sql()
+
+
 # ---- cohort retention matrix (ops/temporal.cohort_retention) ------------------
 
 COHORT_RETENTION_SQL = """
