@@ -228,21 +228,36 @@ def json_props(events_ds):
     return events_ds.map_batches(extract, batch_format="pyarrow")
 
 
+#: Broadcast-vs-shuffle plan threshold for the Q5 star join, in KEYS on
+#: the dimension side (~64 MB of packed (int64 key, int8 nation) at the
+#: default — well inside a worker heap). The decision reads parquet
+#: METADATA row counts only, never data: under the limit the dim is
+#: sorted + ``ray.put`` once and probed map-side (zero exchanges for
+#: that edge); over it — customer/supplier scale WITH the fact data in
+#: the TPC-H shape, so any 100-TB run exceeds this — the edge routes
+#: through the distributed ``hash_join``. Same hybrid rule as a
+#: production engine's broadcast-join threshold (e.g. Spark AQE).
+Q5_BROADCAST_KEY_LIMIT = 4_000_000
+
+
 def q5_local_supply(orders_ds, lineitem_ds, customer_ds, supplier_ds,
-                    sf_dir: str, region: str = "AFRICA", year: int = 1995):
+                    sf_dir: str, region: str = "AFRICA", year: int = 1995,
+                    broadcast_limit: int = Q5_BROADCAST_KEY_LIMIT):
     """TPC-H-Q5-shaped composition — revenue by nation where customer and
     supplier share the nation, within one region and order year: the
-    5-dimension star join plan. Only the genuinely fixed-size dimensions
-    (region 5 rows, nation 25 rows) are driver-read and closure-captured;
-    customer and supplier SCALE WITH the fact data in the TPC-H shape, so
-    both route through the distributed ``hash_join`` (the q13_custdist
-    plan) after a map-side in-region prune — no fact-scale broadcast.
-    Three distributed exchanges total: orders⋈customer on custkey,
-    lineitem⋈supplier on suppkey, then the fact⋈fact edge on orderkey,
-    followed by the two-level nation aggregate. Revenue in floor-integer
-    cents, bit-equal to the SQL oracle.
+    5-dimension star join plan. The genuinely fixed-size dimensions
+    (region 5 rows, nation 25 rows) are always driver-read and
+    closure-captured. Customer and supplier are SIZE-ROUTED per
+    ``broadcast_limit`` (metadata row count, no data read): small → one
+    ``ray.put`` of the region-pruned sorted key/nation arrays probed
+    map-side with an equality-checked ``searchsorted`` (a dangling key is
+    DROPPED — inner semantics — never mis-attributed); large → the distributed
+    ``hash_join`` (the q13_custdist plan). The fact⋈fact orderkey edge
+    is always a distributed join, then the two-level nation aggregate.
+    Revenue in floor-integer cents, bit-equal to the SQL oracle.
     Emits (n_name, n_orders_rows, rev_cents)."""
     import pyarrow.parquet as pq
+    import ray
 
     from .hashagg import hash_aggregate, hash_join
 
@@ -298,26 +313,68 @@ def q5_local_supply(orders_ds, lineitem_ds, customer_ds, supplier_ds,
             }
         )
 
-    ord_cust = hash_join(
-        orders_ds.map_batches(o_filter, batch_format="pandas"),
-        customer_ds.map_batches(c_filter, batch_format="pandas"),
-        on="o_custkey",
-        right_on="c_custkey",
-        how="inner",
-    ).map_batches(
-        lambda b: b[["o_orderkey", "c_nation"]], batch_format="pandas"
-    )
+    def _broadcast_dim(table: str, key_col: str, nat_col: str):
+        """Region-pruned (sorted keys, nations) arrays in ONE object ref."""
+        t = pq.read_table(f"{sf_dir}/{table}.parquet",
+                          columns=[key_col, nat_col])
+        ks = t[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        nats = t[nat_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = np.isin(nats, in_region)
+        order = np.argsort(ks[keep], kind="stable")
+        return ray.put((ks[keep][order], nats[keep][order]))
 
-    line_supp = hash_join(
-        lineitem_ds.map_batches(l_project, batch_format="pandas"),
-        supplier_ds.map_batches(s_filter, batch_format="pandas"),
-        on="l_suppkey",
-        right_on="s_suppkey",
-        how="inner",
-    ).map_batches(
-        lambda b: b[["o_orderkey", "s_nation", "rev_cents"]],
-        batch_format="pandas",
-    )
+    def _probe(dim_ref, key_col: str, nat_out: str, inner_semantics: str):
+        """Map-side inner probe: equality-checked searchsorted gather."""
+        def probe(batch: pd.DataFrame) -> pd.DataFrame:
+            ks, nats = ray.get(dim_ref)
+            want = batch[key_col].to_numpy()
+            idx = np.minimum(np.searchsorted(ks, want), len(ks) - 1)
+            hit = (ks[idx] == want) if len(ks) else np.zeros(len(want), bool)
+            out = batch.loc[hit].drop(columns=[key_col])
+            out[nat_out] = nats[idx[hit]]
+            return out
+        probe.__name__ = f"probe_{inner_semantics}"
+        return probe
+
+    n_cust = pq.read_metadata(f"{sf_dir}/customer.parquet").num_rows
+    n_supp = pq.read_metadata(f"{sf_dir}/supplier.parquet").num_rows
+
+    orders_f = orders_ds.map_batches(o_filter, batch_format="pandas")
+    if n_cust <= broadcast_limit:
+        cust_ref = _broadcast_dim("customer", "c_custkey", "c_nationkey")
+        ord_cust = orders_f.map_batches(
+            _probe(cust_ref, "o_custkey", "c_nation", "customer"),
+            batch_format="pandas",
+        )
+    else:
+        ord_cust = hash_join(
+            orders_f,
+            customer_ds.map_batches(c_filter, batch_format="pandas"),
+            on="o_custkey",
+            right_on="c_custkey",
+            how="inner",
+        ).map_batches(
+            lambda b: b[["o_orderkey", "c_nation"]], batch_format="pandas"
+        )
+
+    line_f = lineitem_ds.map_batches(l_project, batch_format="pandas")
+    if n_supp <= broadcast_limit:
+        supp_ref = _broadcast_dim("supplier", "s_suppkey", "s_nationkey")
+        line_supp = line_f.map_batches(
+            _probe(supp_ref, "l_suppkey", "s_nation", "supplier"),
+            batch_format="pandas",
+        )
+    else:
+        line_supp = hash_join(
+            line_f,
+            supplier_ds.map_batches(s_filter, batch_format="pandas"),
+            on="l_suppkey",
+            right_on="s_suppkey",
+            how="inner",
+        ).map_batches(
+            lambda b: b[["o_orderkey", "s_nation", "rev_cents"]],
+            batch_format="pandas",
+        )
 
     joined = hash_join(line_supp, ord_cust, on="o_orderkey", how="inner")
 

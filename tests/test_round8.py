@@ -155,3 +155,31 @@ def test_compress_ratio_fixed_rle_semantics(ray_session):
     assert int(out.loc[2, "ratio_micro"]) == 1_000_000
     # 4 code points, every neighbor differs -> 4 runs
     assert int(out.loc[3, "raw_len"]) == 4 and int(out.loc[3, "n_runs"]) == 4
+
+
+def test_q5_plan_equivalence(ray_session, sf_dir):
+    """The size-routed Q5 star join gives IDENTICAL results on both plans:
+    broadcast dims (default at fixture scale — customer/supplier are under
+    Q5_BROADCAST_KEY_LIMIT) and the distributed hash_join route (forced
+    with broadcast_limit=0, the 100-TB path where the dims scale with the
+    facts)."""
+    from scripts_ray.ops import relational
+    from scripts_ray.queries import _read
+
+    def run(limit):
+        return relational.q5_local_supply(
+            _read(sf_dir, "orders",
+                  columns=["o_orderkey", "o_custkey", "o_orderdate"]),
+            _read(sf_dir, "lineitem",
+                  columns=["l_orderkey", "l_suppkey", "l_extendedprice",
+                           "l_discount"]),
+            _read(sf_dir, "customer", columns=["c_custkey", "c_nationkey"]),
+            _read(sf_dir, "supplier", columns=["s_suppkey", "s_nationkey"]),
+            sf_dir,
+            broadcast_limit=limit,
+        ).to_pandas().sort_values("n_name").reset_index(drop=True)
+
+    bcast = run(relational.Q5_BROADCAST_KEY_LIMIT)
+    dist = run(0)
+    assert len(bcast) > 0
+    assert bcast.equals(dist)
