@@ -2270,6 +2270,26 @@ def q_q5_local_supply(sf_dir: str):
     )
 
 
+def q_q5_local_supply_dist(sf_dir: str):
+    """The Q5 star join with the broadcast threshold forced to 0 — every
+    dimension edge takes the distributed hash_join route (the plan any
+    fact-scaled run selects automatically). Same oracle as
+    q5_local_supply: the plans are result-identical by construction and
+    this keeps the 100-TB path value-checked on the driver ledger, not
+    only in pytest."""
+    return relational.q5_local_supply(
+        _read(sf_dir, "orders",
+              columns=["o_orderkey", "o_custkey", "o_orderdate"]),
+        _read(sf_dir, "lineitem",
+              columns=["l_orderkey", "l_suppkey", "l_extendedprice",
+                       "l_discount"]),
+        _read(sf_dir, "customer", columns=["c_custkey", "c_nationkey"]),
+        _read(sf_dir, "supplier", columns=["s_suppkey", "s_nationkey"]),
+        sf_dir,
+        broadcast_limit=0,
+    )
+
+
 def q_lineitem_bloom_semi(sf_dir: str):
     """Fact⋈fact semi join with Bloom-filter pushdown: lineitem rows of
     orders placed in Jan–Feb 1995 — probe rows failing the broadcast
@@ -2834,6 +2854,7 @@ QUERIES = {
     "global_len_order": q_global_len_order,
     "lineitem_bloom_semi": q_lineitem_bloom_semi,
     "q5_local_supply": q_q5_local_supply,
+    "q5_local_supply_dist": q_q5_local_supply_dist,
     "footer_stats": q_footer_stats,
     "mmr_select": q_mmr_select,
     "window_anomalies": q_window_anomalies,
@@ -3053,6 +3074,7 @@ ORACLES = {
     "global_len_order": sql_ops.GLOBAL_LEN_ORDER_SQL,
     "lineitem_bloom_semi": sql_ops.LINEITEM_BLOOM_SEMI_SQL,
     "q5_local_supply": sql_ops.Q5_LOCAL_SUPPLY_SQL,
+    "q5_local_supply_dist": sql_ops.Q5_LOCAL_SUPPLY_SQL,
     "footer_stats": sql_ops.FOOTER_STATS_SQL,
     "mmr_select": sql_ops.MMR_SELECT_SQL,
     "window_anomalies": sql_ops.WINDOW_ANOMALIES_SQL,
