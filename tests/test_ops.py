@@ -7,10 +7,16 @@ import hashlib
 import pandas as pd
 import pytest
 
-from scripts_ray.queries import ORACLES, QUERIES
+from scripts_ray.queries import BENCH_EXTRAS, ORACLES, QUERIES
 
 NON_QF = [n for n in ORACLES if not n.startswith("qf_")]
-ROWS_ONLY = [n for n in QUERIES if n not in ORACLES]
+
+
+def test_registry_structurally_all_green():
+    """Every entry the driver can sample from queries() has a SQL oracle;
+    the rows-only measured variants live ONLY on the bench surface."""
+    assert set(QUERIES) <= set(ORACLES), sorted(set(QUERIES) - set(ORACLES))
+    assert not set(BENCH_EXTRAS) & set(QUERIES)
 
 
 def to_df(x):
@@ -34,9 +40,9 @@ def test_query_matches_oracle(name, ray_session, sf_dir, duck):
     assert value_hash(rdf) == value_hash(odf), f"{name}: value hash"
 
 
-@pytest.mark.parametrize("name", ROWS_ONLY)
+@pytest.mark.parametrize("name", sorted(BENCH_EXTRAS))
 def test_rows_only_queries_deterministic(name, ray_session, sf_dir):
-    a = to_df(QUERIES[name](sf_dir))
-    b = to_df(QUERIES[name](sf_dir))
+    a = to_df(BENCH_EXTRAS[name](sf_dir))
+    b = to_df(BENCH_EXTRAS[name](sf_dir))
     assert len(a) == len(b)
     assert value_hash(a) == value_hash(b), f"{name}: nondeterministic"

@@ -370,9 +370,9 @@ def test_protected_roles_config_changes_gate():
 
 
 def test_ann_ivf_recall_bound(ray_session, sf_dir, duck):
-    from scripts_ray.queries import ORACLES, QUERIES
+    from scripts_ray.queries import BENCH_EXTRAS, ORACLES
 
-    approx = QUERIES["ann_ivf"](sf_dir).to_pandas()
+    approx = BENCH_EXTRAS["ann_ivf"](sf_dir).to_pandas()
     exact = duck.execute(ORACLES["ann_cosine"]).df()
     e = set(zip(exact["query_id"], exact["neighbor_id"]))
     a = set(zip(approx["query_id"], approx["neighbor_id"]))
