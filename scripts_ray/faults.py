@@ -22,7 +22,15 @@ from __future__ import annotations
 
 import os
 
-FAULT_FILE = "/tmp/graft_fault_once"
+# The marker is namespaced per arming session (GRAFT_FAULT_TOKEN, set by
+# tests/conftest.py BEFORE ray.init so local-mode workers inherit it): two
+# concurrent test sessions on one machine, or a stale armed marker left by
+# an aborted run, can then never kill a worker in an unrelated run. The
+# un-tokened default path exists only for ad-hoc shells and is never armed
+# by the test suite.
+FAULT_FILE = "/tmp/graft_fault_once_" + os.environ.get(
+    "GRAFT_FAULT_TOKEN", "adhoc"
+)
 
 
 def maybe_fail_once() -> None:

@@ -62,6 +62,14 @@ import pandas as pd
 import pyarrow as pa
 
 FUZZY_MAX_DIST = 2
+# Tier ORDER is intentionally different from the reference cascade
+# (/root/reference/src/fuzzy_matching.py:75 applies the Levenshtein
+# `fuzzy_name` matcher BEFORE the subset and positional matchers): this
+# ladder runs the cheap deterministic set-algebra tiers (tokenset, subset)
+# before the edit-distance DP so most probes never reach the O(len²)
+# kernel. A probe that both tiers would attribute DIFFERENTLY therefore
+# resolves to the subset answer here; the DuckDB oracle
+# (FUZZY_ATTRIBUTION_SQL's COALESCE chain) encodes this same order.
 DEFAULT_LADDER = (
     "exact", "tokenset", "subset", "lev",
     "first_last", "two_last", "first_last_rev",

@@ -4013,10 +4013,27 @@ FROM events GROUP BY 1, 2
 
 
 def _over(sql: str, rel: str) -> str:
-    """Retarget a component oracle from `documents` to another relation."""
-    return sql.replace("FROM documents", f"FROM {rel}").replace(
+    """Retarget a component oracle from `documents` to another relation.
+
+    Guard: the textual replace only rewrites the two forms every current
+    component uses (`FROM documents` / `JOIN documents`); a future edit
+    introducing another form (comma join, newline before the table name,
+    correlated reference) would silently leave the raw table inside the
+    composed CTEs, so any surviving standalone `documents` token is a
+    hard error here rather than a wrong-but-plausible oracle."""
+    import re
+
+    out = sql.replace("FROM documents", f"FROM {rel}").replace(
         "JOIN documents", f"JOIN {rel}"
     )
+    leftover = re.search(r"\bdocuments\b", out)
+    if leftover:
+        raise AssertionError(
+            "_over(): component SQL still references `documents` after "
+            f"retargeting onto {rel!r} (unsupported join/FROM form?): "
+            f"...{out[max(0, leftover.start() - 60):leftover.end() + 20]}..."
+        )
+    return out
 
 
 def _shingle_keep_best_sql(rel: str) -> str:

@@ -1,4 +1,12 @@
+import os
+
 import pytest
+
+# Namespace the fail-once chaos marker to THIS test session before any
+# ray.init, so local-mode workers (which inherit the driver's environment
+# through the raylet) compute the same scripts_ray.faults.FAULT_FILE path
+# and markers from other/aborted sessions are invisible here.
+os.environ.setdefault("GRAFT_FAULT_TOKEN", f"pytest{os.getpid()}")
 
 
 @pytest.fixture(scope="session")
