@@ -639,6 +639,26 @@ def run_bench() -> dict:
         extras["pretrain_seg_rows"] = int(pp_folded["rows"].sum())
         extras["pretrain_docs_packed"] = int(pp_folded["doc_id"].nunique())
 
+        # the capstone's 100-TB operating mode: every stage boundary a
+        # parquet checkpoint (disk, resumable) instead of an in-memory
+        # materialize — the cost of resumability is the delta vs above
+        import shutil as _shutil
+        import tempfile as _tempfile
+
+        ck_dir = _tempfile.mkdtemp(prefix="graft_bench_pp_ckpt_")
+        t0 = time.time()
+        consume(
+            pretrain_pack_pipeline(
+                rd.read_parquet(pp_path, columns=["doc_id", "text"]),
+                rd.read_parquet(pp_path, columns=["doc_id", "source"]),
+                checkpoint_dir=ck_dir,
+            )
+        )
+        dt = time.time() - t0
+        queries["pretrain_pack_ckpt_100k_docs"] = round(dt, 3)
+        extras["pretrain_ckpt_docs_per_sec"] = round(pp_docs / dt, 1)
+        _shutil.rmtree(ck_dir, ignore_errors=True)
+
         # measured ANN recall@5 vs the exact baseline for both scale paths
         exact = BENCHABLE["ann_cosine"](SF_DIR).to_pandas()
         e = set(zip(exact["query_id"], exact["neighbor_id"]))

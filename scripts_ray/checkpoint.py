@@ -178,6 +178,36 @@ def run_buckets(
     return records
 
 
+def stage_checkpoint(make_ds, ckpt_dir: str, stage: str):
+    """Parquet stage boundary for multi-stage compositions (the capstone's
+    line-dedup / keep-best / sampled corpora): materialize `make_ds()` to
+    `<ckpt_dir>/<stage>/` with an atomic tmp-write + rename publish, then
+    hand back a fresh streaming read of the published files.
+
+    Two properties the in-memory ``Dataset.materialize()`` form lacks:
+
+    - the intermediate corpus lives on DISK, not in the object store — at
+      100 TB an object-store/spill-resident copy of the whole cleaned
+      corpus is the whole-dataset-materialization anti-pattern, while a
+      partitioned parquet stage is exactly the reference's restartable
+      per-stage file layout (/root/reference/src/cur-prot/
+      post-pipeline.py:4-16 — every stage re-runnable from files);
+    - RESUME: if the stage directory is already published, `make_ds` is
+      never called — a restarted run skips every stage whose output
+      survived the crash and recomputes only downstream ones.
+    """
+    import ray.data as rd
+
+    final = os.path.join(ckpt_dir, stage)
+    if not os.path.isdir(final):
+        tmp = final + ".tmp"
+        shutil.rmtree(tmp, ignore_errors=True)
+        os.makedirs(ckpt_dir, exist_ok=True)
+        _fs_retry(lambda: make_ds().write_parquet(tmp))
+        os.rename(tmp, final)  # atomic publish
+    return _fs_retry(lambda: rd.read_parquet(final))
+
+
 def _append_manifest(out_dir: str, rec: dict):
     path = os.path.join(out_dir, MANIFEST)
     with _manifest_lock:

@@ -1243,7 +1243,10 @@ def q_curate_mix(sf_dir: str):
     return mixture_pick(survivors)
 
 
-def pretrain_pack_pipeline(raw, source_ds):
+def pretrain_pack_pipeline(
+    raw, source_ds, checkpoint_dir: str | None = None,
+    stop_after: str | None = None,
+):
     """The pre-training data CAPSTONE: the full modern curation chain as
     ONE composition — html_strip → Gopher quality gate → corpus line
     dedup → MinHash near-dup keep-BEST → benchmark decontamination →
@@ -1253,86 +1256,122 @@ def pretrain_pack_pipeline(raw, source_ds):
     transformed text. `raw` is the (doc_id, text) corpus; `source_ds` the
     (doc_id, source) side used by the temperature sampler.
 
-    Scale notes: stages chain as streaming Datasets; the two
-    materialize() points are the line-deduped corpus (consumed by the
-    candidate/verify/quality/universe legs — at 100 TB this is the
-    parquet CHECKPOINT between dedup phases, exactly what
-    checkpoint.write_corpus provides) and the final sampled picks
-    (consumed by both packers). All joins are distributed doc-cardinality
-    hash joins; only the benchmark shingle set (eval-suite-sized) and the
-    MinHash permutations broadcast."""
+    Scale notes: stages chain as streaming Datasets with THREE stage
+    boundaries — the line-deduped corpus (4 downstream consumers: the
+    candidate/verify/quality/universe legs), the keep-best survivors
+    (decontaminate's eval-shingle collect + scoring pass), and the final
+    sampled picks (both packers). With `checkpoint_dir=None` they are
+    in-memory `materialize()` points (fastest at fixture/bench scale;
+    Ray spills under pressure). With a `checkpoint_dir` each boundary is
+    a `checkpoint.stage_checkpoint` parquet publish + re-read — at 100 TB
+    an object-store-resident copy of the whole cleaned corpus is the
+    whole-dataset-materialization anti-pattern, and the parquet form
+    additionally makes the capstone RESUMABLE: a restarted run skips
+    every already-published stage (the reference's restartable per-stage
+    layout, /root/reference/src/cur-prot/post-pipeline.py:4-16).
+    `stop_after` ("line_dedup" | "keep_best" | "sampled") publishes up to
+    that boundary and returns None — the kill/resume test's simulated
+    crash. All joins are distributed doc-cardinality hash joins; only the
+    benchmark shingle set (eval-suite-sized) and the MinHash permutations
+    broadcast."""
     import pyarrow.compute as _pc
 
+    from . import checkpoint
     from .ops import cluster
     from .ops.hashagg import hash_join
 
-    # 1. markup -> prose
-    hs = textstats.html_strip(raw).map_batches(
-        lambda b: pa.table(
-            {"doc_id": b["doc_id"], "text": b["clean_text"]}
-        ),
-        batch_format="pyarrow",
-    )
-    # 2. Gopher heuristic gate — FUSED as an in-place map filter: the
-    #    flag-then-join-back alternative would ship the full corpus text
-    #    through an exchange (and run html_strip twice, once per consumer)
-    surv1 = textstats.gopher_filter(hs)
-    # 3. corpus-wide exact line dedup; n_chars of the DEDUPED text is the
-    #    keep-best quality signal downstream
-    ld = dedup.line_dedup(surv1).map_batches(
-        lambda b: pa.table(
-            {
-                "doc_id": b["doc_id"],
-                "text": b["text_dedup"],
-                "n_chars": _pc.cast(
-                    _pc.utf8_length(b["text_dedup"].combine_chunks()),
-                    pa.int64(),
-                ),
-            }
-        ),
-        batch_format="pyarrow",
-    ).materialize()  # checkpoint point: 4 downstream consumers
-    # 4. MinHash-LSH near-dup -> exact verify -> clusters -> keep BEST.
-    #    SHINGLE granularity (not unigram sets, which degenerate on small
-    #    vocabularies): candidates from the high-recall 2-row hasher,
-    #    verified against exact shingle-set Jaccard >= 0.5
-    hasher = dedup.MinHasher(**dedup.VERIFY_HASHER_KWARGS)
-    pairs = dedup.verify_pairs_exact(
-        dedup.minhash_candidates(ld, hasher, shingle_n=3),
-        dedup.doc_shingle_hash_sets(ld),
-        dedup.doc_shingle_hash_sets(ld),
-    )
-    labels = cluster.connected_components(
-        pairs.select_columns(["doc_a", "doc_b"])
-    )
-    kept = cluster.keep_best_after_clustering(
-        ld.select_columns(["doc_id", "n_chars"]), labels
-    ).materialize()  # id-only; pins the minhash/verify/CC chain to one run
-    surv2 = hash_join(
-        ld.select_columns(["doc_id", "text"]), kept, on="doc_id",
-        how="inner", empty_right_cols=["doc_id"],
-    ).materialize()  # checkpoint point: decontaminate reads it twice
-    #                  (eval-shingle collect + scoring pass)
-    # 5. benchmark decontamination (drops the eval slice itself too)
-    clean_ids = dedup.decontaminate(surv2).map_batches(
-        lambda b: b.loc[b["contaminated"] == 0, ["doc_id"]],
-        batch_format="pandas",
-    )
-    # 6. temperature-balanced per-source sample of the clean survivors
-    srcd = hash_join(
-        clean_ids,
-        source_ds,
-        on="doc_id",
-        how="inner",
-        empty_left_cols=["doc_id"],
-    )
-    picked = sampling.temp_sample(srcd).map_batches(
-        lambda b: b[["doc_id"]], batch_format="pandas"
-    )
-    final = hash_join(
-        ld.select_columns(["doc_id", "text"]), picked, on="doc_id",
-        how="inner", empty_right_cols=["doc_id"],
-    ).materialize()  # two packers consume it
+    def _boundary(make_ds, stage: str):
+        if checkpoint_dir is None:
+            return make_ds().materialize()
+        return checkpoint.stage_checkpoint(make_ds, checkpoint_dir, stage)
+
+    def _ld_ds():
+        # 1. markup -> prose
+        hs = textstats.html_strip(raw).map_batches(
+            lambda b: pa.table(
+                {"doc_id": b["doc_id"], "text": b["clean_text"]}
+            ),
+            batch_format="pyarrow",
+        )
+        # 2. Gopher heuristic gate — FUSED as an in-place map filter: the
+        #    flag-then-join-back alternative would ship the full corpus
+        #    text through an exchange (and run html_strip twice, once per
+        #    consumer)
+        surv1 = textstats.gopher_filter(hs)
+        # 3. corpus-wide exact line dedup; n_chars of the DEDUPED text is
+        #    the keep-best quality signal downstream
+        return dedup.line_dedup(surv1).map_batches(
+            lambda b: pa.table(
+                {
+                    "doc_id": b["doc_id"],
+                    "text": b["text_dedup"],
+                    "n_chars": _pc.cast(
+                        _pc.utf8_length(b["text_dedup"].combine_chunks()),
+                        pa.int64(),
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+
+    ld = _boundary(_ld_ds, "01_line_dedup")  # 4 downstream consumers
+    if stop_after == "line_dedup":
+        return None
+
+    def _surv2_ds():
+        # 4. MinHash-LSH near-dup -> exact verify -> clusters -> keep
+        #    BEST. SHINGLE granularity (not unigram sets, which
+        #    degenerate on small vocabularies): candidates from the
+        #    high-recall 2-row hasher, verified against exact
+        #    shingle-set Jaccard >= 0.5
+        hasher = dedup.MinHasher(**dedup.VERIFY_HASHER_KWARGS)
+        pairs = dedup.verify_pairs_exact(
+            dedup.minhash_candidates(ld, hasher, shingle_n=3),
+            dedup.doc_shingle_hash_sets(ld),
+            dedup.doc_shingle_hash_sets(ld),
+        )
+        labels = cluster.connected_components(
+            pairs.select_columns(["doc_a", "doc_b"])
+        )
+        kept = cluster.keep_best_after_clustering(
+            ld.select_columns(["doc_id", "n_chars"]), labels
+        ).materialize()  # id-only; pins minhash/verify/CC to one run
+        return hash_join(
+            ld.select_columns(["doc_id", "text"]), kept, on="doc_id",
+            how="inner", empty_right_cols=["doc_id"],
+        )
+
+    # boundary: decontaminate reads it twice (eval-shingle collect +
+    # scoring pass)
+    surv2 = _boundary(_surv2_ds, "02_keep_best")
+    if stop_after == "keep_best":
+        return None
+
+    def _final_ds():
+        # 5. benchmark decontamination (drops the eval slice itself too)
+        clean_ids = dedup.decontaminate(surv2).map_batches(
+            lambda b: b.loc[b["contaminated"] == 0, ["doc_id"]],
+            batch_format="pandas",
+        )
+        # 6. temperature-balanced per-source sample of the clean survivors
+        srcd = hash_join(
+            clean_ids,
+            source_ds,
+            on="doc_id",
+            how="inner",
+            empty_left_cols=["doc_id"],
+        )
+        picked = sampling.temp_sample(srcd).map_batches(
+            lambda b: b[["doc_id"]], batch_format="pandas"
+        )
+        return hash_join(
+            ld.select_columns(["doc_id", "text"]), picked, on="doc_id",
+            how="inner", empty_right_cols=["doc_id"],
+        )
+
+    final = _boundary(_final_ds, "03_sampled")  # two packers consume it
+    if stop_after == "sampled":
+        return None
     # 7. sequence packing + shard assignment over the packed corpus
     segs = sampling.seq_pack(final)
     shards = sampling.shard_pack(final).map_batches(
@@ -1345,6 +1384,24 @@ def q_pretrain_pack(sf_dir: str):
     return pretrain_pack_pipeline(
         _read(sf_dir, "documents", columns=["doc_id", "text"]),
         _read(sf_dir, "documents", columns=["doc_id", "source"]),
+    )
+
+
+def q_pretrain_pack_ckpt(sf_dir: str):
+    """The capstone through its RESUMABLE form: every stage boundary is a
+    `checkpoint.stage_checkpoint` parquet publish + re-read instead of an
+    in-memory materialize() — the 100-TB operating mode (no full-text
+    corpus copy pinned in the object store; a restarted run skips
+    published stages). Same oracle as `pretrain_pack`: the two forms are
+    value-identical by construction and by pytest
+    (tests/test_round9.py::test_pretrain_ckpt_equivalence)."""
+    import tempfile
+
+    ckpt = tempfile.mkdtemp(prefix="graft_pretrain_ckpt_")
+    return pretrain_pack_pipeline(
+        _read(sf_dir, "documents", columns=["doc_id", "text"]),
+        _read(sf_dir, "documents", columns=["doc_id", "source"]),
+        checkpoint_dir=ckpt,
     )
 
 
@@ -2812,6 +2869,7 @@ QUERIES = {
     "shard_pack": q_shard_pack,
     "curate_mix": q_curate_mix,
     "pretrain_pack": q_pretrain_pack,
+    "pretrain_pack_ckpt": q_pretrain_pack_ckpt,
     "validate_docs": q_validate_docs,
     "dead_letter_docs": q_dead_letter_docs,
     "binary_meta": q_binary_meta,
@@ -3032,6 +3090,7 @@ ORACLES = {
     "shard_pack": sql_ops.SHARD_PACK_SQL,
     "curate_mix": sql_ops.CURATE_MIX_SQL,
     "pretrain_pack": sql_ops.PRETRAIN_PACK_SQL,
+    "pretrain_pack_ckpt": sql_ops.PRETRAIN_PACK_SQL,
     "validate_docs": sql_ops.VALIDATE_DOCS_SQL,
     "dead_letter_docs": sql_ops.DEAD_LETTER_DOCS_SQL,
     "binary_meta": sql_ops.BINARY_META_SQL,
