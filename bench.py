@@ -392,6 +392,44 @@ def run_bench() -> dict:
             "cand_pairs": n_pairs,
         }
 
+    # GRAFT_BENCH_JOB=pretrain: headline = the pretrain_pack capstone over
+    # the synthetic web corpus — the heaviest, most join-rich composition
+    # (two exchange families + three stage boundaries), so `--scaling`
+    # evidence covers the barrier-bound end of the engine, not just the
+    # map-dominated flagship and the shuffle-bound MinHash job.
+    if os.environ.get("GRAFT_BENCH_JOB") == "pretrain":
+        from scripts_ray.queries import pretrain_pack_pipeline as _pp
+
+        n_docs = int(os.environ.get("GRAFT_BENCH_PRETRAIN_DOCS", "100000"))
+        path = prepare_pretrain_docs(n_docs)
+        if WARMUP:
+            consume(
+                _pp(
+                    rd.read_parquet(path, columns=["doc_id", "text"]).limit(4000),
+                    rd.read_parquet(path, columns=["doc_id", "source"]).limit(4000),
+                )
+            )
+        t0 = time.time()
+        n_rows = consume(
+            _pp(
+                rd.read_parquet(path, columns=["doc_id", "text"]),
+                rd.read_parquet(path, columns=["doc_id", "source"]),
+            )
+        )
+        headline = time.time() - t0
+        ray.shutdown()
+        return {
+            "metric": "pretrain_pack_sec",
+            "value": round(headline, 3),
+            "unit": "sec",
+            "queries": {"pretrain_pack": round(headline, 3)},
+            "sf": f"synthetic_{n_docs}_docs",
+            "num_cpus": NCPU,
+            "turns": n_docs,
+            "turns_per_sec": round(n_docs / headline, 1),
+            "seg_rows": n_rows,
+        }
+
     path = prepare_transcripts(SF_DIR, REPLICATE)
     counts_ref = ray.put(pipelines.build_model_counts(SF_DIR))
 
@@ -724,6 +762,8 @@ def run_scaling() -> dict:
 
     if os.environ.get("GRAFT_BENCH_JOB") == "minhash":
         prepare_minhash_docs(int(os.environ.get("GRAFT_BENCH_MINHASH_DOCS", "480000")))
+    elif os.environ.get("GRAFT_BENCH_JOB") == "pretrain":
+        prepare_pretrain_docs(int(os.environ.get("GRAFT_BENCH_PRETRAIN_DOCS", "100000")))
     else:
         prepare_transcripts(SF_DIR, int(replicate))  # warm before either timed run
 

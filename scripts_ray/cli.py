@@ -31,6 +31,10 @@ def main(argv=None):
     run.add_argument("--num-cpus", type=int, default=int(os.environ.get("RAY_GRAFT_CPUS", "8")))
     run.add_argument("--no-resume", action="store_true")
     run.add_argument("--max-buckets", type=int, default=None)
+    run.add_argument(
+        "--method", choices=["heuristic", "trained"], default="heuristic",
+        help="per-turn gate: the rule cascade (default) or the "
+             "distributed-trained linear model (ops.train)")
     q = sub.add_parser("query", help="run any registered query by name")
     q.add_argument("name")
     q.add_argument("--sf-dir", default="/root/testdata/sf0.001")
@@ -108,8 +112,17 @@ def main(argv=None):
         )
         counts_ref = ray.put(pipelines.build_model_counts(args.sf_dir))
 
+        weights = None
+        if args.method == "trained":
+            # one distributed training pass; the model (3 ints) rides into
+            # the gate stage by value
+            from .ops.train import train_keep_weights
+            from .queries import _labeled_signals_ds
+
+            weights = train_keep_weights(_labeled_signals_ds(args.sf_dir))
+
         def pipe(ds):
-            return pipelines.quality_filter(ds, counts_ref)
+            return pipelines.quality_filter(ds, counts_ref, trained_weights=weights)
 
         recs = checkpoint.run_buckets(
             work,

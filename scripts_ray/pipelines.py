@@ -87,6 +87,32 @@ def gate_batch(batch: pa.Table, protected_roles=None) -> pa.Table:
     return batch
 
 
+def gate_batch_trained(batch: pa.Table, trained_weights: dict) -> pa.Table:
+    """Pluggable-classifier gate (§2 ML3): the per-turn keep decision comes
+    from the DISTRIBUTED-TRAINED linear model (ops.train) instead of the
+    rule cascade; protected roles are still never re-labeled (the
+    reference's exclude list, reclassify.py:114). Dropped turns carry
+    drop_reason='model' — the analog of the reference classifier's
+    note-vs-utterance verdict."""
+    from .ops.train import FEATURE_COLS, trained_keep
+    from .schema import PROTECTED_ROLES
+
+    protected = np.isin(
+        batch["role"].to_numpy(zero_copy_only=False), list(PROTECTED_ROLES)
+    )
+    model_keep = trained_keep(
+        {c: batch[c].to_numpy(zero_copy_only=False) for c in FEATURE_COLS},
+        trained_weights,
+    )
+    keep = protected | model_keep
+    reason = np.where(keep, None, "model")
+    batch = batch.append_column("keep", pa.array(keep, type=pa.bool_()))
+    batch = batch.append_column(
+        "drop_reason", pa.array(reason, type=pa.string())
+    )
+    return batch
+
+
 OUT_COLS = [
     "conv_id",
     "turn_idx",
@@ -125,14 +151,21 @@ class ScrubScoreGate(Scorer):
     the output is projected so the exchange never moves the raw text or
     signal columns."""
 
-    def __init__(self, counts_ref, num_partitions: int = 64):
+    def __init__(self, counts_ref, num_partitions: int = 64, trained_weights=None):
         super().__init__(counts_ref)
         self.num_partitions = num_partitions
+        self.trained_weights = trained_weights
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         from .ops.hashagg import part_column
 
-        out = gate_batch(super().__call__(scrub_batch(batch))).select(OUT_COLS)
+        scored = super().__call__(scrub_batch(batch))
+        gated = (
+            gate_batch(scored)
+            if self.trained_weights is None
+            else gate_batch_trained(scored, self.trained_weights)
+        )
+        out = gated.select(OUT_COLS)
         part = part_column(
             out["conv_id"].combine_chunks().to_numpy(zero_copy_only=False),
             self.num_partitions,
@@ -239,16 +272,24 @@ class ScrubScoreGateDemote(Scorer):
     def __init__(self, bundle_ref):
         import ray
 
-        counts, fs = (
+        bundle = (
             ray.get(bundle_ref) if not isinstance(bundle_ref, tuple) else bundle_ref
         )
+        counts, fs = bundle[:2]
+        self.trained_weights = bundle[2] if len(bundle) > 2 else None
         super().__init__(counts)
         self.first_sys = fs
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
-        out = gate_batch(super().__call__(scrub_batch(batch))).select(OUT_COLS)
+        scored = super().__call__(scrub_batch(batch))
+        gated = (
+            gate_batch(scored)
+            if self.trained_weights is None
+            else gate_batch_trained(scored, self.trained_weights)
+        )
+        out = gated.select(OUT_COLS)
         conv = out["conv_id"].combine_chunks().to_numpy(zero_copy_only=False)
         fs = self.first_sys.reindex(conv).to_numpy(dtype=np.float64)  # NaN: no system turn
         turn = out["turn_idx"].combine_chunks().to_numpy(zero_copy_only=False)
@@ -280,6 +321,7 @@ def quality_filter(
     num_partitions=64,
     mode="exchange",
     first_sys_ref=None,
+    trained_weights=None,
 ):
     """Compose the flagship DAG over a transcripts Dataset.
 
@@ -305,7 +347,7 @@ def quality_filter(
         )
         counts = ray.get(counts_ref) if not isinstance(counts_ref, dict) else counts_ref
         # ONE bundled broadcast ref (see ScrubScoreGateDemote note)
-        bundle_ref = ray.put((counts, first_sys))
+        bundle_ref = ray.put((counts, first_sys, trained_weights))
         return ds.map_batches(
             ScrubScoreGateDemote,
             fn_constructor_args=(bundle_ref,),
@@ -319,7 +361,7 @@ def quality_filter(
 
     scored = ds.map_batches(
         ScrubScoreGate,
-        fn_constructor_args=(counts_ref, num_partitions),
+        fn_constructor_args=(counts_ref, num_partitions, trained_weights),
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=score_concurrency,

@@ -174,6 +174,80 @@ def q_qf_ppl(sf_dir: str):
     )
 
 
+def _labeled_signals_ds(sf_dir: str):
+    """Training/apply surface for the distributed-trained gate: per-turn
+    integer signals + the rule gate's own keep decision as the label
+    (classifier distillation — the reference trains its segment classifier
+    on annotated paragraphs, /root/reference/src/build_classifier.py:74-131;
+    here the labels are synthesized by the deterministic rule cascade so
+    the whole training run is oracle-checkable)."""
+    from .pipelines import gate_batch
+
+    return (
+        derive_transcripts_ds(sf_dir)
+        .map_batches(scrub_batch, batch_format="pyarrow")
+        .map_batches(
+            Scorer,
+            fn_constructor_args=(_put_counts(sf_dir),),
+            batch_format="pyarrow",
+            batch_size=4096,
+            concurrency=_scorer_band(),
+            num_cpus=1,
+        )
+        .map_batches(gate_batch, batch_format="pyarrow")
+        .select_columns(
+            ["conv_id", "turn_idx", "role", "n_chars", "n_symbols",
+             "n_tokens", "n_distinct", "n_sv", "n_en", "ppl_score", "keep"]
+        )
+    )
+
+
+def q_trained_gate_weights(sf_dir: str):
+    """DISTRIBUTED TRAINING of the linear keep/drop gate: one streaming
+    pass folds the exact int64 ridge sufficient statistics (XᵀX/Xᵀy over
+    winsorized signal features), the 3×3 solve is Cramer's rule in exact
+    Python ints, and the published model is the micro-quantized weight
+    triple — bit-identical to the oracle's HUGEINT restatement. At scale
+    training cost is one map pass + a constant-size fold; the model is
+    three ints."""
+    from .ops.train import train_keep_weights
+
+    w = train_keep_weights(_labeled_signals_ds(sf_dir))
+    return pd.DataFrame(
+        {
+            "w_rules_micro": pd.array([w["w_rules_micro"]], dtype="int64"),
+            "w_chars_micro": pd.array([w["w_chars_micro"]], dtype="int64"),
+            "w_bias_micro": pd.array([w["w_bias_micro"]], dtype="int64"),
+            "n_train": pd.array([w["n_train"]], dtype="int64"),
+        }
+    )
+
+
+def q_trained_gate(sf_dir: str):
+    """Train (distributed) then score every turn with the trained linear
+    gate: keep iff w·x ≥ 0.5 in exact micro-unit int64 arithmetic. The
+    apply pass re-derives the signal pipeline lazily (train and apply are
+    two streaming passes; at 100 TB the signals boundary would be a
+    parquet checkpoint, cf. checkpoint.stage_checkpoint)."""
+    from .ops.train import apply_trained_gate, train_keep_weights
+
+    w = train_keep_weights(_labeled_signals_ds(sf_dir))
+    return apply_trained_gate(_labeled_signals_ds(sf_dir), w)
+
+
+def q_qf_pipeline_trained(sf_dir: str):
+    """The flagship with the TRAINED model as the pluggable per-turn
+    classifier (§2 ML3 with a learned plug): protected roles still never
+    re-labeled, pre-system demotion still applies after the model —
+    `quality_filter(..., trained_weights=...)`."""
+    from .ops.train import train_keep_weights
+
+    w = train_keep_weights(_labeled_signals_ds(sf_dir))
+    return quality_filter(
+        derive_transcripts_ds(sf_dir), _put_counts(sf_dir), trained_weights=w
+    )
+
+
 def q_qf_toxicity(sf_dir: str):
     import numpy as _np
 
@@ -2781,6 +2855,9 @@ QUERIES = {
     "fix_encoding": q_fix_encoding,
     "nfc_docs": q_nfc_docs,
     "bpe_budgets_fixed": q_bpe_budgets_fixed,  # pinned-merge value-checked twin
+    "trained_gate_weights": q_trained_gate_weights,
+    "trained_gate": q_trained_gate,
+    "qf_pipeline_trained": q_qf_pipeline_trained,
     "tox_turns": q_qf_toxicity,
     "merge_runs": q_merge_runs,
     "next_after_system": q_next_after_system,
@@ -2998,6 +3075,9 @@ ORACLES = {
     "dup_ngrams": sql_ops.DUP_NGRAMS_SQL,
     "fix_encoding": sql_ops.FIX_ENCODING_SQL,
     "nfc_docs": sql_ops.NFC_DOCS_SQL,
+    "trained_gate_weights": sql.TRAINED_GATE_WEIGHTS_SQL,
+    "trained_gate": sql.TRAINED_GATE_SQL,
+    "qf_pipeline_trained": sql.QF_PIPELINE_TRAINED_SQL,
     "tox_turns": sql_ops.QF_TOXICITY_SQL,
     "merge_runs": sql_ops.MERGE_RUNS_SQL,
     "next_after_system": sql_ops.NEXT_AFTER_SYSTEM_SQL,

@@ -217,3 +217,130 @@ QF_PPL_SQL = (
     _with(TRANSCRIPTS_CTE, SCRUBBED_CTE, SIG_CTE, LM_CTES, SCORED_CTE)
     + "\nSELECT conv_id, turn_idx, ppl_score FROM scored ORDER BY conv_id, turn_idx"
 )
+
+# --------------------------------------------------------------------------
+# Distributed-trained keep/drop gate (mirror of ops.train): exact integer
+# ridge least squares — HUGEINT sufficient statistics + Cramer's rule +
+# exact floor-division micro-quantization, then an int64 linear scorer.
+# Labels y = the rule gate's own per-turn decision (base_reason IS NULL),
+# so the ENTIRE training run is oracle-checkable.
+# --------------------------------------------------------------------------
+
+from .ops.train import (  # noqa: E402 — single source of truth for the model
+    FEAT_CAP as _CAP,
+    KEEP_NUM as _KEEP_NUM,
+    RIDGE_LAMBDA as _LAM,
+    W_SCALE as _WS,
+)
+
+# The two engineered features, restated over the gated CTE's signal
+# columns (mirror of ops.train.rule_features): f1 = count of passed rule
+# margins (0..5), f2 = winsorized length.
+def _feat_sql(alias: str) -> tuple[str, str]:
+    g = alias
+    f1 = (
+        f"(CASE WHEN {g}.n_chars >= {R.MIN_CHARS} AND {g}.n_chars <= {R.MAX_CHARS} THEN 1 ELSE 0 END"
+        f" + CASE WHEN {R.SYMBOL_NUM} * {g}.n_symbols <= {R.SYMBOL_DEN} * {g}.n_chars THEN 1 ELSE 0 END"
+        f" + CASE WHEN NOT ({g}.n_tokens >= {R.REP_MIN_TOKENS} AND {R.REP_NUM} * {g}.n_distinct < {R.REP_DEN} * {g}.n_tokens) THEN 1 ELSE 0 END"
+        f" + CASE WHEN {g}.n_sv <> {g}.n_en THEN 1 ELSE 0 END"
+        f" + CASE WHEN {g}.ppl_score > 0 THEN 1 ELSE 0 END)"
+    )
+    f2 = f"LEAST({g}.n_chars, {_CAP})"
+    return f1, f2
+
+
+_F1, _F2 = _feat_sql("g")
+
+TRAIN_CTES = f"""
+lab AS (
+  SELECT {_F1} AS f1, {_F2} AS f2,
+         CASE WHEN g.base_reason IS NULL THEN 1 ELSE 0 END AS y
+  FROM gated g
+  WHERE g.role NOT IN {_PROTECTED}
+),
+gsum AS (
+  SELECT CAST(sum(f1*f1) AS HUGEINT) AS s11, CAST(sum(f1*f2) AS HUGEINT) AS s12,
+         CAST(sum(f1) AS HUGEINT) AS s13,   CAST(sum(f2*f2) AS HUGEINT) AS s22,
+         CAST(sum(f2) AS HUGEINT) AS s23,   CAST(count(*) AS HUGEINT) AS s33,
+         CAST(sum(f1*y) AS HUGEINT) AS b1,  CAST(sum(f2*y) AS HUGEINT) AS b2,
+         CAST(sum(y) AS HUGEINT) AS b3
+  FROM lab
+),
+mat AS (
+  SELECT s11 + {_LAM} AS a11, s12 AS a12, s13 AS a13,
+         s22 + {_LAM} AS a22, s23 AS a23, s33 + {_LAM} AS a33,
+         b1, b2, b3, s33
+  FROM gsum
+),
+solved AS (
+  SELECT s33,
+    a11*(a22*a33 - a23*a23) - a12*(a12*a33 - a23*a13) + a13*(a12*a23 - a22*a13) AS det,
+    b1*(a22*a33 - a23*a23)  - a12*(b2*a33 - a23*b3)   + a13*(b2*a23 - a22*b3)   AS n1,
+    a11*(b2*a33 - a23*b3)   - b1*(a12*a33 - a23*a13)  + a13*(a12*b3 - b2*a13)   AS n2,
+    a11*(a22*b3 - a23*b2)   - a12*(a12*b3 - b2*a13)   + b1*(a12*a23 - a22*a13)  AS n3
+  FROM mat
+),
+qn AS (
+  SELECT s33, det, 2*det AS d2,
+         2*{_WS}*n1 + det AS q1, 2*{_WS}*n2 + det AS q2, 2*{_WS}*n3 + det AS q3
+  FROM solved
+),
+weights AS (
+  SELECT
+    CAST((q1 - (((q1 % d2) + d2) % d2)) // d2 AS BIGINT) AS w_rules_micro,
+    CAST((q2 - (((q2 % d2) + d2) % d2)) // d2 AS BIGINT) AS w_chars_micro,
+    CAST((q3 - (((q3 % d2) + d2) % d2)) // d2 AS BIGINT) AS w_bias_micro,
+    CAST(s33 AS BIGINT) AS n_train
+  FROM qn
+)
+"""
+
+_TRAIN_STACK = _with(
+    TRANSCRIPTS_CTE,
+    SCRUBBED_CTE,
+    SIG_CTE,
+    LM_CTES,
+    SCORED_CTE,
+    GATED_CTE,
+    TRAIN_CTES,
+)
+
+TRAINED_GATE_WEIGHTS_SQL = (
+    _TRAIN_STACK
+    + "\nSELECT w_rules_micro, w_chars_micro, w_bias_micro, n_train FROM weights"
+)
+
+_MODEL_KEEP = (
+    f"(w.w_rules_micro * {_F1} + w.w_chars_micro * {_F2}"
+    f" + w.w_bias_micro) >= {_KEEP_NUM}"
+)
+
+TRAINED_GATE_SQL = (
+    _TRAIN_STACK
+    + f"""
+SELECT g.conv_id, g.turn_idx, {_MODEL_KEEP} AS keep_trained
+FROM gated g CROSS JOIN weights w
+ORDER BY conv_id, turn_idx
+"""
+)
+
+QF_PIPELINE_TRAINED_SQL = (
+    _TRAIN_STACK
+    + f"""
+, trained_final AS (
+  SELECT g.conv_id, g.turn_idx, g.role, g.scrubbed_text, g.lang, g.ppl_score,
+    CASE
+      WHEN g.role IN {_PROTECTED} THEN NULL
+      WHEN NOT ({_MODEL_KEEP}) THEN 'model'
+      WHEN g.role = 'assistant' AND g.first_sys IS NOT NULL
+           AND g.turn_idx < g.first_sys THEN 'pre_system'
+      ELSE NULL
+    END AS drop_reason
+  FROM gated g CROSS JOIN weights w
+)
+SELECT conv_id, turn_idx, role, scrubbed_text, lang, ppl_score,
+       drop_reason IS NULL AS keep, drop_reason
+FROM trained_final
+ORDER BY conv_id, turn_idx
+"""
+)
