@@ -601,6 +601,10 @@ def run_bench() -> dict:
             "activity_gini",
             "q13_custdist",
             "event_heatmap",
+            "trained_gate",
+            "qf_pipeline_trained",
+            "incr_lsh_pairs",
+            "incr_lsh_keep",
         ]
     )
     for name in secondary:

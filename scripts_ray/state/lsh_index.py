@@ -24,10 +24,17 @@ twin is the all-pairs cross-corpus exact Jaccard). `snapshot`/`restore`
 spill both stores to Parquet — a delivery pipeline resumes with the
 index it left.
 
-Hasher: the high-recall 2-row × 64-band `VERIFY_HASHER_KWARGS` over
-unigram token sets, identical to the oracle-checked batch path
-(`minhash_verified`), so a Jaccard≥0.5 pair misses all bands with
-probability ~1e-8.
+Hasher: defaults to the high-recall 2-row × 64-band
+`VERIFY_HASHER_KWARGS` over unigram token sets, identical to the
+oracle-checked batch path (`minhash_verified`), so a Jaccard≥0.5 pair
+misses all bands with probability ~1e-8. Rows-per-band is the
+recall/fan-out dial: 2-row bands collide at p=J² each, which on a
+200k-doc moderately-similar corpus fanned a 20k probe to ~27M
+candidates (1.5k docs/s, all removed by the exact verifier); the
+production preset `seed_kwargs=dict(k=128, bands=32)` (4-row, p=J⁴)
+probed the same delivery at 71k docs/s with identical recall on real
+near-dups (measured, BASELINE.md round 5). At 100 TB use the 4-row
+preset — the exact verifier keeps correctness independent of the dial.
 
 Scale notes: memory is O(unique docs × (bands × 16B + blob)); shard
 count scales with the cluster. A pathological bucket (boilerplate-equal

@@ -97,7 +97,16 @@ def run_pipelines(sf_dir: str):
     ).map_batches(tag_node, batch_format="pandas")
     wf_df = wf.to_pandas()
     wf_nodes = set(wf_df.pop("_node").unique())
-    return qf_df, qf_nodes, wf_df, wf_nodes, qf_hist
+
+    # the join-rich capstone (three stage boundaries, two exchange
+    # families, distributed joins) — correctness when blocks cross nodes
+    from scripts_ray.queries import pretrain_pack_pipeline
+
+    pp_df = pretrain_pack_pipeline(
+        rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]),
+        rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "source"]),
+    ).to_pandas()
+    return qf_df, qf_nodes, wf_df, wf_nodes, qf_hist, pp_df
 
 
 def main():
@@ -117,8 +126,9 @@ def main():
     DataContext.get_current().enable_progress_bars = False
     n_nodes = len([n for n in ray.nodes() if n["Alive"]])
 
-    qf_df, qf_nodes, wf_df, wf_nodes, qf_hist = run_pipelines(sf_dir)
+    qf_df, qf_nodes, wf_df, wf_nodes, qf_hist, pp_df = run_pipelines(sf_dir)
     qf_multi, wf_multi = value_hash(qf_df), value_hash(wf_df)
+    pp_multi = value_hash(pp_df)
     rows = len(qf_df)
 
     # per-node object-store traffic summary (evidence blocks crossed nodes)
@@ -143,7 +153,7 @@ def main():
     ray.init(address="local", num_cpus=4, include_dashboard=False,
              logging_level="ERROR")
     DataContext.get_current().enable_progress_bars = False
-    qf1_df, _, wf1_df, _, _ = run_pipelines(sf_dir)
+    qf1_df, _, wf1_df, _, _, pp1_df = run_pipelines(sf_dir)
     ray.shutdown()
 
     print(
@@ -156,6 +166,8 @@ def main():
                 "rows": rows,
                 "qf_match": qf_multi == value_hash(qf1_df),
                 "wf_match": wf_multi == value_hash(wf1_df),
+                "pp_match": pp_multi == value_hash(pp1_df),
+                "pp_rows": len(pp_df),
                 "transfer_note": transfer_note,
             }
         )

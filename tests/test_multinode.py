@@ -41,6 +41,8 @@ def test_multinode_cluster_correctness_and_spread():
     assert rep["nodes_seen_qf"] >= 2, rep
     # the hash-aggregate tasks spread too
     assert rep["nodes_seen_wf"] >= 2, rep
-    # and the answers did not change when blocks crossed nodes
-    assert rep["qf_match"] and rep["wf_match"], rep
+    # and the answers did not change when blocks crossed nodes — for the
+    # flagship, the hash aggregate AND the join-rich capstone
+    assert rep["qf_match"] and rep["wf_match"] and rep["pp_match"], rep
     assert rep["rows"] == 8000
+    assert rep["pp_rows"] > 0
