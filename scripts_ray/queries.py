@@ -2901,6 +2901,8 @@ QUERIES = {
     "trained_gate_weights": q_trained_gate_weights,
     "trained_gate": q_trained_gate,
     "qf_pipeline_trained": q_qf_pipeline_trained,
+    "incr_lsh_pairs": q_incr_lsh_pairs,
+    "incr_lsh_keep": q_incr_lsh_keep,
     "tox_turns": q_qf_toxicity,
     "merge_runs": q_merge_runs,
     "next_after_system": q_next_after_system,
@@ -3012,8 +3014,6 @@ QUERIES = {
     "domain_stats": q_domain_stats,
     "dup_spans": q_dup_spans,
     "incremental_dedup": q_incremental_dedup,
-    "incr_lsh_pairs": q_incr_lsh_pairs,
-    "incr_lsh_keep": q_incr_lsh_keep,
     "span_cut": q_span_cut,
     "quality_buckets": q_quality_buckets,
     "source_overlap": q_source_overlap,

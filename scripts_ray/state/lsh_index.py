@@ -284,6 +284,9 @@ def build(index: LshIndex, docs_ds, text_col: str = "text") -> int:
     hasher = index.hasher
 
     def ingest(batch: pd.DataFrame) -> pd.DataFrame:
+        from ..faults import maybe_fail_once
+
+        maybe_fail_once()  # retry-safety: inserts are idempotent (sets)
         if text_col != "text":
             batch = batch.rename(columns={text_col: "text"})
         keys, blobs, ns = _doc_encodings(batch, hasher)
@@ -347,6 +350,9 @@ def probe_pairs(
     )
 
     def probe(batch: pd.DataFrame) -> pd.DataFrame:
+        from ..faults import maybe_fail_once
+
+        maybe_fail_once()  # retry-safety: the probe is a pure read
         if text_col != "text":
             batch = batch.rename(columns={text_col: "text"})
         keys, blobs, ns = _doc_encodings(batch, hasher)

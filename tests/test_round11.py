@@ -162,6 +162,80 @@ def test_filter_new_drops_exactly_the_dups(ray_session, corpora):
     assert set(kept.columns) == {"doc_id", "text"}
 
 
+def _arm_fault():
+    from scripts_ray.faults import FAULT_FILE
+
+    with open(FAULT_FILE, "w") as f:
+        f.write("armed")
+
+
+def test_probe_retry_determinism(ray_session, corpora):
+    """Kill one worker mid-probe (fail-once chaos hook): Ray retries the
+    task; the probe is a pure read against the shard actors, so the
+    output must be byte-identical to a clean run."""
+    import os
+
+    from scripts_ray.faults import FAULT_FILE
+    from scripts_ray.state import lsh_index
+
+    v1, delivery = corpora
+    idx, _ = _build(_mk_docs(v1))
+    clean = (
+        lsh_index.probe_pairs(idx, _mk_docs(delivery, start_id=1000).repartition(4))
+        .to_pandas()
+        .sort_values(["doc_new", "doc_old"])
+        .reset_index(drop=True)
+    )
+    _arm_fault()
+    try:
+        chaos = (
+            lsh_index.probe_pairs(
+                idx, _mk_docs(delivery, start_id=1000).repartition(4)
+            )
+            .to_pandas()
+            .sort_values(["doc_new", "doc_old"])
+            .reset_index(drop=True)
+        )
+    finally:
+        if os.path.exists(FAULT_FILE):
+            os.unlink(FAULT_FILE)
+    pd.testing.assert_frame_equal(clean, chaos)
+
+
+def test_build_retry_determinism(ray_session, corpora):
+    """Kill one worker mid-BUILD: the retried batch re-issues its
+    idempotent set-semantics inserts, so a probe against the chaos-built
+    index equals a probe against a cleanly built one."""
+    import os
+
+    from scripts_ray.faults import FAULT_FILE
+    from scripts_ray.state import lsh_index
+
+    v1, delivery = corpora
+    idx_clean, _ = _build(_mk_docs(v1))
+    clean = (
+        lsh_index.probe_pairs(idx_clean, _mk_docs(delivery, start_id=1000))
+        .to_pandas()
+        .sort_values(["doc_new", "doc_old"])
+        .reset_index(drop=True)
+    )
+    _arm_fault()
+    try:
+        idx_chaos = lsh_index.LshIndex(n_shards=3)
+        lsh_index.build(idx_chaos, _mk_docs(v1).repartition(4))
+    finally:
+        if os.path.exists(FAULT_FILE):
+            os.unlink(FAULT_FILE)
+    assert idx_chaos.counts() == idx_clean.counts()
+    chaos = (
+        lsh_index.probe_pairs(idx_chaos, _mk_docs(delivery, start_id=1000))
+        .to_pandas()
+        .sort_values(["doc_new", "doc_old"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(clean, chaos)
+
+
 def test_build_is_idempotent(ray_session, corpora):
     """Set-semantics inserts: re-ingesting v1 must not change the probe
     (at-least-once delivery of build batches is safe)."""
