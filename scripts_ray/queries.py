@@ -226,13 +226,22 @@ def q_trained_gate_weights(sf_dir: str):
 def q_trained_gate(sf_dir: str):
     """Train (distributed) then score every turn with the trained linear
     gate: keep iff w·x ≥ 0.5 in exact micro-unit int64 arithmetic. The
-    apply pass re-derives the signal pipeline lazily (train and apply are
-    two streaming passes; at 100 TB the signals boundary would be a
-    parquet checkpoint, cf. checkpoint.stage_checkpoint)."""
+    NARROW labeled-signals frame (ids + int signal columns, no text) is
+    published once as a parquet stage checkpoint; the training fold AND
+    the apply pass both stream from it, so the scrub/score pipeline runs
+    exactly once — the capstone's stage-boundary pattern, which also
+    makes a restarted training job resume from the published signals."""
+    import tempfile
+
+    from . import checkpoint
     from .ops.train import apply_trained_gate, train_keep_weights
 
-    w = train_keep_weights(_labeled_signals_ds(sf_dir))
-    return apply_trained_gate(_labeled_signals_ds(sf_dir), w)
+    ck = tempfile.mkdtemp(prefix="graft_trained_sig_")
+    sig = checkpoint.stage_checkpoint(
+        lambda: _labeled_signals_ds(sf_dir), ck, "signals"
+    )
+    w = train_keep_weights(sig)
+    return apply_trained_gate(sig, w)
 
 
 def q_qf_pipeline_trained(sf_dir: str):

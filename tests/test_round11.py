@@ -162,6 +162,32 @@ def test_filter_new_drops_exactly_the_dups(ray_session, corpora):
     assert set(kept.columns) == {"doc_id", "text"}
 
 
+def test_hot_bucket_stress(ray_session):
+    """Degenerate corpus: 10k IDENTICAL docs collapse into ONE bucket per
+    band. A 10-doc identical delivery must still probe correctly — every
+    (new, old) pair is a verified exact duplicate (10 × 10k = 100k pairs,
+    J = 1) and the quadratic fan-out is the ANSWER, not a failure. Pins
+    the documented hot-bucket behavior (pre-exact-dedup is the production
+    mitigation, module docstring)."""
+    import numpy as np
+
+    from scripts_ray.state import lsh_index
+
+    text = "alpha beta gamma delta epsilon zeta eta theta"
+    n_old, n_new = 10_000, 10
+    idx = lsh_index.LshIndex(n_shards=3)
+    lsh_index.build(idx, _mk_docs([text] * n_old))
+    n_buckets, n_blobs = idx.counts()
+    assert n_blobs == n_old
+    assert n_buckets == idx.hasher.bands  # ONE bucket per band
+
+    pairs = lsh_index.probe_pairs(idx, _mk_docs([text] * n_new, start_id=10**6)).to_pandas()
+    assert len(pairs) == n_old * n_new
+    assert (pairs["inter"] == pairs["uni"]).all()  # all exact dups
+    assert pairs["doc_new"].nunique() == n_new
+    assert pairs["doc_old"].nunique() == n_old
+
+
 def _arm_fault():
     from scripts_ray.faults import FAULT_FILE
 
