@@ -44,6 +44,26 @@ def main(argv=None):
     q.add_argument("--show", type=int, default=10)
     q.add_argument("--num-cpus", type=int,
                    default=int(os.environ.get("RAY_GRAFT_CPUS", "8")))
+    ing = sub.add_parser(
+        "ingest",
+        help="incremental delivery ingestion: dedup a (doc_id, text) "
+             "parquet delivery against all previously accepted deliveries "
+             "(exact + near-dup persistent indexes), append survivors, "
+             "snapshot state",
+    )
+    ing.add_argument("--corpus", required=True, help="delivery parquet file/dir")
+    ing.add_argument("--state", required=True, help="persistent index state dir")
+    ing.add_argument("--output", required=True, help="accepted-corpus root dir")
+    ing.add_argument("--delivery-id", default=None,
+                     help="stable id (default: next ordinal); re-running a "
+                          "published id is a no-op")
+    ing.add_argument("--hasher", choices=["production", "verify"],
+                     default="production",
+                     help="LSH preset: 4-row bands (scale) or the "
+                          "oracle-exact high-recall 2-row form")
+    ing.add_argument("--shards", type=int, default=4)
+    ing.add_argument("--num-cpus", type=int,
+                     default=int(os.environ.get("RAY_GRAFT_CPUS", "8")))
     sub.add_parser("list", help="list registered queries")
     args = p.parse_args(argv)
 
@@ -102,6 +122,25 @@ def main(argv=None):
                     if hasattr(res, "to_pandas") else res.head(args.show)
                 )
                 print(head.to_string(index=False))
+            return
+
+        if args.cmd == "ingest":
+            import ray.data as rd
+
+            from . import ingest
+
+            delivery_id = args.delivery_id or str(
+                len(ingest.read_manifest(args.state)["deliveries"])
+            )
+            rec = ingest.ingest_delivery(
+                rd.read_parquet(args.corpus),
+                args.state,
+                args.output,
+                delivery_id,
+                n_shards=args.shards,
+                hasher=args.hasher,
+            )
+            print(json.dumps(rec))
             return
 
         from . import checkpoint, pipelines, sources

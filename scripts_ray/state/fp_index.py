@@ -133,20 +133,20 @@ def build(index: FpIndex, docs_ds, text_col: str = "text") -> int:
     """Ingest a corpus into the index: per batch, fingerprint the text
     column and send each shard its slice in one RPC. Insert-only (order-
     free), so parallel batches commute. Returns rows ingested."""
-    import ray
-
     shards = index.shards
     n_shards = index.n_shards
 
     def ingest(batch: pd.DataFrame) -> pd.DataFrame:
+        from . import gather_retry
+
         fp1, fp2 = content_fingerprints(batch[text_col])
         sh = (fp1.view(np.uint64) % np.uint64(n_shards)).astype(np.int64)
-        waits = []
+        calls = []
         for s in range(n_shards):
             m = sh == s
             if m.any():
-                waits.append(shards[s].add.remote(fp1[m], fp2[m]))
-        ray.get(waits)  # batch completes only once its inserts landed
+                calls.append((shards[s].add, (fp1[m], fp2[m])))
+        gather_retry(calls)  # batch completes only once its inserts landed
         return pd.DataFrame({"n": [len(batch)]})
 
     total = 0
@@ -160,22 +160,22 @@ def build(index: FpIndex, docs_ds, text_col: str = "text") -> int:
 def filter_new(index: FpIndex, docs_ds, text_col: str = "text"):
     """Rows of `docs_ds` whose text fingerprint is NOT in the index —
     pure read (no mutation), deterministic after a completed build."""
-    import ray
-
     shards = index.shards
     n_shards = index.n_shards
 
     def probe(batch: pd.DataFrame) -> pd.DataFrame:
+        from . import gather_retry
+
         fp1, fp2 = content_fingerprints(batch[text_col])
         sh = (fp1.view(np.uint64) % np.uint64(n_shards)).astype(np.int64)
         seen = np.zeros(len(batch), dtype=bool)
-        masks, waits = [], []
+        masks, calls = [], []
         for s in range(n_shards):
             m = sh == s
             if m.any():
                 masks.append(m)
-                waits.append(shards[s].contains.remote(fp1[m], fp2[m]))
-        for m, r in zip(masks, ray.get(waits)):
+                calls.append((shards[s].contains, (fp1[m], fp2[m])))
+        for m, r in zip(masks, gather_retry(calls)):
             seen[m] = r
         return batch[~seen].reset_index(drop=True)
 

@@ -56,45 +56,9 @@ import pyarrow as pa
 
 from ..ops.dedup import VERIFY_HASHER_KWARGS, MinHasher, token_hashes
 
+from . import gather_retry as _gather_retry  # shared idempotent-RPC retry
+
 DEFAULT_SHARDS = 4
-
-
-def _gather_retry(calls, attempts: int = 4):
-    """ray.get a batch of shard RPCs, resubmitting any that fail with the
-    transient `ActorUnavailableError` (Ray's ordered-delivery path can
-    time out waiting for an earlier seq_no when MANY map-task workers
-    call one actor concurrently; the error is explicitly retriable and
-    every RPC here is idempotent — set-semantics inserts or pure reads).
-
-    `calls` is a list of (actor_method, args_tuple); returns results in
-    order."""
-    import time
-
-    import ray
-
-    refs = [m.remote(*a) for m, a in calls]
-    results = [None] * len(calls)
-    pending = list(range(len(calls)))
-    for attempt in range(attempts):
-        failed = []
-        for idx in pending:
-            try:
-                results[idx] = ray.get(refs[idx])
-            except ray.exceptions.ActorUnavailableError:
-                failed.append(idx)
-        if not failed:
-            return results
-        if attempt == attempts - 1:
-            raise RuntimeError(
-                f"{len(failed)} shard RPCs still unavailable after "
-                f"{attempts} attempts"
-            )
-        time.sleep(0.5 * (attempt + 1))
-        for idx in failed:
-            m, a = calls[idx]
-            refs[idx] = m.remote(*a)
-        pending = failed
-    return results
 
 
 def _shard_cls():
